@@ -1,0 +1,63 @@
+"""Engine configuration.
+
+Replaces the reference's ``spark.cdm.*`` property system
+(``properties/KnownProperties.java``, ``properties/PropertyHelper.java``)
+with a typed dataclass. Mapping of the load-bearing reference knobs:
+
+- ``numParts`` (KnownProperties.java:177-178, default 5000 token ranges)
+  → ``n_buckets``: the number of hash buckets the lake table is
+  partitioned into. At 100 TB this is sized so one bucket ≈ a few GB
+  (e.g. 16384); in tests it is small (8-32).
+- ``batchSize`` / ``fetchSizeInRows`` (KnownProperties.java:179-191)
+  → handled by Spark/parquet writer file sizing; no per-row batching.
+- ``ratelimit`` (KnownProperties.java:181-184) → streaming trigger
+  sizing (``maxFilesPerTrigger``), not a per-row limiter.
+- writetime filter min/max (KnownProperties.java:239-240) →
+  ``writetime_min``/``writetime_max``.
+- null-PK replacement (KnownProperties.java:197) → ``null_ts_default``.
+- guardrail colSizeInKB (feature/Guardrail.java:60-77) → ``guardrail_kb``.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from datetime import datetime, timezone
+
+
+@dataclass(frozen=True)
+class EngineConfig:
+    """All knobs for one CDC pipeline run."""
+
+    # --- lake layout ----------------------------------------------------
+    n_buckets: int = 32               # hash buckets on key column (ref numParts)
+    key_col: str = "url"              # merge/partition key
+    ts_col: str = "warc_ts"           # event-time / writetime (LWW order)
+    seq_col: str = "seq"              # monotone tie-breaker within equal ts
+
+    # --- skew handling (north_rule: salted repartition) ------------------
+    salt_buckets: int = 4             # sub-splits for hot keys inside a bucket
+    hot_key_threshold: int = 100_000  # rows per key in a batch → considered hot
+
+    # --- filters (ref OriginSelectStatement.java:104-131) ----------------
+    writetime_min: datetime | None = None
+    writetime_max: datetime | None = None
+    skip_column: str | None = None    # column-value filter: skip row iff
+    skip_value: str | None = None     # upper(trim(col)) == upper(value)
+    column_skip_list: tuple[str, ...] = ()   # ref CqlTable.java:479-483
+
+    # --- null-PK handling (ref CqlTable.java:375-400) --------------------
+    null_ts_default: datetime | None = field(
+        default=datetime(1970, 1, 1, tzinfo=timezone.utc)
+    )
+    quarantine_null_keys: bool = True  # null url → quarantine, never merged
+
+    # --- guardrail (ref feature/Guardrail.java:88-125) -------------------
+    guardrail_kb: int = 0             # 0 = disabled; else flag rows with any
+                                      # column payload > guardrail_kb KB
+
+    # --- streaming -------------------------------------------------------
+    max_files_per_trigger: int = 16   # trigger sizing (replaces ratelimit)
+
+    @property
+    def data_cols(self) -> tuple[str, ...]:
+        return ("html", "text", "lang")

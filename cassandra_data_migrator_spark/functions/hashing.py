@@ -1,0 +1,77 @@
+"""Hashing / bucketing / checksum expressions.
+
+The reference partitions work by Cassandra token ranges:
+``TOKEN(pk) >= ? AND TOKEN(pk) <= ?``
+(``cql/statement/OriginSelectByPartitionRangeStatement.java:52-56``),
+splitting the Murmur3 ring into ``numParts`` BigInteger ranges
+(``job/SplitPartitions.java:32-76``). We own the ring, so Murmur3
+parity is unnecessary: the bucket of a key is ``pmod(xxhash64(key), N)``
+— computed JVM-side inside whole-stage codegen, and usable both as a
+shuffle partitioning key and as a storage partition column that Catalyst
+prunes on.
+
+Checksums are order-insensitive per-bucket sums of row hashes
+(``sum(xxhash64(cols))``) so they can be computed partition-parallel
+with a map-side partial aggregate and compared origin-vs-target —
+the engine's strengthened version of the reference's per-range
+PASS/DIFF status (``cql/statement/TargetUpsertRunDetailsStatement.java:207-216``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def bucket_expr(key_col: str | Column, n_buckets: int) -> Column:
+    """Hash bucket of a key: non-negative ``pmod(xxhash64(key), n)``.
+
+    Spark analog of the reference token-range id
+    (``job/PartitionRange.java:23-51``).
+    """
+    col = F.col(key_col) if isinstance(key_col, str) else key_col
+    return F.pmod(F.xxhash64(col), F.lit(n_buckets)).cast("int")
+
+
+def row_checksum_expr(*cols: str | Column) -> Column:
+    """64-bit row hash over the given columns (null-stable).
+
+    xxhash64 hashes nulls deterministically, so MISSING vs null-valued
+    rows still differ via the row-count component of the lineage row.
+    """
+    cs = [F.col(c) if isinstance(c, str) else c for c in cols]
+    return F.xxhash64(*cs)
+
+
+def checksum_agg_expr(*cols: str | Column) -> Column:
+    """Order-insensitive aggregate checksum: ``sum(xxhash64(cols))``.
+
+    Summed in ``decimal(38,0)`` — ANSI-safe (a signed-long sum of 64-bit
+    hashes overflows under Spark 4's default ANSI mode; decimal holds
+    ~10^19 rows per group before it could).
+    """
+    return F.sum(row_checksum_expr(*cols).cast("decimal(38,0)"))
+
+
+def salted_partition_exprs(
+    key_col: str, n_buckets: int, salt_buckets: int
+) -> list[Column]:
+    """Partitioning expressions that break hot-key skew by salting.
+
+    A hot key (one domain producing most of a batch — north_rule skew
+    case) would put its whole bucket on one task. Repartitioning by
+    ``(bucket, salt)`` where ``salt = pmod(xxhash64(key, seq-ish rand), S)``
+    splits a hot bucket across ``S`` tasks. Use for pre-MERGE transform
+    stages (extraction UDFs) where rows are independent; the final
+    per-bucket write re-gathers by bucket alone.
+
+    Reference analog: the double ``Collections.shuffle`` of splits
+    (``job/SplitPartitions.java:36-37``) — load-levelling, but at
+    range granularity only; salting levels *within* a range.
+    """
+    bucket = bucket_expr(key_col, n_buckets)
+    # deterministic salt: spread rows of one key by a secondary hash of
+    # monotonically_increasing_id so replays stay reproducible per-partition
+    salt = F.pmod(F.xxhash64(F.col(key_col), F.monotonically_increasing_id()),
+                  F.lit(salt_buckets)).cast("int")
+    return [bucket, salt]

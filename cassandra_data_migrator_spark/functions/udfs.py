@@ -1,0 +1,68 @@
+"""Vectorized (Arrow) pandas UDFs for row transforms.
+
+Per the north rule all row transforms run as pandas/Arrow UDFs — no
+per-row Python. The two required transforms:
+
+- ``extract_text``: HTML (binary) → extracted text. Must be a *pure
+  deterministic* function of the html bytes so extracted text is
+  byte-identical per url across replays, executors, and batch
+  boundaries (no locale/time/dict-order dependence).
+- ``normalize_lang``: language-tag normalization to a lowercase
+  ISO-639-1-ish primary subtag.
+
+Reference analog: the pluggable codec transforms
+(``cql/codec/Codecset.java:18-21``) — scalar value rewrites applied on
+the write path; here they are Arrow-batched instead of per-row JVM codecs.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pandas as pd
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+_TAG_RE = re.compile(rb"<script\b.*?</script\s*>|<style\b.*?</style\s*>|<[^>]*>",
+                     re.DOTALL | re.IGNORECASE)
+_WS_RE = re.compile(r"\s+")
+
+_LANG_ALIASES = {
+    "eng": "en", "english": "en", "en-us": "en", "en_gb": "en",
+    "deu": "de", "ger": "de", "german": "de",
+    "fra": "fr", "fre": "fr", "french": "fr",
+    "spa": "es", "spanish": "es",
+    "zho": "zh", "chi": "zh", "chinese": "zh", "zh-cn": "zh", "zh_tw": "zh",
+}
+
+
+def _extract_text_bytes(html: bytes | None) -> str | None:
+    """Pure function: strip script/style + tags, collapse whitespace."""
+    if html is None:
+        return None
+    stripped = _TAG_RE.sub(b" ", html)
+    text = stripped.decode("utf-8", errors="replace")
+    return _WS_RE.sub(" ", text).strip()
+
+
+@F.pandas_udf(T.StringType())
+def extract_text(html: pd.Series) -> pd.Series:
+    """HTML binary → deterministic extracted text (Arrow-batched)."""
+    return html.map(_extract_text_bytes)
+
+
+def _normalize_lang_value(lang: str | None) -> str | None:
+    if lang is None:
+        return None
+    v = lang.strip().lower().replace("_", "-")
+    if v == "":
+        return None
+    v = _LANG_ALIASES.get(v, v)
+    v = _LANG_ALIASES.get(v.split("-", 1)[0], v.split("-", 1)[0])
+    return v or None
+
+
+@F.pandas_udf(T.StringType())
+def normalize_lang(lang: pd.Series) -> pd.Series:
+    """Language tag → lowercase primary subtag ('EN-us' → 'en')."""
+    return lang.map(_normalize_lang_value)

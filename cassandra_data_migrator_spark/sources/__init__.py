@@ -1,0 +1,9 @@
+from cassandra_data_migrator_spark.sources.synthetic import (  # noqa: F401
+    gen_change_events,
+    gen_web_pages,
+)
+from cassandra_data_migrator_spark.sources.event_log import (  # noqa: F401
+    read_event_log,
+    read_event_stream,
+    write_event_log,
+)

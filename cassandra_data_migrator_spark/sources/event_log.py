@@ -1,0 +1,60 @@
+"""Change-event log on disk: batch + streaming readers, chunked writer.
+
+The on-disk event log plays the role of the reference's *origin
+cluster*: the reference scans it in token-range slices
+(``cql/statement/OriginSelectByPartitionRangeStatement.java:35-64``);
+we either read it whole (batch replay) or tail it with the Structured
+Streaming file source (CDC tail), with ``maxFilesPerTrigger`` as the
+trigger-size knob replacing the reference's per-worker rate limiter
+(``properties/KnownProperties.java:181-184``).
+
+The writer chunks the log into seq-ordered files with increasing
+mtimes so the file source discovers them in event order — a stand-in
+for a Kafka/binlog tail that keeps replays deterministic.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+EVENT_SCHEMA = T.StructType([
+    T.StructField("seq", T.LongType(), False),
+    T.StructField("op", T.StringType(), False),
+    T.StructField("url", T.StringType(), True),
+    T.StructField("warc_ts", T.TimestampType(), True),
+    T.StructField("html", T.BinaryType(), True),
+    T.StructField("lang", T.StringType(), True),
+])
+
+
+def write_event_log(events: DataFrame, path: str, n_chunks: int = 8) -> list[str]:
+    """Write the event log as ``n_chunks`` seq-range files in seq order."""
+    (events.repartitionByRange(n_chunks, F.col("seq"))
+           .write.mode("overwrite").parquet(path))
+    files = sorted(
+        fn for fn in os.listdir(path)
+        if fn.startswith("part-") and fn.endswith(".parquet")
+    )
+    # monotone mtimes (file-source discovery order == seq order)
+    base = time.time() - len(files)
+    for i, fn in enumerate(files):
+        os.utime(os.path.join(path, fn), (base + i, base + i))
+    return [os.path.join(path, fn) for fn in files]
+
+
+def read_event_log(spark: SparkSession, path: str) -> DataFrame:
+    return spark.read.schema(EVENT_SCHEMA).parquet(path)
+
+
+def read_event_stream(spark: SparkSession, path: str,
+                      max_files_per_trigger: int = 2) -> DataFrame:
+    return (
+        spark.readStream.schema(EVENT_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(path)
+    )

@@ -1,0 +1,197 @@
+"""LakeTable: commits, bucket pruning, LWW merge, tombstones, epoch fence,
+schema evolution. Mirrors the reference SIT smoke suite semantics
+(SIT/smoke/01_basic_kvp, 03_ttl_writetime) on the web_pages shape."""
+
+from __future__ import annotations
+
+import datetime as dt
+import os
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from cassandra_data_migrator_spark.config import EngineConfig
+from cassandra_data_migrator_spark.lake import LakeTable
+
+UTC = dt.timezone.utc
+
+WEB_SCHEMA = T.StructType([
+    T.StructField("url", T.StringType(), False),
+    T.StructField("warc_ts", T.TimestampType(), False),
+    T.StructField("html", T.BinaryType(), True),
+    T.StructField("text", T.StringType(), True),
+    T.StructField("lang", T.StringType(), True),
+])
+
+
+def ts(s: int) -> dt.datetime:
+    return dt.datetime(2024, 1, 1, tzinfo=UTC) + dt.timedelta(seconds=s)
+
+
+def mk_events(spark, rows):
+    """rows: (seq, op, url, ts_s, text?)"""
+    data = [
+        (seq, op, url, ts(t),
+         (f"<p>{body}</p>".encode() if body is not None else None),
+         body, "en" if body is not None else None)
+        for (seq, op, url, t, body) in rows
+    ]
+    schema = T.StructType([
+        T.StructField("seq", T.LongType(), False),
+        T.StructField("op", T.StringType(), False),
+        T.StructField("url", T.StringType(), True),
+        T.StructField("warc_ts", T.TimestampType(), True),
+        T.StructField("html", T.BinaryType(), True),
+        T.StructField("text", T.StringType(), True),
+        T.StructField("lang", T.StringType(), True),
+    ])
+    return spark.createDataFrame(data, schema)
+
+
+@pytest.fixture()
+def table(spark, tmpdir_path):
+    return LakeTable.create(
+        spark, os.path.join(tmpdir_path, "t"), WEB_SCHEMA,
+        EngineConfig(n_buckets=8),
+    )
+
+
+def final_state(table):
+    return {
+        r["url"]: (r["warc_ts"], r["text"])
+        for r in table.read().collect()
+    }
+
+
+def test_create_and_empty_read(table):
+    assert table.version == 1
+    assert table.read().count() == 0
+    assert table.schema().fieldNames() == ["url", "warc_ts", "html", "text", "lang"]
+
+
+def test_basic_upsert_and_lww(spark, table):
+    # insert two pages, then a newer update for one, an older (late) for other
+    r1 = table.merge_batch(mk_events(spark, [
+        (1, "insert", "https://a/1", 100, "v1"),
+        (2, "insert", "https://b/2", 100, "w1"),
+    ]))
+    assert not r1.skipped and r1.counters["events"] == 2
+    table.merge_batch(mk_events(spark, [
+        (3, "update", "https://a/1", 200, "v2"),   # newer → wins
+        (4, "update", "https://b/2", 50, "wLATE"),  # older → loses
+    ]))
+    st = final_state(table)
+    assert st["https://a/1"][1] == "v2"
+    assert st["https://b/2"][1] == "w1"
+
+
+def test_delete_tombstone_and_late_update(spark, table):
+    table.merge_batch(mk_events(spark, [(1, "insert", "u", 100, "v1")]))
+    table.merge_batch(mk_events(spark, [(2, "delete", "u", 300, None)]))
+    assert final_state(table) == {}
+    # late update older than the delete → still deleted
+    table.merge_batch(mk_events(spark, [(3, "update", "u", 200, "late")]))
+    assert final_state(table) == {}
+    # re-insert newer than the delete → resurrects
+    table.merge_batch(mk_events(spark, [(4, "insert", "u", 400, "back")]))
+    assert final_state(table)["u"][1] == "back"
+
+
+def test_duplicate_event_idempotent(spark, table):
+    ev = mk_events(spark, [(1, "insert", "u", 100, "v1")])
+    table.merge_batch(ev)
+    v = table.version
+    cs1 = {r["bucket"]: (r["row_count"], r["checksum"])
+           for r in table.checksums().collect()}
+    table.merge_batch(ev)  # exact duplicate (same seq/ts) → content unchanged
+    cs2 = {r["bucket"]: (r["row_count"], r["checksum"])
+           for r in table.checksums().collect()}
+    assert cs1 == cs2
+    assert table.version == v + 1  # a commit happened, but state identical
+
+
+def test_same_ts_higher_seq_wins(spark, table):
+    table.merge_batch(mk_events(spark, [(1, "insert", "u", 100, "a")]))
+    table.merge_batch(mk_events(spark, [(2, "update", "u", 100, "b")]))
+    assert final_state(table)["u"][1] == "b"
+    table.merge_batch(mk_events(spark, [(0, "update", "u", 100, "z")]))
+    assert final_state(table)["u"][1] == "b"  # lower seq, same ts → loses
+
+
+def test_epoch_fence_exactly_once(spark, table):
+    ev1 = mk_events(spark, [(1, "insert", "u", 100, "v1")])
+    ev2 = mk_events(spark, [(2, "update", "u", 200, "v2")])
+    r1 = table.merge_batch(ev1, stream_id="s", epoch_id=0)
+    assert not r1.skipped
+    r2 = table.merge_batch(ev2, stream_id="s", epoch_id=1)
+    assert not r2.skipped
+    # replay of epoch 0 after 1 → fenced no-op
+    r3 = table.merge_batch(ev1, stream_id="s", epoch_id=0)
+    assert r3.skipped
+    assert final_state(table)["u"][1] == "v2"
+
+
+def test_bucket_pruning_only_touched_rewritten(spark, table):
+    table.merge_batch(mk_events(
+        spark, [(i, "insert", f"https://x/{i}", 100, f"v{i}") for i in range(50)]
+    ))
+    before = {b: [e["path"] for e in es] for b, es in table.manifest["files"].items()}
+    r = table.merge_batch(mk_events(spark, [(100, "update", "https://x/7", 999, "new")]))
+    assert len(r.touched_buckets) == 1
+    after = {b: [e["path"] for e in es] for b, es in table.manifest["files"].items()}
+    changed = [b for b in before if before[b] != after.get(b)]
+    assert changed == [str(r.touched_buckets[0])]
+
+
+def test_unset_nulls_semantics(spark, table):
+    table.merge_batch(mk_events(spark, [(1, "insert", "u", 100, "orig")]))
+    # update with null text/html → preserves old value under unset_nulls
+    ev = spark.createDataFrame(
+        [(2, "update", "u", ts(200), None, None, "fr")],
+        mk_events(spark, []).schema,
+    )
+    table.merge_batch(ev, unset_nulls=True)
+    row = table.read().collect()[0]
+    assert row["text"] == "orig" and row["lang"] == "fr"
+    assert row["warc_ts"] == ts(200).replace(tzinfo=None)
+    # ...but a delete resets state: no resurrection
+    table.merge_batch(mk_events(spark, [(3, "delete", "u", 300, None)]))
+    ev2 = spark.createDataFrame(
+        [(4, "insert", "u", ts(400), None, None, "de")],
+        mk_events(spark, []).schema,
+    )
+    table.merge_batch(ev2, unset_nulls=True)
+    row = table.read().collect()[0]
+    assert row["text"] is None and row["lang"] == "de"
+
+
+def test_schema_evolution_add_and_rename(spark, table):
+    table.merge_batch(mk_events(spark, [(1, "insert", "u", 100, "v1")]))
+    table.add_column("fetch_status", "int")
+    assert table.read().collect()[0]["fetch_status"] is None
+    table.rename_column("lang", "language")
+    row = table.read().collect()[0]
+    assert row["language"] == "en"
+    # merge an event carrying the new column names
+    ev = spark.createDataFrame(
+        [(2, "update", "u", ts(200), b"<p>v2</p>", "v2", "de", 200)],
+        T.StructType(list(mk_events(spark, []).schema.fields)
+                     + [T.StructField("fetch_status", T.IntegerType())]),
+    ).withColumnRenamed("lang", "language")
+    table.merge_batch(ev)
+    row = table.read().collect()[0]
+    assert row["text"] == "v2" and row["fetch_status"] == 200 \
+        and row["language"] == "de"
+
+
+def test_overwrite_bootstrap(spark, table):
+    pages = spark.createDataFrame(
+        [("u1", ts(1), b"<p>a</p>", "a", "en"),
+         ("u2", ts(2), b"<p>b</p>", "b", "de")],
+        WEB_SCHEMA,
+    )
+    table.overwrite(pages)
+    assert sorted(final_state(table)) == ["u1", "u2"]
+    cs = table.checksums().collect()
+    assert sum(r["row_count"] for r in cs) == 2
