@@ -319,6 +319,7 @@ class LakeTable:
         stream_id: str | None = None,
         epoch_id: int | None = None,
         unset_nulls: bool = False,
+        force_overwrite: bool = False,
     ) -> MergeResult:
         """Copy-on-write LWW MERGE of a change batch into the table.
 
@@ -375,7 +376,15 @@ class LakeTable:
             return MergeResult(epoch_key=epoch_key, skipped=False, version=self.version)
 
         target = self.read(buckets=touched, include_deleted=True,
-                           include_internal=True).withColumn("_is_src", F.lit(0))
+                           include_internal=True)
+        if force_overwrite:
+            # autocorrect mode: the source IS the truth for its keys — the
+            # stored row is dropped regardless of LWW order (reference
+            # re-upsert, DiffJobSession.java:255-258)
+            target = target.join(
+                src.select(self.key_col).distinct(), self.key_col, "left_anti"
+            )
+        target = target.withColumn("_is_src", F.lit(0))
         src = src.withColumn("_is_src", F.lit(1))
         unioned = target.select(src.columns).unionByName(src)
 

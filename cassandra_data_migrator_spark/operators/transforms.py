@@ -1,0 +1,122 @@
+"""Projection / per-row transform operators (reference §2.4 T1-T9).
+
+Every reference "feature" that rewrites rows on the copy path maps to a
+built-in Catalyst expression here — no UDFs, so the whole transform
+stage stays inside whole-stage codegen. Reference features live under
+``src/main/java/com/datastax/cdm/feature/``.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Mapping, Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def rename_columns(df: DataFrame, mapping: Mapping[str, str]) -> DataFrame:
+    """Origin→target column-name map (T1).
+
+    Reference: corresponding-index rename map built from
+    ``spark.cdm.schema.origin.column.names.to.target``
+    (``data/DataUtility.java:71-140``; ``schema/CqlTable.java:408-428``).
+    """
+    return df.withColumnsRenamed(dict(mapping))
+
+
+def cast_columns(df: DataFrame, casts: Mapping[str, str]) -> DataFrame:
+    """Type-cast transform (T2): ``{col: type_ddl}``.
+
+    Replaces the reference's codec engine for primitive↔primitive
+    conversions (``data/CqlConversion.java:262-288``,
+    ``cql/codec/CodecFactory.java:29-64``) with Catalyst ``cast``.
+    """
+    return df.withColumns({c: F.col(c).cast(t) for c, t in casts.items()})
+
+
+def parse_timestamp(df: DataFrame, col: str, fmt: str,
+                    out: str | None = None) -> DataFrame:
+    """String→timestamp with an explicit pattern (T2, codec
+    ``TIMESTAMP_StringFormatCodec.java:33-47`` — e.g. 'yyMMddHHmmss')."""
+    return df.withColumn(out or col, F.to_timestamp(F.col(col), fmt))
+
+
+def format_timestamp(df: DataFrame, col: str, fmt: str,
+                     out: str | None = None) -> DataFrame:
+    """Timestamp→string (the codec's encode direction)."""
+    return df.withColumn(out or col, F.date_format(F.col(col), fmt))
+
+
+def constant_columns(df: DataFrame,
+                     constants: Mapping[str, tuple[Any, str]]) -> DataFrame:
+    """Add literal-valued target columns (T3): ``{name: (value, type_ddl)}``.
+
+    Reference: ``feature/ConstantColumns.java:32-148`` (values may even be
+    part of the target PK — here they can join the key expression freely).
+    """
+    return df.withColumns(
+        {name: F.lit(v).cast(t) for name, (v, t) in constants.items()}
+    )
+
+
+def explode_map(df: DataFrame, map_col: str, key_name: str, value_name: str,
+                drop_map: bool = True) -> DataFrame:
+    """Fan out one row per map entry (T4) — the reference's single
+    row-multiplying operator (``feature/ExplodeMap.java:181-201``;
+    fan-out ``data/PKFactory.java:235-248``). SIT/features/02_explode_map:
+    3 origin rows × 4 entries → 12 target rows."""
+    out = df.select(
+        "*", F.explode(F.col(map_col)).alias(key_name, value_name)
+    )
+    return out.drop(map_col) if drop_map else out
+
+
+def extract_json(df: DataFrame, json_col: str, json_path: str, out_col: str,
+                 overwrite: bool = True) -> DataFrame:
+    """Pluck one property from a JSON text column (T5).
+
+    Reference: ``feature/ExtractJson.java:132-138``; the
+    ``overwrite=False`` variant keeps an existing target value and only
+    fills nulls (``DiffJobSession.java:265-270`` skip semantics).
+    """
+    extracted = F.get_json_object(F.col(json_col), json_path)
+    if not overwrite and out_col in df.columns:
+        extracted = F.coalesce(F.col(out_col), extracted)
+    return df.withColumn(out_col, extracted)
+
+
+def row_writetime(cols: Sequence[str], increment: int = 0) -> Column:
+    """Row-level writetime = max over eligible columns (+ optional
+    increment) — T6/A1 (``feature/WritetimeTTL.java:235-258``; the
+    increment is the duplicate-timestamp mitigation at :167-172)."""
+    m = F.greatest(*[F.col(c) for c in cols]) if len(cols) > 1 \
+        else F.col(cols[0])
+    if increment:
+        m = m + F.expr(f"INTERVAL {increment} MILLISECOND")
+    return m
+
+
+def map_null_scrub(df: DataFrame, map_col: str) -> DataFrame:
+    """Drop map entries whose value is null (T8,
+    ``schema/CqlTable.java:348-350,369-373``)."""
+    return df.withColumn(
+        map_col, F.map_filter(F.col(map_col), lambda _k, v: v.isNotNull())
+    )
+
+
+def coalesce_unset_nulls(src: DataFrame, existing: DataFrame,
+                         key_cols: Sequence[str],
+                         data_cols: Sequence[str]) -> DataFrame:
+    """Standalone UNSET-null projection (T9): null source fields take the
+    existing target value instead of overwriting
+    (``cql/statement/TargetInsertStatement.java:82-85``; README.md:181).
+    The merge path implements this inline (``LakeTable.merge_batch``
+    ``unset_nulls=True``); this variant serves plain batch copies."""
+    keys = list(key_cols)
+    ex = existing.select(
+        *keys, *[F.col(c).alias(f"_ex_{c}") for c in data_cols])
+    j = src.join(ex, on=keys, how="left")
+    out = j.withColumns(
+        {c: F.coalesce(F.col(c), F.col(f"_ex_{c}")) for c in data_cols}
+    )
+    return out.drop(*[f"_ex_{c}" for c in data_cols])

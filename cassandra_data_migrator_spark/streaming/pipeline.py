@@ -1,0 +1,190 @@
+"""The CDC pipeline: change-event stream → filters → transforms → MERGE.
+
+Reference lifecycle being reproduced (SURVEY.md §3.1): the Migrate job's
+per-token-range loop — scan, filter, transform, batched upsert, per-range
+run-state + counters (``job/CopyJobSession.java:68-139``) — becomes a
+Structured Streaming query:
+
+    readStream(event log) → foreachBatch:
+        split (valid / skipped / quarantined)        [F3-F5]
+        salted repartition (hot-domain skew)          [north_rule]
+        vectorized transforms (html→text, lang)       [pandas UDFs]
+        LakeTable.merge_batch (LWW + tombstones)      [S4/S5/J3]
+        lineage + counters append                     [S7/A2]
+
+Exactly-once: Spark's checkpoint gives at-least-once foreachBatch
+delivery; the lake table's epoch fence (``LakeTable.merge_batch``
+stream_id/epoch_id) turns redelivery into a no-op, and each merge is one
+atomic manifest commit — together: exactly-once table state. Replaying
+from ANY checkpoint (or from scratch) converges to the same final state
+because the merge is idempotent under LWW (reference rerun-idempotence
+claim, ``README.md:117-126``).
+
+Scale: the only per-epoch driver work is the bucket list and manifest
+write; all row work is distributed. Trigger size (maxFilesPerTrigger)
+replaces the reference's per-worker rate limiter
+(``properties/KnownProperties.java:181-184``).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+from cassandra_data_migrator_spark.config import EngineConfig
+from cassandra_data_migrator_spark.functions.hashing import salted_partition_exprs
+from cassandra_data_migrator_spark.functions.udfs import extract_text, normalize_lang
+from cassandra_data_migrator_spark.lake.table import LakeTable, MergeResult
+from cassandra_data_migrator_spark.operators.filters import split_events
+from cassandra_data_migrator_spark.sources.event_log import read_event_stream
+
+LINEAGE_SCHEMA = (
+    "epoch_id long, bucket int, live_rows long, rows_with_tombstones long, "
+    "checksum decimal(38,0), min_seq long, max_seq long, events long, "
+    "version int, stream_id string"
+)
+COUNTERS_SCHEMA = (
+    "epoch_id long, read long, valid long, skipped long, quarantined long, "
+    "events_applied long, buckets int, stream_id string"
+)
+
+
+class CdcPipeline:
+    """Applies a change-event stream/log to a LakeTable."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        table: LakeTable,
+        config: EngineConfig | None = None,
+        stream_id: str = "cdc",
+        unset_nulls: bool = False,
+        transform: Callable[[DataFrame], DataFrame] | None = None,
+        salt_transform_stage: bool = True,
+    ):
+        self.spark = spark
+        self.table = table
+        self.config = config or EngineConfig(n_buckets=table.n_buckets)
+        self.stream_id = stream_id
+        self.unset_nulls = unset_nulls
+        self.transform = transform
+        self.salt_transform_stage = salt_transform_stage
+        # run-details side tables (reference cdm_run_details analog,
+        # cql/statement/TargetUpsertRunDetailsStatement.java:63-84)
+        self.lineage_path = os.path.join(table.path, "_run", "lineage")
+        self.counters_path = os.path.join(table.path, "_run", "counters")
+        self.skipped_path = os.path.join(table.path, "_run", "skipped")
+        self.quarantine_path = os.path.join(table.path, "_run", "quarantine")
+
+    # ------------------------------------------------------------ core
+
+    def _prepare(self, events: DataFrame) -> tuple[DataFrame, int, int]:
+        """Filters + vectorized transforms; returns (batch, n_skip, n_quar)."""
+        valid, skipped, quarantined = split_events(events, self.config)
+
+        n_skip = self._side_sink(skipped, self.skipped_path)
+        n_quar = self._side_sink(quarantined, self.quarantine_path)
+
+        batch = valid
+        if self.salt_transform_stage:
+            # break hot-domain skew BEFORE the expensive Python UDF stage:
+            # rows are independent here, so a salted repartition levels
+            # Arrow batch work across tasks even if one domain dominates
+            batch = batch.repartition(
+                *salted_partition_exprs(self.config.key_col,
+                                        self.config.n_buckets,
+                                        self.config.salt_buckets)
+            )
+        if "html" in batch.columns and "text" not in batch.columns:
+            batch = batch.withColumn("text", extract_text(F.col("html")))
+        if "lang" in batch.columns:
+            batch = batch.withColumn("lang", normalize_lang(F.col("lang")))
+        if self.transform is not None:
+            batch = self.transform(batch)
+        return batch, n_skip, n_quar
+
+    def _side_sink(self, df: DataFrame, path: str) -> int:
+        # cheap emptiness probe first — the common case writes nothing
+        first = df.take(1)
+        if not first:
+            return 0
+        df.write.mode("append").parquet(path)
+        return -1  # count folded into counters later (avoid double action)
+
+    def apply_batch(self, events: DataFrame, epoch_id: int) -> MergeResult:
+        """One micro-batch: the foreachBatch body (also callable directly
+        for batch replays)."""
+        batch, n_skip, n_quar = self._prepare(events)
+        result = self.table.merge_batch(
+            batch,
+            stream_id=self.stream_id,
+            epoch_id=epoch_id,
+            unset_nulls=self.unset_nulls,
+        )
+        if not result.skipped:
+            self._record(result, epoch_id, n_skip, n_quar)
+        return result
+
+    def _record(self, result: MergeResult, epoch_id: int,
+                n_skip: int, n_quar: int) -> None:
+        from decimal import Decimal
+
+        rows = [
+            (epoch_id, r["_bucket"], r["live_rows"], r["rows_with_tombstones"],
+             Decimal(r["checksum"]) if r["checksum"] is not None else None,
+             r.get("min_seq"), r.get("max_seq"),
+             r.get("events"), result.version, self.stream_id)
+            for r in result.lineage
+        ]
+        if rows:
+            self.spark.createDataFrame(rows, LINEAGE_SCHEMA) \
+                .coalesce(1).write.mode("append").parquet(self.lineage_path)
+        c = result.counters or {}
+        crow = [(epoch_id,
+                 (c.get("events", 0)) + max(n_skip, 0) + max(n_quar, 0),
+                 c.get("events", 0), max(n_skip, 0), max(n_quar, 0),
+                 c.get("events", 0), c.get("buckets", 0), self.stream_id)]
+        self.spark.createDataFrame(crow, COUNTERS_SCHEMA) \
+            .coalesce(1).write.mode("append").parquet(self.counters_path)
+
+    # ------------------------------------------------------- entrypoints
+
+    def run_batch(self, events: DataFrame, epoch_id: int = 0) -> MergeResult:
+        """One-shot batch replay (reference Migrate over a static origin)."""
+        return self.apply_batch(events, epoch_id)
+
+    def run_stream(
+        self,
+        log_path: str,
+        checkpoint_dir: str,
+        max_files_per_trigger: int | None = None,
+        available_now: bool = True,
+    ) -> StreamingQuery:
+        """Tail the event log; exactly-once via checkpoint + epoch fence.
+
+        ``available_now=True`` drains everything currently in the log and
+        stops (deterministic for tests/bench); ``False`` keeps tailing.
+        """
+        mft = max_files_per_trigger or self.config.max_files_per_trigger
+        stream = read_event_stream(self.spark, log_path, mft)
+        writer = (
+            stream.writeStream
+            .foreachBatch(lambda df, eid: self.apply_batch(df, eid))
+            .option("checkpointLocation", checkpoint_dir)
+            .queryName(self.stream_id)
+        )
+        if available_now:
+            writer = writer.trigger(availableNow=True)
+        return writer.start()
+
+    # --------------------------------------------------------- queries
+
+    def lineage(self) -> DataFrame:
+        return self.spark.read.schema(LINEAGE_SCHEMA).parquet(self.lineage_path)
+
+    def counters(self) -> DataFrame:
+        return self.spark.read.schema(COUNTERS_SCHEMA).parquet(self.counters_path)
