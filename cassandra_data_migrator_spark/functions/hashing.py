@@ -53,6 +53,28 @@ def checksum_agg_expr(*cols: str | Column) -> Column:
     return F.sum(row_checksum_expr(*cols).cast("decimal(38,0)"))
 
 
+def md5_int48_expr(col: str | Column, salt: int | None = None) -> Column:
+    """Portable 48-bit integer hash: first 12 hex chars of md5 as a long.
+
+    Identical value is computable in DuckDB as
+    ``CAST(('0x' || substr(md5(x), 1, 12)) AS BIGINT)`` — used wherever an
+    oracle-checkable hash is needed (minhash, simhash, fingerprints).
+    xxhash64 stays the engine-internal hash (faster, 64-bit) where no
+    cross-engine parity is required.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    x = c.cast("string") if salt is None else F.concat(
+        c.cast("string"), F.lit(f"#{salt}"))
+    return F.conv(F.substring(F.md5(x), 1, 12), 16, 10).cast("long")
+
+
+def md5_int48_sql(expr: str, salt: int | None = None) -> str:
+    """DuckDB rendering of :func:`md5_int48_expr` for oracle queries."""
+    x = f"CAST({expr} AS VARCHAR)" if salt is None else \
+        f"(CAST({expr} AS VARCHAR) || '#{salt}')"
+    return f"CAST(('0x' || substr(md5({x}), 1, 12)) AS BIGINT)"
+
+
 def salted_partition_exprs(
     key_col: str, n_buckets: int, salt_buckets: int
 ) -> list[Column]:

@@ -1,0 +1,229 @@
+"""Deduplication operator family for training-data pipelines.
+
+Beyond the reference's scope (CDM's only dedup is LWW by writetime),
+these are the standard web-corpus dedup operators, built Spark-first:
+
+- exact:   hash-groupBy on content (one shuffle, map-side partial agg)
+- minhash: shingle → k min-hashes → LSH bands → bucket-join candidates
+           → exact-Jaccard verify (no O(n²) pair scan)
+- simhash: bitwise-majority fingerprint → hamming buckets
+- n-gram Jaccard: exact set-overlap via token inverted index (join on
+  token, never a cross join)
+
+All hashes use the portable md5-derived 48-bit integers
+(:func:`~cassandra_data_migrator_spark.functions.hashing.md5_int48_expr`)
+so every step is DuckDB-oracle-checkable.
+
+Scale notes: each stage is a single groupBy/join shuffle keyed on
+content-derived values (uniformly distributed — no skew); LSH keeps
+candidate generation linear-ish in corpus size. At 100 TB the
+inverted-index joins benefit from AQE skew handling on stop-shingles;
+``min_token_len``/distinct-shingling bounds index fan-out.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from cassandra_data_migrator_spark.functions.hashing import md5_int48_expr
+
+
+def tokens_expr(text_col: str, lowercase: bool = True):
+    """Whitespace tokens, empties removed (portable: DuckDB
+    ``list_filter(string_split(...), x -> x <> '')``)."""
+    c = F.col(text_col)
+    if lowercase:
+        c = F.lower(c)
+    return F.filter(F.split(c, " "), lambda x: x != "")
+
+
+def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Exact dedup: one representative (min id) per distinct content.
+
+    Returns ``(<id_col>, dup_count)`` — the kept representative per
+    content group and how many rows share that content. Single shuffle
+    on the content hash with map-side combine.
+    """
+    return (
+        df.groupBy(F.md5(F.col(text_col)).alias("_content_hash"))
+        .agg(F.min(id_col).alias(id_col), F.count("*").alias("dup_count"))
+        .drop("_content_hash")
+    )
+
+
+def shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
+    """Distinct word n-gram shingles per document: ``(id, shingle)``.
+
+    Built with a transform over the token array (JVM-side), then
+    exploded — no Python in the loop.
+    """
+    toks = tokens_expr(text_col)
+    if n == 1:
+        sh = F.array_distinct(toks)
+    else:
+        # shingle i = tokens[i..i+n-1] joined by ' '
+        idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
+        sh = F.when(
+            F.size(toks) >= n,
+            F.array_distinct(
+                F.transform(idx, lambda i: F.concat_ws(
+                    " ", F.slice(toks, i + 1, n)))
+            ),
+        ).otherwise(F.array(F.concat_ws(" ", toks)))
+    return df.select(F.col(id_col), F.explode(sh).alias("shingle"))
+
+
+def minhash_signatures(
+    df: DataFrame, id_col: str, text_col: str,
+    num_hashes: int = 8, shingle_n: int = 1,
+) -> DataFrame:
+    """k-minhash signature per document: ``(id, sig_0..sig_{k-1})``.
+
+    sig_i = min over shingles of md5_int48(shingle # i). One explode +
+    one groupBy (map-side partial min) — the classic scalable shape.
+    """
+    sh = shingles(df, id_col, text_col, n=shingle_n)
+    aggs = [
+        F.min(md5_int48_expr(F.col("shingle"), salt=i)).alias(f"sig_{i}")
+        for i in range(num_hashes)
+    ]
+    return sh.groupBy(id_col).agg(*aggs)
+
+
+def lsh_candidate_pairs(
+    sig_df: DataFrame, id_col: str,
+    num_hashes: int = 8, band_size: int = 2,
+) -> DataFrame:
+    """LSH banding: pairs sharing ≥1 band: ``(id_a, id_b)`` with a<b.
+
+    Bands are exploded to ``(band_key, id)`` and self-joined per key —
+    candidate generation without any all-pairs scan.
+    """
+    n_bands = num_hashes // band_size
+    bands = F.array(*[
+        F.concat_ws("_", F.lit(b), *[
+            F.col(f"sig_{b * band_size + j}").cast("string")
+            for j in range(band_size)
+        ])
+        for b in range(n_bands)
+    ])
+    melted = sig_df.select(F.col(id_col), F.explode(bands).alias("band_key"))
+    a = melted.alias("a")
+    b = melted.alias("b")
+    return (
+        a.join(b, on="band_key")
+        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(F.col(f"a.{id_col}").alias("id_a"),
+                F.col(f"b.{id_col}").alias("id_b"))
+        .distinct()
+    )
+
+
+def jaccard_pairs(
+    df: DataFrame, id_col: str, text_col: str,
+    shingle_n: int = 1, candidates: DataFrame | None = None,
+) -> DataFrame:
+    """Exact Jaccard similarity per document pair via inverted index.
+
+    ``(id_a, id_b, inter_size, size_a, size_b, jaccard)``; restricted to
+    ``candidates`` when given (the LSH output), else all pairs sharing
+    ≥1 shingle. Joins only on shingle/id keys — no cross join.
+    """
+    sh = shingles(df, id_col, text_col, n=shingle_n)
+    sizes = sh.groupBy(id_col).agg(F.count("*").alias("sz"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, on="shingle")
+        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .groupBy(F.col(f"a.{id_col}").alias("id_a"),
+                 F.col(f"b.{id_col}").alias("id_b"))
+        .agg(F.count("*").alias("inter_size"))
+    )
+    if candidates is not None:
+        inter = inter.join(candidates, on=["id_a", "id_b"], how="left_semi")
+    out = (
+        inter
+        .join(sizes.withColumnsRenamed({id_col: "id_a", "sz": "size_a"}), "id_a")
+        .join(sizes.withColumnsRenamed({id_col: "id_b", "sz": "size_b"}), "id_b")
+        .withColumn(
+            "jaccard",
+            F.col("inter_size").cast("double")
+            / (F.col("size_a") + F.col("size_b") - F.col("inter_size")),
+        )
+    )
+    return out.select("id_a", "id_b", "inter_size", "size_a", "size_b", "jaccard")
+
+
+def minhash_dedup_pairs(
+    df: DataFrame, id_col: str, text_col: str,
+    num_hashes: int = 8, band_size: int = 2,
+    shingle_n: int = 1, threshold: float = 0.8,
+) -> DataFrame:
+    """Full MinHash-LSH near-dup chain: signatures → bands → candidates
+    → exact-Jaccard verify ≥ threshold. Returns verified near-dup pairs."""
+    sigs = minhash_signatures(df, id_col, text_col, num_hashes, shingle_n)
+    cand = lsh_candidate_pairs(sigs, id_col, num_hashes, band_size)
+    pairs = jaccard_pairs(df, id_col, text_col, shingle_n, candidates=cand)
+    return pairs.filter(F.col("jaccard") >= threshold)
+
+
+def simhash(df: DataFrame, id_col: str, text_col: str,
+            bits: int = 16) -> DataFrame:
+    """SimHash fingerprint: per-bit majority vote over token hashes.
+
+    ``(id, simhash)`` where bit j is set iff more token hashes have bit
+    j set than not. explode → single groupBy with ``bits`` conditional
+    sums (all JVM-side).
+    """
+    toks = df.select(
+        F.col(id_col),
+        F.explode(F.array_distinct(tokens_expr(text_col))).alias("tok"),
+    ).withColumn("h", md5_int48_expr(F.col("tok")))
+    aggs = [
+        F.sum(
+            (F.shiftright(F.col("h"), j).bitwiseAND(F.lit(1)) * 2 - 1)
+        ).alias(f"b{j}")
+        for j in range(bits)
+    ]
+    per_doc = toks.groupBy(id_col).agg(*aggs)
+    fp = None
+    for j in range(bits):
+        term = F.when(F.col(f"b{j}") > 0, F.lit(1 << j)).otherwise(F.lit(0))
+        fp = term if fp is None else fp + term
+    return per_doc.select(F.col(id_col), fp.cast("long").alias("simhash"))
+
+
+def simhash_dup_pairs(df: DataFrame, id_col: str, text_col: str,
+                      bits: int = 16, max_hamming: int = 2) -> DataFrame:
+    """Near-dup pairs by simhash hamming distance ≤ max_hamming.
+
+    Candidate generation by half-fingerprint buckets (any pair within
+    hamming ≤ bits/2 shares a half), then exact bit_count verify.
+    """
+    fps = simhash(df, id_col, text_col, bits)
+    half = bits // 2
+    lo = F.col("simhash").bitwiseAND(F.lit((1 << half) - 1))
+    hi = F.shiftright(F.col("simhash"), half)
+    melted = fps.select(
+        F.col(id_col), F.col("simhash"),
+        F.explode(F.array(F.concat_ws(":", F.lit("l"), lo.cast("string")),
+                          F.concat_ws(":", F.lit("h"), hi.cast("string"))))
+         .alias("bucket"),
+    )
+    a = melted.alias("a")
+    b = melted.alias("b")
+    pairs = (
+        a.join(b, on="bucket")
+        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(F.col(f"a.{id_col}").alias("id_a"),
+                F.col(f"b.{id_col}").alias("id_b"),
+                F.col("a.simhash").alias("sh_a"),
+                F.col("b.simhash").alias("sh_b"))
+        .distinct()
+        .withColumn("hamming",
+                    F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))))
+        .filter(F.col("hamming") <= max_hamming)
+    )
+    return pairs.select("id_a", "id_b", "hamming")

@@ -1,0 +1,175 @@
+"""Similarity search over embedding columns (``array<float>``).
+
+Two paths, per the standard scale trade-off:
+
+- ``cosine_pairs`` / ``cosine_topk`` — brute force: broadcast the
+  (small) query set against the corpus; exact, the correctness
+  baseline. At 100 TB this is the per-batch path for small query sets
+  (the broadcast join means NO shuffle of the big side).
+- ``lsh_ann_topk`` — random-hyperplane LSH bucketing: corpus and
+  queries are bucketed by sign-pattern; candidates join per bucket
+  (multi-probe over single-bit flips), then exact re-rank. The scale
+  path: candidate generation is a bucket equi-join instead of a cross
+  product.
+
+Dot products use ``F.zip_with`` + ``F.aggregate`` — whole-stage-codegen
+JVM arithmetic, no Python. The LSH plane matrix is derived
+deterministically from md5 so replays are stable.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def dot_expr(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def norm_expr(a: Column) -> Column:
+    return F.sqrt(dot_expr(a, a))
+
+
+def cosine_expr(a: Column, b: Column) -> Column:
+    return dot_expr(a, b) / (norm_expr(a) * norm_expr(b))
+
+
+def cosine_pairs(
+    corpus: DataFrame, queries: DataFrame,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+    threshold: float = 0.8, round_digits: int | None = 4,
+) -> DataFrame:
+    """All (query, corpus) pairs with cosine ≥ threshold.
+
+    ``broadcast(queries)`` × corpus: the big side streams through a
+    broadcast-nested-loop with codegen'd arithmetic — no shuffle.
+    Returns ``(query_id, neighbor_id, cosine)`` excluding self-pairs.
+    """
+    q = queries.select(F.col(id_col).alias("query_id"),
+                       F.col(vec_col).alias("_qv"))
+    c = corpus.select(F.col(id_col).alias("neighbor_id"),
+                      F.col(vec_col).alias("_cv"))
+    cos = cosine_expr(F.col("_qv"), F.col("_cv"))
+    if round_digits is not None:
+        cos = F.round(cos, round_digits)
+    return (
+        c.crossJoin(F.broadcast(q))
+        .withColumn("cosine", cos)
+        .filter((F.col("cosine") >= threshold)
+                & (F.col("query_id") != F.col("neighbor_id")))
+        .select("query_id", "neighbor_id", "cosine")
+    )
+
+
+def cosine_topk(
+    corpus: DataFrame, queries: DataFrame, k: int = 10,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+    round_digits: int | None = 4,
+) -> DataFrame:
+    """Exact top-k neighbors per query (rank ties broken by neighbor id)."""
+    from pyspark.sql import Window
+
+    pairs = cosine_pairs(corpus, queries, id_col, vec_col,
+                         threshold=-2.0, round_digits=round_digits)
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc())
+    return (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def _plane_matrix(n_planes: int, dim: int, seed: int = 42) -> list[list[float]]:
+    """Deterministic pseudo-random hyperplanes in [-1, 1] from md5."""
+    planes = []
+    for p in range(n_planes):
+        row = []
+        for d in range(dim):
+            h = hashlib.md5(f"{seed}:{p}:{d}".encode()).hexdigest()
+            row.append((int(h[:12], 16) % 2001 - 1000) / 1000.0)
+        planes.append(row)
+    return planes
+
+
+def lsh_bucket_expr(vec_col: str, planes: list[list[float]]) -> Column:
+    """Sign-pattern bucket id of a vector under the given planes."""
+    bucket = F.lit(0)
+    for j, plane in enumerate(planes):
+        lits = F.array(*[F.lit(x) for x in plane])
+        d = dot_expr(F.col(vec_col), lits)
+        bucket = bucket + F.when(d >= 0, F.lit(1 << j)).otherwise(F.lit(0))
+    return bucket.cast("int")
+
+
+def lsh_ann_topk(
+    corpus: DataFrame, queries: DataFrame, k: int = 10,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+    n_planes: int = 6, n_tables: int = 4, seed: int = 42,
+    multiprobe: bool = True, round_digits: int | None = 4,
+) -> DataFrame:
+    """Approximate top-k: multi-table hyperplane LSH → candidate
+    equi-join → exact cosine re-rank.
+
+    Standard L-table LSH: each of ``n_tables`` independent plane sets
+    produces a bucket key ``(table, bits)``; a pair is a candidate if it
+    collides in ANY table, and ``multiprobe`` additionally probes every
+    single-bit-flip bucket per table. Recall/cost is tuned by
+    (n_planes, n_tables): more planes → smaller buckets (cheaper, lower
+    recall per table); more tables → recall back up. The candidate join
+    is an equi-join on the bucket key — the scale path that replaces the
+    brute-force cross product.
+    """
+    from pyspark.sql import Window
+
+    dim = len(corpus.select(vec_col).first()[0])
+
+    def bucket_for_table(t: int) -> Column:
+        planes = _plane_matrix(n_planes, dim, seed + 1000 * t)
+        return F.concat_ws(
+            ":", F.lit(t),
+            lsh_bucket_expr(vec_col, planes).cast("string"))
+
+    def bucket_probes_for_table(t: int) -> Column:
+        planes = _plane_matrix(n_planes, dim, seed + 1000 * t)
+        bits = lsh_bucket_expr(vec_col, planes)
+        variants = [bits] + (
+            [bits.bitwiseXOR(F.lit(1 << j)) for j in range(n_planes)]
+            if multiprobe else []
+        )
+        return F.array(*[
+            F.concat_ws(":", F.lit(t), v.cast("string")) for v in variants
+        ])
+
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv"),
+        F.explode(F.array(*[bucket_for_table(t) for t in range(n_tables)]))
+         .alias("bucket"),
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv"),
+        F.explode(F.flatten(F.array(
+            *[bucket_probes_for_table(t) for t in range(n_tables)]
+        ))).alias("bucket"),
+    )
+
+    cos = cosine_expr(F.col("_qv"), F.col("_cv"))
+    if round_digits is not None:
+        cos = F.round(cos, round_digits)
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc())
+    return (
+        c.join(F.broadcast(q), on="bucket")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cosine", cos)
+        .select("query_id", "neighbor_id", "cosine")
+        .distinct()   # a pair can collide in several tables/probes
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )

@@ -1,0 +1,74 @@
+"""Text analysis operators: language-ID, quality scoring, token counts,
+document fingerprinting. All built-in-function expressions (JVM-side,
+codegen) — no UDFs — and each is DuckDB-oracle-expressible.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from cassandra_data_migrator_spark.functions.hashing import md5_int48_expr
+from cassandra_data_migrator_spark.operators.dedup import tokens_expr
+
+# tiny deterministic stopword banks (heuristic langid, not a model)
+STOPWORDS = {
+    "en": ["the", "of", "and", "to", "in", "is", "that", "for"],
+    "de": ["der", "die", "und", "das", "ist", "nicht", "ein", "mit"],
+    "fr": ["le", "la", "et", "les", "des", "est", "une", "dans"],
+    "es": ["el", "la", "los", "que", "es", "una", "para", "con"],
+}
+_LANG_ORDER = ["en", "de", "fr", "es"]  # fixed tie-break priority
+
+
+def _stopword_hits(toks: Column, lang: str) -> Column:
+    return F.size(F.array_intersect(
+        toks, F.array(*[F.lit(w) for w in STOPWORDS[lang]])))
+
+
+def lang_id(df: DataFrame, text_col: str, out_col: str = "lang_pred") -> DataFrame:
+    """Heuristic language ID: most distinct stopword hits wins; ties go
+    to the fixed priority order en > de > fr > es; zero hits → 'und'."""
+    toks = F.array_distinct(tokens_expr(text_col))
+    scores = {lang: _stopword_hits(toks, lang) for lang in _LANG_ORDER}
+    best = F.lit("und")
+    best_score = F.lit(0)
+    for lang in reversed(_LANG_ORDER):   # earlier langs overwrite on >=
+        cond = scores[lang] >= F.greatest(best_score, F.lit(1))
+        best = F.when(cond, F.lit(lang)).otherwise(best)
+        best_score = F.when(cond, scores[lang]).otherwise(best_score)
+    return df.withColumn(out_col, best)
+
+
+def token_count(df: DataFrame, text_col: str,
+                out_col: str = "n_tokens") -> DataFrame:
+    """Whitespace token count (empties excluded)."""
+    return df.withColumn(out_col, F.size(tokens_expr(text_col)))
+
+
+def quality_score(df: DataFrame, text_col: str,
+                  out_col: str = "quality") -> DataFrame:
+    """Deterministic quality heuristic in [0,1]:
+
+    0.4·min(1, tokens/64) + 0.3·distinct-token ratio + 0.3·stopword
+    presence. Fixed expression tree (both engines evaluate IEEE doubles
+    in the same order) → oracle-exact.
+    """
+    toks = tokens_expr(text_col)
+    n = F.size(toks).cast("double")
+    n_distinct = F.size(F.array_distinct(toks)).cast("double")
+    sw = _stopword_hits(F.array_distinct(toks), "en").cast("double")
+    score = (
+        F.lit(0.4) * F.least(F.lit(1.0), n / F.lit(64.0))
+        + F.lit(0.3) * F.when(n > 0, n_distinct / n).otherwise(F.lit(0.0))
+        + F.lit(0.3) * F.least(F.lit(1.0), sw / F.lit(4.0))
+    )
+    return df.withColumn(out_col, F.round(score, 4))
+
+
+def doc_fingerprint(df: DataFrame, text_col: str,
+                    out_col: str = "fingerprint") -> DataFrame:
+    """Content fingerprint: md5-derived 48-bit int of the normalized
+    token stream (whitespace-insensitive, case-insensitive)."""
+    normalized = F.concat_ws(" ", tokens_expr(text_col))
+    return df.withColumn(out_col, md5_int48_expr(normalized))

@@ -1,0 +1,110 @@
+"""Training-data operators: dedup family, similarity search, text stats,
+multimodal plumbing — semantic property tests on driver testdata."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from cassandra_data_migrator_spark.operators import dedup as D
+from cassandra_data_migrator_spark.operators import similarity as S
+from cassandra_data_migrator_spark.operators import textstats as X
+from cassandra_data_migrator_spark.operators.multimodal import extract_media_meta
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF}/documents.parquet").cache()
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(f"{SF}/embeddings.parquet").cache()
+
+
+def test_exact_dedup_counts(spark, docs):
+    out = D.exact_dedup(docs, "doc_id", "text")
+    n_docs = docs.count()
+    n_distinct = docs.select("text").distinct().count()
+    assert out.count() == n_distinct
+    assert out.agg(F.sum("dup_count")).collect()[0][0] == n_docs
+
+
+def test_minhash_lsh_finds_true_near_dups(spark, docs):
+    """LSH candidates must contain every pair with jaccard >= 0.9
+    (8 hashes / band 2 → near-certain at 0.9) and the verify stage
+    must equal brute-force jaccard filtering."""
+    brute = D.jaccard_pairs(docs, "doc_id", "text").filter("jaccard >= 0.9")
+    brute_pairs = {(r["id_a"], r["id_b"]) for r in brute.collect()}
+    lsh = D.minhash_dedup_pairs(docs, "doc_id", "text", threshold=0.9)
+    lsh_pairs = {(r["id_a"], r["id_b"]) for r in lsh.collect()}
+    assert lsh_pairs <= brute_pairs  # verify stage guarantees precision
+    if brute_pairs:
+        recall = len(lsh_pairs & brute_pairs) / len(brute_pairs)
+        assert recall >= 0.8
+
+
+def test_simhash_identical_texts_collide(spark):
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma delta"), (2, "alpha beta gamma delta"),
+         (3, "totally different words entirely here")],
+        ["doc_id", "text"])
+    pairs = D.simhash_dup_pairs(df, "doc_id", "text", max_hamming=0)
+    got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    assert (1, 2) in got
+    assert not any(3 in p for p in got)
+
+
+def test_ann_lsh_recall_vs_brute_force(spark, emb):
+    queries = emb.filter(F.col("vec_id") < 10)
+    exact = S.cosine_topk(emb, queries, k=5)
+    approx = S.lsh_ann_topk(emb, queries, k=5, n_planes=6)
+    e = {(r["query_id"], r["neighbor_id"]) for r in exact.collect()}
+    a = {(r["query_id"], r["neighbor_id"]) for r in approx.collect()}
+    recall = len(e & a) / len(e)
+    assert recall >= 0.5, f"LSH recall too low: {recall}"
+
+
+def test_cosine_self_similarity(spark, emb):
+    one = emb.filter(F.col("vec_id") == 0)
+    got = S.cosine_pairs(emb, one, threshold=0.999) \
+        .filter(F.col("neighbor_id") == 0).count()
+    assert got == 0  # self-pairs excluded
+    sim = S.cosine_pairs(emb.withColumn("vec_id", F.col("vec_id") + 1000),
+                         one, threshold=0.999)
+    assert sim.filter(F.col("neighbor_id") == 1000).count() == 1
+
+
+def test_textstats_deterministic(spark, docs):
+    out1 = X.quality_score(X.token_count(X.lang_id(docs, "text"), "text"),
+                           "text").select("doc_id", "lang_pred", "n_tokens",
+                                          "quality")
+    out2 = X.quality_score(X.token_count(X.lang_id(docs, "text"), "text"),
+                           "text").select("doc_id", "lang_pred", "n_tokens",
+                                          "quality")
+    assert out1.exceptAll(out2).count() == 0
+    r = out1.first()
+    assert r["n_tokens"] > 0 and 0.0 <= r["quality"] <= 1.0
+
+
+def test_fingerprint_whitespace_insensitive(spark):
+    df = spark.createDataFrame(
+        [(1, "Hello  world"), (2, "hello world "), (3, "hello worlds")],
+        ["doc_id", "text"])
+    fp = {r["doc_id"]: r["fingerprint"]
+          for r in X.doc_fingerprint(df, "text").collect()}
+    assert fp[1] == fp[2] != fp[3]
+
+
+def test_multimodal_meta_plumbing(spark, docs):
+    payloads = docs.select("doc_id",
+                           F.encode(F.col("text"), "UTF-8").alias("payload"))
+    meta = extract_media_meta(payloads, "payload", "doc_id")
+    rows = meta.orderBy("doc_id").take(3)
+    assert rows[0]["byte_len"] > 0
+    assert len(rows[0]["sha256"]) == 64
+    assert rows[0]["format"] in ("jpeg", "png", "webp")
+    assert 64 <= rows[0]["width"] < 704
+    assert meta.count() == docs.count()
