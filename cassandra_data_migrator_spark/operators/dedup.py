@@ -199,18 +199,26 @@ def simhash_dup_pairs(df: DataFrame, id_col: str, text_col: str,
                       bits: int = 16, max_hamming: int = 2) -> DataFrame:
     """Near-dup pairs by simhash hamming distance ≤ max_hamming.
 
-    Candidate generation by half-fingerprint buckets (any pair within
-    hamming ≤ bits/2 shares a half), then exact bit_count verify.
+    Candidate generation splits the fingerprint into ``max_hamming + 1``
+    bit segments: by pigeonhole, any pair within hamming ≤ max_hamming
+    must agree on at least one whole segment, so segment-equality
+    buckets are a COMPLETE candidate set (no missed pairs). Exact
+    ``bit_count`` verify afterwards. Candidate volume is tuned by
+    ``bits`` (wider fingerprint → smaller buckets).
     """
     fps = simhash(df, id_col, text_col, bits)
-    half = bits // 2
-    lo = F.col("simhash").bitwiseAND(F.lit((1 << half) - 1))
-    hi = F.shiftright(F.col("simhash"), half)
+    n_seg = max_hamming + 1
+    seg_w = bits // n_seg  # last segment absorbs the remainder bits
+    seg_cols = []
+    for s in range(n_seg):
+        width = seg_w if s < n_seg - 1 else bits - seg_w * (n_seg - 1)
+        seg = F.shiftright(F.col("simhash"), s * seg_w) \
+               .bitwiseAND(F.lit((1 << width) - 1))
+        seg_cols.append(
+            F.concat_ws(":", F.lit(s), seg.cast("string")))
     melted = fps.select(
         F.col(id_col), F.col("simhash"),
-        F.explode(F.array(F.concat_ws(":", F.lit("l"), lo.cast("string")),
-                          F.concat_ws(":", F.lit("h"), hi.cast("string"))))
-         .alias("bucket"),
+        F.explode(F.array(*seg_cols)).alias("bucket"),
     )
     a = melted.alias("a")
     b = melted.alias("b")

@@ -53,8 +53,15 @@ def null_key_defaults(df: DataFrame, ts_col: str,
                       default: datetime) -> DataFrame:
     """Replace a null timestamp key part with a configured default so the
     row stays insertable (reference null-PK replacement,
-    ``schema/CqlTable.java:375-400``; SIT/regression/04_null_ts_in_pk)."""
-    return df.withColumn(ts_col, F.coalesce(F.col(ts_col), F.lit(default)))
+    ``schema/CqlTable.java:375-400``; SIT/regression/04_null_ts_in_pk).
+
+    The default literal is cast to the column's own type so
+    ``timestamp_ntz`` columns stay ntz (no session-timezone coupling).
+    """
+    dt = df.schema[ts_col].dataType
+    return df.withColumn(
+        ts_col, F.coalesce(F.col(ts_col), F.lit(default).cast(dt))
+    )
 
 
 def drop_skip_list(df: DataFrame, cols: Sequence[str]) -> DataFrame:
@@ -96,7 +103,7 @@ def split_events(
 
 
 def guardrail_check(
-    df: DataFrame, cols: Sequence[str], col_size_kb: int
+    df: DataFrame, cols: Sequence[str], col_size_kb: float
 ) -> DataFrame:
     """Flag rows where any column's encoded size exceeds the threshold.
 

@@ -47,12 +47,15 @@ def token_count(df: DataFrame, text_col: str,
 
 
 def quality_score(df: DataFrame, text_col: str,
-                  out_col: str = "quality") -> DataFrame:
+                  out_col: str = "quality",
+                  round_digits: int | None = 4) -> DataFrame:
     """Deterministic quality heuristic in [0,1]:
 
     0.4·min(1, tokens/64) + 0.3·distinct-token ratio + 0.3·stopword
     presence. Fixed expression tree (both engines evaluate IEEE doubles
-    in the same order) → oracle-exact.
+    in the same order) → oracle-exact. ``round_digits=None`` returns the
+    raw double (use ``floor(x*10^d + 0.5)`` when an exact cross-engine
+    integer is needed — ``round`` half-mode differs between engines).
     """
     toks = tokens_expr(text_col)
     n = F.size(toks).cast("double")
@@ -63,7 +66,9 @@ def quality_score(df: DataFrame, text_col: str,
         + F.lit(0.3) * F.when(n > 0, n_distinct / n).otherwise(F.lit(0.0))
         + F.lit(0.3) * F.least(F.lit(1.0), sw / F.lit(4.0))
     )
-    return df.withColumn(out_col, F.round(score, 4))
+    if round_digits is not None:
+        score = F.round(score, round_digits)
+    return df.withColumn(out_col, score)
 
 
 def doc_fingerprint(df: DataFrame, text_col: str,

@@ -32,9 +32,10 @@ EVENT_SCHEMA = T.StructType([
 ])
 
 
-def write_event_log(events: DataFrame, path: str, n_chunks: int = 8) -> list[str]:
+def write_event_log(events: DataFrame, path: str, n_chunks: int = 8,
+                    seq_col: str = "seq") -> list[str]:
     """Write the event log as ``n_chunks`` seq-range files in seq order."""
-    (events.repartitionByRange(n_chunks, F.col("seq"))
+    (events.repartitionByRange(n_chunks, F.col(seq_col))
            .write.mode("overwrite").parquet(path))
     files = sorted(
         fn for fn in os.listdir(path)
@@ -52,9 +53,10 @@ def read_event_log(spark: SparkSession, path: str) -> DataFrame:
 
 
 def read_event_stream(spark: SparkSession, path: str,
-                      max_files_per_trigger: int = 2) -> DataFrame:
+                      max_files_per_trigger: int = 2,
+                      schema: T.StructType | None = None) -> DataFrame:
     return (
-        spark.readStream.schema(EVENT_SCHEMA)
+        spark.readStream.schema(schema or EVENT_SCHEMA)
         .option("maxFilesPerTrigger", max_files_per_trigger)
         .parquet(path)
     )

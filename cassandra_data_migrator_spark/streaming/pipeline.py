@@ -65,6 +65,7 @@ class CdcPipeline:
         unset_nulls: bool = False,
         transform: Callable[[DataFrame], DataFrame] | None = None,
         salt_transform_stage: bool = True,
+        event_schema=None,
     ):
         self.spark = spark
         self.table = table
@@ -73,6 +74,7 @@ class CdcPipeline:
         self.unset_nulls = unset_nulls
         self.transform = transform
         self.salt_transform_stage = salt_transform_stage
+        self.event_schema = event_schema  # None → sources.event_log.EVENT_SCHEMA
         # run-details side tables (reference cdm_run_details analog,
         # cql/statement/TargetUpsertRunDetailsStatement.java:63-84)
         self.lineage_path = os.path.join(table.path, "_run", "lineage")
@@ -170,7 +172,8 @@ class CdcPipeline:
         stops (deterministic for tests/bench); ``False`` keeps tailing.
         """
         mft = max_files_per_trigger or self.config.max_files_per_trigger
-        stream = read_event_stream(self.spark, log_path, mft)
+        stream = read_event_stream(self.spark, log_path, mft,
+                                   schema=self.event_schema)
         writer = (
             stream.writeStream
             .foreachBatch(lambda df, eid: self.apply_batch(df, eid))

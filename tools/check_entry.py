@@ -1,0 +1,124 @@
+"""Self-check of __spark_entry__ against the DuckDB oracles — mimics
+the driver's CORRECTNESS gate: per query compare row count + sorted-
+column order-insensitive value hash between the Spark result and the
+oracle SQL run on the same parquet tables.
+
+Usage: python tools/check_entry.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import duckdb  # noqa: E402
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def norm_cell(v):
+    if v is None:
+        return "∅"
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "nan"
+        return f"{v:.10g}"
+    if isinstance(v, bool):
+        return str(bool(v)).lower()
+    return str(v)
+
+
+def table_sig(cols, rows):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    lines = sorted(
+        "\x1f".join(norm_cell(r[i]) for i in order) for r in rows)
+    import hashlib
+    h = hashlib.md5("\n".join(lines).encode()).hexdigest()
+    return h, lines
+
+
+def main():
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+
+    import __spark_entry__ as E
+    from cassandra_data_migrator_spark.session import get_spark
+    spark = get_spark("check_entry")
+
+    con = duckdb.connect()
+    for t in TABLES:
+        p = os.path.join(sf_dir, f"{t}.parquet")
+        if os.path.exists(p):
+            con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
+
+    qs, oracles = E.queries(), E.oracle_sql()
+    failures = []
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        try:
+            df = fn(spark, sf_dir)
+            cols = df.columns
+            rows = [tuple(r) for r in df.collect()]
+        except Exception as ex:
+            print(f"FAIL  {name}: spark error: {ex}")
+            failures.append(name)
+            continue
+        sql = oracles.get(name)
+        if sql is None:
+            print(f"rows  {name}: {len(rows)} rows (no oracle) "
+                  f"[{time.time()-t0:.1f}s]")
+            if len(rows) == 0:
+                print(f"  WARN {name}: empty result")
+            continue
+        try:
+            res = con.sql(sql)
+            ocols = [c for c in res.columns]
+            orows = res.fetchall()
+        except Exception as ex:
+            print(f"FAIL  {name}: duckdb error: {ex}")
+            failures.append(name)
+            continue
+        ok = True
+        if sorted(cols) != sorted(ocols):
+            print(f"FAIL  {name}: column mismatch spark={sorted(cols)} "
+                  f"oracle={sorted(ocols)}")
+            ok = False
+        if len(rows) != len(orows):
+            print(f"FAIL  {name}: rowcount spark={len(rows)} oracle={len(orows)}")
+            ok = False
+        if ok:
+            hs, ls = table_sig(cols, rows)
+            ho, lo = table_sig(ocols, orows)
+            if hs != ho:
+                ok = False
+                diff_s = [l for l in ls if l not in set(lo)][:3]
+                diff_o = [l for l in lo if l not in set(ls)][:3]
+                print(f"FAIL  {name}: value hash mismatch")
+                for l in diff_s:
+                    print(f"   spark-only: {l[:200]}")
+                for l in diff_o:
+                    print(f"  oracle-only: {l[:200]}")
+        if ok:
+            print(f"PASS  {name}: {len(rows)} rows [{time.time()-t0:.1f}s]")
+            if len(rows) == 0:
+                print(f"  WARN {name}: empty result")
+        else:
+            failures.append(name)
+
+    print("=" * 60)
+    if failures:
+        print(f"{len(failures)} FAILURES: {failures}")
+        sys.exit(1)
+    print("all checked queries PASS")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
