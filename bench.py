@@ -1,0 +1,93 @@
+#!/usr/bin/env python
+"""Benchmark: headline queries at $SPARK_GRAFT_SF_DIR on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": "headline_total", "value": <sec>, "unit": "sec",
+   "queries": {<name>: <sec>, ...}, "sf": <sf>,
+   "cdc_events_per_sec": <rate>, "cpus": <n>}
+
+The headline set exercises every hot path: the engine CDC replay
+(batch + streaming merge with tombstones/lineage), validation diff +
+autocorrect, schema evolution, checksums, the pandas-UDF transform
+stage, and the training-data operators (LSH dedup, simhash, ANN).
+
+A separate two-parallelism scaling run (north rule: N→4N executors,
+efficiency ≥ 0.8) lives in tools/scaling_bench.py and reports into
+BENCH/BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+_REPO = os.path.dirname(os.path.abspath(__file__))
+if _REPO not in sys.path:
+    sys.path.insert(0, _REPO)
+
+HEADLINE = [
+    "cdc_replay_final_state",    # flagship: engine batch CDC replay
+    "streaming_cdc_replay",      # structured-streaming replay, 3 epochs
+    "validation_diff",           # full-outer diff classifier
+    "autocorrect_replay",        # break-then-fix MERGE
+    "schema_evolution_replay",   # rename+add across merges
+    "bucket_checksums",          # per-partition checksum agg
+    "lww_latest_state",          # window LWW dedup
+    "extract_text_udf",          # Arrow pandas-UDF transform
+    "minhash_lsh_dedup",         # minhash→LSH→verify chain
+    "simhash_dup_pairs",         # simhash + segment-bucket pairs
+    "token_quality",             # text quality scoring
+    "cosine_topk",               # brute-force ANN baseline
+    "ann_lsh_topk",              # LSH ANN scale path
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
+    try:
+        sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", ""))
+    except ValueError:
+        sf = -1.0
+
+    import __spark_entry__ as E
+    from cassandra_data_migrator_spark.session import get_spark
+
+    spark = get_spark("bench", master=f"local[{cpus}]",
+                      shuffle_partitions=cpus)
+    qs = E.queries()
+
+    n_events = spark.read.parquet(
+        os.path.join(sf_dir, "events.parquet")).count()
+
+    timings: dict[str, float] = {}
+    replay_sec = None
+    for name in HEADLINE:
+        t0 = time.time()
+        df = qs[name](spark, sf_dir)
+        df.count()  # force full execution without driver-side collect
+        dt = round(time.time() - t0, 3)
+        timings[name] = dt
+        if name == "cdc_replay_final_state":
+            replay_sec = dt
+
+    total = round(sum(timings.values()), 3)
+    out = {
+        "metric": "headline_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "cpus": cpus,
+        "n_change_events": n_events,
+        "cdc_events_per_sec": (
+            round(n_events / replay_sec, 1) if replay_sec else None),
+    }
+    print(json.dumps(out))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -388,8 +388,18 @@ class LakeTable:
         src = src.withColumn("_is_src", F.lit(1))
         unioned = target.select(src.columns).unionByName(src)
 
+        # ONE shuffle for the whole merge: cluster by _bucket up front.
+        # The LWW window partitions by (_bucket, key) — since bucket is a
+        # function of the key, grouping is identical, and Catalyst's
+        # ClusteredDistribution is already satisfied by the bucket hash
+        # partitioning, so the window adds only a partition-local sort.
+        # The bucketed write below then needs no second repartition.
+        n_part = max(len(touched),
+                     self.spark.sparkContext.defaultParallelism)
+        unioned = unioned.repartition(n_part, F.col(_BUCKET))
+
         # LWW: newest (ts, seq) wins; tie → stored row wins (idempotence)
-        w = Window.partitionBy(self.key_col).orderBy(
+        w = Window.partitionBy(_BUCKET, self.key_col).orderBy(
             F.col(self.ts_col).desc(),
             F.col(_SEQ).desc_nulls_last(),
             F.col("_is_src").asc(),
@@ -400,14 +410,14 @@ class LakeTable:
             # running last-non-null per delete-generation: an update's null
             # column means "leave previous value", but values never
             # resurrect across a tombstone.
-            asc = Window.partitionBy(self.key_col).orderBy(
+            asc = Window.partitionBy(_BUCKET, self.key_col).orderBy(
                 F.col(self.ts_col).asc(), F.col(_SEQ).asc_nulls_first(),
                 F.col("_is_src").desc(),
             )
             gen = F.sum(F.when(F.col(_DELETED), 1).otherwise(0)).over(
                 asc.rowsBetween(Window.unboundedPreceding, 0))
             ranked = unioned.withColumn("_gen", gen)
-            genw = Window.partitionBy(self.key_col, "_gen").orderBy(
+            genw = Window.partitionBy(_BUCKET, self.key_col, "_gen").orderBy(
                 F.col(self.ts_col).asc(), F.col(_SEQ).asc_nulls_first(),
                 F.col("_is_src").desc(),
             ).rowsBetween(Window.unboundedPreceding, 0)
@@ -421,8 +431,10 @@ class LakeTable:
         merged = merged.persist()
         try:
             rel, absdir = self._new_data_dir()
+            # already clustered by _bucket (see repartition above): the
+            # partitionBy(_PB) write splits per-bucket dirs with no extra
+            # shuffle, and each bucket still lands in exactly one file
             (merged.withColumn(_PB, F.col(_BUCKET))
-                   .repartition(max(len(touched), 1), F.col(_BUCKET))
                    .write.partitionBy(_PB).parquet(absdir))
             files = self._list_written_files(rel, absdir)
 

@@ -95,8 +95,13 @@ class CdcPipeline:
         if self.salt_transform_stage:
             # break hot-domain skew BEFORE the expensive Python UDF stage:
             # rows are independent here, so a salted repartition levels
-            # Arrow batch work across tasks even if one domain dominates
+            # Arrow batch work across tasks even if one domain dominates.
+            # The partition count is explicit — AQE would coalesce this
+            # shuffle by byte size and starve the CPU-bound Arrow stage
+            # (UDF cost is invisible to AQE's size-based coalescing).
+            n_tasks = max(self.spark.sparkContext.defaultParallelism * 2, 16)
             batch = batch.repartition(
+                n_tasks,
                 *salted_partition_exprs(self.config.key_col,
                                         self.config.n_buckets,
                                         self.config.salt_buckets)
@@ -121,14 +126,23 @@ class CdcPipeline:
         """One micro-batch: the foreachBatch body (also callable directly
         for batch replays)."""
         batch, n_skip, n_quar = self._prepare(events)
-        result = self.table.merge_batch(
-            batch,
-            stream_id=self.stream_id,
-            epoch_id=epoch_id,
-            unset_nulls=self.unset_nulls,
-        )
-        if not result.skipped:
-            self._record(result, epoch_id, n_skip, n_quar)
+        # the merge traverses its source more than once (touched-bucket
+        # probe, the merge itself, lineage offsets): persist so the Arrow
+        # UDF transform stage runs exactly once per epoch. Bounded memory:
+        # one trigger's worth of rows, spilled to disk if large.
+        from pyspark import StorageLevel
+        batch = batch.persist(StorageLevel.MEMORY_AND_DISK)
+        try:
+            result = self.table.merge_batch(
+                batch,
+                stream_id=self.stream_id,
+                epoch_id=epoch_id,
+                unset_nulls=self.unset_nulls,
+            )
+            if not result.skipped:
+                self._record(result, epoch_id, n_skip, n_quar)
+        finally:
+            batch.unpersist()
         return result
 
     def _record(self, result: MergeResult, epoch_id: int,

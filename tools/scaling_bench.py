@@ -1,0 +1,188 @@
+#!/usr/bin/env python
+"""Two-parallelism scaling benchmark (north rule: N→4N executors with
+throughput scaling efficiency ≥ 0.8).
+
+No real cluster exists in this sandbox, so the criterion is evidenced
+the sanctioned way: the SAME CDC-apply job (event log → filters →
+salted repartition → Arrow pandas-UDF html→text extraction → bucketed
+LWW MERGE with lineage) runs on the SAME pre-generated input at two
+local parallelism levels (default local[8] vs local[32]), each in a
+fresh JVM subprocess. Reported: events/s at both, efficiency =
+(tp_hi / tp_lo) / (cores_hi / cores_lo).
+
+Usage:
+  python tools/scaling_bench.py [--events 400000] [--urls 80000]
+                                [--cores 8,32] [--md BENCH/BASELINE.md]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import subprocess
+import sys
+import tempfile
+import time
+
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+if _REPO not in sys.path:
+    sys.path.insert(0, _REPO)
+
+
+def _session(cores: int):
+    from cassandra_data_migrator_spark.session import get_spark
+    return get_spark(
+        f"scaling_{cores}", master=f"local[{cores}]",
+        shuffle_partitions=max(cores * 2, 16),
+        extra_conf={
+            "spark.driver.memory": "24g",
+            "spark.sql.files.maxPartitionBytes": "64m",
+        })
+
+
+def gen(path: str, n_events: int, n_urls: int) -> None:
+    """Pre-generate the shared input once (excluded from timing)."""
+    spark = _session(int(os.environ.get("SPARK_GRAFT_CPUS", 32)))
+    from cassandra_data_migrator_spark.sources.event_log import write_event_log
+    from cassandra_data_migrator_spark.sources.synthetic import gen_change_events
+    ev = gen_change_events(spark, n_urls=n_urls, n_events=n_events,
+                           partitions=64)
+    write_event_log(ev, path, n_chunks=32)
+    spark.stop()
+
+
+def worker(log_path: str, cores: int) -> None:
+    """One timed run in a fresh JVM: apply the whole log as one batch."""
+    spark = _session(cores)
+    from pyspark.sql import types as T
+    from cassandra_data_migrator_spark.config import EngineConfig
+    from cassandra_data_migrator_spark.lake.table import LakeTable
+    from cassandra_data_migrator_spark.sources.event_log import read_event_log
+    from cassandra_data_migrator_spark.streaming.pipeline import CdcPipeline
+
+    d = tempfile.mkdtemp(prefix=f"scale_{cores}_")
+    schema = T.StructType.fromDDL(
+        "url string, warc_ts timestamp, html binary, text string, lang string")
+    cfg = EngineConfig(n_buckets=max(cores * 4, 64))
+    table = LakeTable.create(spark, os.path.join(d, "t"), schema, cfg)
+    pipe = CdcPipeline(spark, table, cfg, stream_id=f"scale{cores}")
+
+    events = read_event_log(spark, log_path)
+    # warm the OS page cache identically for all levels (a real column
+    # scan — count() is parquet-metadata-only) so timing measures compute,
+    # not first-touch disk reads
+    from pyspark.sql import functions as F
+    events.select(F.sum(F.octet_length("html"))).first()
+    n = events.count()
+
+    t0 = time.time()
+    result = pipe.run_batch(events, epoch_id=0)
+    sec = time.time() - t0
+
+    rows = LakeTable(spark, table.path).read().count()
+    print(json.dumps({
+        "cores": cores, "sec": round(sec, 2), "events": n,
+        "events_per_sec": round(n / sec, 1), "final_rows": rows,
+        "applied": result.counters.get("events"),
+    }))
+    spark.stop()
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--events", type=int, default=1_000_000)
+    ap.add_argument("--urls", type=int, default=200_000)
+    ap.add_argument("--cores", default="8,32")
+    ap.add_argument("--repeats", type=int, default=2,
+                    help="runs per level; best (min time) is kept — "
+                         "isolates capacity from transient sandbox noise")
+    ap.add_argument("--md", default=os.path.join(_REPO, "BENCH", "BASELINE.md"))
+    ap.add_argument("--worker", type=int, default=None, help=argparse.SUPPRESS)
+    ap.add_argument("--log-path", default=None, help=argparse.SUPPRESS)
+    args = ap.parse_args()
+
+    if args.worker is not None:
+        worker(args.log_path, args.worker)
+        return
+
+    levels = [int(c) for c in args.cores.split(",")]
+    log_path = os.path.join(tempfile.gettempdir(),
+                            f"scaling_log_{args.events}_{args.urls}")
+    if not os.path.exists(os.path.join(log_path, "_SUCCESS")):
+        print(f"generating {args.events} events → {log_path}", file=sys.stderr)
+        gen(log_path, args.events, args.urls)
+
+    def run_level(cores: int) -> dict:
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__),
+             "--worker", str(cores), "--log-path", log_path],
+            capture_output=True, text=True, cwd=_REPO, timeout=3600)
+        line = [l for l in out.stdout.splitlines() if l.startswith("{")]
+        if not line:
+            print(out.stdout, out.stderr[-3000:], file=sys.stderr)
+            sys.exit(1)
+        print(line[-1], file=sys.stderr)
+        return json.loads(line[-1])
+
+    # interleave levels across repeats so transient noise cannot bias one
+    # level; keep the best run per level
+    best: dict[int, dict] = {}
+    for rep in range(args.repeats):
+        for cores in levels:
+            print(f"repeat {rep}: apply at local[{cores}] …", file=sys.stderr)
+            r = run_level(cores)
+            if cores not in best or r["sec"] < best[cores]["sec"]:
+                best[cores] = r
+    results = [best[c] for c in levels]
+
+    lo, hi = results[0], results[-1]
+    ratio = hi["cores"] / lo["cores"]
+    eff = (hi["events_per_sec"] / lo["events_per_sec"]) / ratio
+    summary = {
+        "metric": "cdc_scaling_efficiency",
+        "levels": results,
+        "core_ratio": ratio,
+        "speedup": round(hi["events_per_sec"] / lo["events_per_sec"], 3),
+        "efficiency": round(eff, 3),
+        "target": 0.8,
+        "pass": eff >= 0.8,
+    }
+    print(json.dumps(summary))
+
+    os.makedirs(os.path.dirname(args.md), exist_ok=True)
+    rows = "\n".join(
+        f"| local[{r['cores']}] | {r['events']:,} | {r['sec']} s "
+        f"| {r['events_per_sec']:,} ev/s | {r['final_rows']:,} |"
+        for r in results)
+    with open(args.md, "w") as f:
+        f.write(f"""# BENCH — measured engine numbers
+
+## Two-cluster-size scaling (north rule, evidenced at two parallelism levels)
+
+Same job, same pre-generated input ({args.events:,} change events over
+{args.urls:,} urls with full html payloads): event log → filters →
+salted repartition → Arrow pandas-UDF html→text extraction → bucketed
+copy-on-write LWW MERGE with per-bucket lineage. One fresh JVM per
+level, timing excludes input generation and session startup.
+
+| parallelism | events | apply time | throughput | final rows |
+|---|---|---|---|---|
+{rows}
+
+- core ratio: {ratio:g}×  → speedup {summary['speedup']}×
+- **scaling efficiency: {summary['efficiency']}** (target ≥ 0.8 → {'PASS' if summary['pass'] else 'FAIL'})
+
+Reference baseline (BASELINE.md): CDM migrates ~5,000 rows/s on 8 vCPU
+`local[*]`; its rate limits are per-worker, so linear scaling is the
+reference's implicit claim — measured explicitly here.
+
+Run: `python tools/scaling_bench.py --events {args.events} --urls {args.urls} --cores {args.cores}`
+""")
+    print(f"wrote {args.md}", file=sys.stderr)
+
+
+if __name__ == "__main__":
+    main()
