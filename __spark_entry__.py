@@ -355,6 +355,88 @@ FROM ranked WHERE rn = 1 AND event_type <> 'error'
 """
 
 
+def _q_counter_merge_replay(spark, sf_dir):
+    """Counter-table additive merge (reference S5 UPDATE SET c=c+delta,
+    TargetUpdateStatement.java:42-144): value increments applied in two
+    epochs, with a fenced re-apply of epoch 1 proving increments are
+    exactly-once (re-application would corrupt counters)."""
+    ev = _tbl(spark, sf_dir, "events")
+    incr = ev.filter(F.col("event_type") != "error").select(
+        F.col("user_id"), F.col("ts"),
+        _cents("value").alias("counter_cents"),
+        F.col("event_id").alias("seq"))
+    mid = _half_seq(spark, sf_dir)
+    schema = T.StructType([
+        T.StructField("user_id", T.LongType(), False),
+        T.StructField("ts", T.TimestampNTZType(), True),
+        T.StructField("counter_cents", T.LongType(), True),
+    ])
+    table = LakeTable.create(
+        spark, _tmpdir("counter"), schema,
+        EngineConfig(n_buckets=16, key_col="user_id", ts_col="ts"))
+    table.merge_counter_batch(incr.filter(F.col("seq") < mid),
+                              stream_id="q_counter", epoch_id=0)
+    table.merge_counter_batch(incr.filter(F.col("seq") >= mid),
+                              stream_id="q_counter", epoch_id=1)
+    # fenced redelivery: must be a no-op or the totals would double-count
+    assert table.merge_counter_batch(
+        incr.filter(F.col("seq") >= mid),
+        stream_id="q_counter", epoch_id=1).skipped
+    return table.read().select(
+        "user_id", "counter_cents", _ts_us("ts").alias("ts_us"))
+
+
+_COUNTER_MERGE_ORACLE = """
+SELECT user_id,
+       sum(CAST(round(value*100) AS BIGINT)) AS counter_cents,
+       epoch_us(max(ts)) AS ts_us
+FROM events WHERE event_type <> 'error'
+GROUP BY user_id
+"""
+
+
+def _q_map_null_scrub(spark, sf_dir):
+    """T8 map null-value scrub (CqlTable.java:348-350,369-373): map
+    entries with null values are dropped before write."""
+    ev = _tbl(spark, sf_dir, "events").withColumn(
+        "m", F.create_map(
+            F.lit("t"), F.when(F.col("event_type") == "error", F.lit(None))
+                         .otherwise(F.col("event_type")),
+            F.lit("k"), F.get_json_object("props", "$.k")))
+    out = TR.map_null_scrub(ev, "m")
+    return out.select(
+        "event_id", F.explode(F.col("m")).alias("key", "val"))
+
+
+_MAP_NULL_SCRUB_ORACLE = """
+SELECT event_id, 't' AS key, event_type AS val FROM events
+WHERE event_type <> 'error'
+UNION ALL
+SELECT event_id, 'k' AS key, json_extract_string(props, '$.k') AS val
+FROM events WHERE json_extract_string(props, '$.k') IS NOT NULL
+"""
+
+
+def _q_timestamp_codec(spark, sf_dir):
+    """T2 timestamp↔string codec (TIMESTAMP_StringFormatCodec.java:33-47):
+    format with an explicit pattern and parse back (round-trip)."""
+    ev = _tbl(spark, sf_dir, "events")
+    out = TR.format_timestamp(ev, "ts", "yyyy-MM-dd HH:mm:ss", out="ts_str")
+    out = out.withColumn(
+        "parsed_us",
+        F.expr(f"timestampdiff(MICROSECOND, {_EPOCH_NTZ}, "
+               f"to_timestamp_ntz(ts_str, 'yyyy-MM-dd HH:mm:ss'))"))
+    return out.select("event_id", "ts_str", "parsed_us")
+
+
+_TIMESTAMP_CODEC_ORACLE = """
+SELECT event_id, strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_str,
+       epoch_us(strptime(strftime(ts, '%Y-%m-%d %H:%M:%S'),
+                         '%Y-%m-%d %H:%M:%S')) AS parsed_us
+FROM events
+"""
+
+
 def _q_bucket_checksums(spark, sf_dir):
     """Per-partition token-range checksum (A4, north_rule lineage):
     order-insensitive sum of portable row hashes per hash bucket."""
@@ -792,6 +874,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "diff_totals": _q_diff_totals,
         "autocorrect_replay": _q_autocorrect_replay,
         "schema_evolution_replay": _q_schema_evolution_replay,
+        "counter_merge_replay": _q_counter_merge_replay,
         "bucket_checksums": _q_bucket_checksums,
         # filters (§2.3)
         "writetime_window_filter": _q_writetime_window_filter,
@@ -803,6 +886,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "explode_map": _q_explode_map,
         "constant_rename_cast": _q_constant_rename_cast,
         "row_writetime": _q_row_writetime,
+        "map_null_scrub": _q_map_null_scrub,
+        "timestamp_codec": _q_timestamp_codec,
         "counters_by_type": _q_counters_by_type,
         # vectorized pandas-UDF transforms (§2.10, north rule)
         "extract_text_udf": _q_extract_text_udf,
@@ -835,6 +920,7 @@ GROUP BY diff_status
 """,
         "autocorrect_replay": _lww_state_sql(),
         "schema_evolution_replay": _SCHEMA_EVOLUTION_ORACLE,
+        "counter_merge_replay": _COUNTER_MERGE_ORACLE,
         "bucket_checksums": _BUCKET_CHECKSUMS_ORACLE,
         "writetime_window_filter": """
 SELECT event_id, epoch_us(ts) AS ts_us FROM events
@@ -868,6 +954,8 @@ SELECT event_id,
          AS writetime_us
 FROM events
 """,
+        "map_null_scrub": _MAP_NULL_SCRUB_ORACLE,
+        "timestamp_codec": _TIMESTAMP_CODEC_ORACLE,
         "counters_by_type": """
 SELECT event_type, count(*) AS n,
        sum(CAST(round(value*100) AS BIGINT)) AS sum_cents,

@@ -368,10 +368,10 @@ class LakeTable:
          .withColumn(_DELETED, F.col("_op") == F.lit("delete")) \
          .drop("_op")
 
-        # touched buckets: tiny driver-side list (≤ n_buckets ints)
-        touched = sorted(
-            r[_BUCKET] for r in src.select(_BUCKET).distinct().collect()
-        )
+        # ONE probe pass over the source yields both the touched-bucket
+        # list and the per-bucket event offsets for lineage (tiny
+        # driver-side result, ≤ n_buckets rows; payload columns pruned)
+        touched, offsets = self._probe_source(src)
         if not touched:
             return MergeResult(epoch_key=epoch_key, skipped=False, version=self.version)
 
@@ -428,49 +428,82 @@ class LakeTable:
         merged = ranked.filter(F.col("_rn") == 1).drop("_rn", "_is_src", "_gen") \
             if unset_nulls else ranked.filter(F.col("_rn") == 1).drop("_rn", "_is_src")
 
-        merged = merged.persist()
-        try:
-            rel, absdir = self._new_data_dir()
-            # already clustered by _bucket (see repartition above): the
-            # partitionBy(_PB) write splits per-bucket dirs with no extra
-            # shuffle, and each bucket still lands in exactly one file
-            (merged.withColumn(_PB, F.col(_BUCKET))
-                   .write.partitionBy(_PB).parquet(absdir))
-            files = self._list_written_files(rel, absdir)
+        return self._write_and_commit(
+            merged, offsets, touched, data_cols, epoch_key, stream_id, epoch_id)
 
-            # per-bucket lineage: row count, order-insensitive checksum,
-            # applied-event offsets (reference run_details analog)
-            lineage_df = (
-                merged.groupBy(_BUCKET).agg(
-                    F.sum(F.when(~F.col(_DELETED), 1).otherwise(0)).alias("live_rows"),
-                    F.count("*").alias("rows_with_tombstones"),
-                    F.sum(F.when(~F.col(_DELETED),
-                                 row_checksum_expr(self.key_col, self.ts_col,
-                                                   *data_cols)
-                                 .cast("decimal(38,0)"))
-                          .otherwise(F.lit(0).cast("decimal(38,0)")))
-                     .alias("checksum"),
-                ))
-            offsets_df = (
-                src.groupBy(_BUCKET).agg(
-                    F.min(_SEQ).alias("min_seq"), F.max(_SEQ).alias("max_seq"),
-                    F.count("*").alias("events"),
-                ))
-            lineage_rows = []
-            for r in lineage_df.join(offsets_df, _BUCKET, "left").collect():
-                d = r.asDict()
-                if d.get("checksum") is not None:
-                    d["checksum"] = int(d["checksum"])
-                lineage_rows.append(
-                    {**d, "epoch_key": epoch_key, "version": self.version + 1}
-                )
-            counters = {
-                "events": int(sum(l.get("events") or 0 for l in lineage_rows)),
-                "buckets": len(touched),
-                "live_rows_touched": int(sum(l["live_rows"] for l in lineage_rows)),
-            }
-        finally:
-            merged.unpersist()
+    def _probe_source(
+        self, src: DataFrame
+    ) -> tuple[list[int], dict[int, dict]]:
+        """Single aggregation pass over the batch: touched buckets plus
+        per-bucket (min_seq, max_seq, events) for lineage. Column pruning
+        keeps payload columns out of this scan."""
+        rows = src.groupBy(_BUCKET).agg(
+            F.min(_SEQ).alias("min_seq"), F.max(_SEQ).alias("max_seq"),
+            F.count("*").alias("events"),
+        ).collect()
+        offsets = {r[_BUCKET]: {"min_seq": r["min_seq"],
+                                "max_seq": r["max_seq"],
+                                "events": r["events"]}
+                   for r in rows}
+        return sorted(offsets), offsets
+
+    def _write_and_commit(
+        self,
+        merged: DataFrame,
+        offsets: dict[int, dict],
+        touched: list[int],
+        data_cols: list[str],
+        epoch_key: str | None,
+        stream_id: str | None,
+        epoch_id: int | None,
+    ) -> MergeResult:
+        """Shared tail of every merge flavor: bucketed write (no extra
+        shuffle — ``merged`` is already clustered by ``_bucket``),
+        per-bucket lineage/checksum rows, atomic manifest commit with the
+        epoch fence advanced."""
+        rel, absdir = self._new_data_dir()
+        # already clustered by _bucket: the partitionBy(_PB) write
+        # splits per-bucket dirs with no extra shuffle, and each
+        # bucket still lands in exactly one file
+        (merged.withColumn(_PB, F.col(_BUCKET))
+               .write.partitionBy(_PB).parquet(absdir))
+        files = self._list_written_files(rel, absdir)
+
+        # per-bucket lineage (row count, order-insensitive checksum,
+        # applied-event offsets — reference run_details analog), computed
+        # by re-reading the files just written: cheaper than caching the
+        # whole uncompressed merge output for a second pass, and the
+        # checksum then covers what is actually durable on disk
+        written = self.spark.read.parquet(absdir)
+        lineage_df = (
+            written.groupBy(F.col(_BUCKET)).agg(
+                F.sum(F.when(~F.col(_DELETED), 1).otherwise(0)).alias("live_rows"),
+                F.count("*").alias("rows_with_tombstones"),
+                F.sum(F.when(~F.col(_DELETED),
+                             row_checksum_expr(self.key_col, self.ts_col,
+                                               *data_cols)
+                             .cast("decimal(38,0)"))
+                      .otherwise(F.lit(0).cast("decimal(38,0)")))
+                 .alias("checksum"),
+            ))
+        lineage_rows = []
+        for r in lineage_df.collect():
+            d = r.asDict()
+            if d.get("checksum") is not None:
+                d["checksum"] = int(d["checksum"])
+            off = offsets.get(d[_BUCKET], {})
+            lineage_rows.append({
+                **d,
+                "min_seq": off.get("min_seq"),
+                "max_seq": off.get("max_seq"),
+                "events": off.get("events"),
+                "epoch_key": epoch_key, "version": self.version + 1,
+            })
+        counters = {
+            "events": int(sum(l.get("events") or 0 for l in lineage_rows)),
+            "buckets": len(touched),
+            "live_rows_touched": int(sum(l["live_rows"] for l in lineage_rows)),
+        }
 
         m = json.loads(json.dumps(self.manifest))
         m["version"] = self.version + 1
@@ -491,6 +524,90 @@ class LakeTable:
             epoch_key=epoch_key, skipped=False, touched_buckets=touched,
             counters=counters, lineage=lineage_rows, version=m["version"],
         )
+
+    # ------------------------------------------------- counter-table MERGE
+
+    def merge_counter_batch(
+        self,
+        source: DataFrame,
+        counter_cols: list[str] | None = None,
+        seq_col: str = "seq",
+        stream_id: str | None = None,
+        epoch_id: int | None = None,
+    ) -> MergeResult:
+        """Additive counter merge: ``stored = stored + Σ(deltas)`` per key.
+
+        Reference analogs: the counter UPDATE path
+        (``cql/statement/TargetUpdateStatement.java:42-144`` — ``SET
+        counter = counter + ?`` with the delta computed origin−target)
+        and its read-before-write lookup (J2,
+        ``job/CopyJobSession.java:149-158``). The N async point lookups
+        become one bucket-pruned union + sum aggregation; the epoch
+        fence is what makes increments safe under at-least-once
+        redelivery (re-applying a counter batch would corrupt values —
+        Cassandra has the same non-idempotence caveat, which is why the
+        reference forces batchSize=1 for counters,
+        ``schema/CqlTable.java:202-209``).
+
+        Counter-table shape mirrors Cassandra's restriction: every
+        non-key data column must be a counter (``counter_cols`` defaults
+        to all data columns). ``ts_col`` tracks ``max`` event time per
+        key. Same single-shuffle plan as ``merge_batch``: cluster by
+        bucket, then a (bucket, key) aggregation that reuses the
+        clustering.
+        """
+        epoch_key = f"{stream_id}/{epoch_id}" if stream_id is not None else None
+        if stream_id is not None:
+            fence = self.manifest["epoch_fence"].get(stream_id)
+            if fence is not None and epoch_id is not None and epoch_id <= fence:
+                return MergeResult(epoch_key=epoch_key, skipped=True,
+                                   version=self.version)
+
+        schema_fields = self.current_fields()
+        data_cols = [f["name"] for f in schema_fields
+                     if f["name"] not in (self.key_col, self.ts_col)]
+        counter_cols = list(counter_cols or data_cols)
+        extra = set(data_cols) - set(counter_cols)
+        if extra:
+            raise ValueError(
+                f"counter table may only contain counter columns; "
+                f"non-counter data columns: {sorted(extra)}")
+
+        src = source.select(
+            F.col(self.key_col), F.col(self.ts_col),
+            *[F.col(c) for c in counter_cols],
+            F.col(seq_col).cast("long").alias(_SEQ),
+        ).withColumn(_BUCKET, bucket_expr(self.key_col, self.n_buckets))
+
+        touched, offsets = self._probe_source(src)
+        if not touched:
+            return MergeResult(epoch_key=epoch_key, skipped=False,
+                               version=self.version)
+
+        # stored rows contribute their current value as the base term
+        base = (
+            self.read(buckets=touched, include_deleted=True,
+                      include_internal=True)
+            .filter(~F.col(_DELETED))
+            .select(src.columns)
+        )
+        unioned = base.unionByName(src)
+        n_part = max(len(touched),
+                     self.spark.sparkContext.defaultParallelism)
+        merged = (
+            unioned.repartition(n_part, F.col(_BUCKET))
+            # grouping by (_bucket, key): the bucket clustering satisfies
+            # the aggregation's required distribution → local-only agg
+            .groupBy(F.col(_BUCKET), F.col(self.key_col))
+            .agg(*[F.sum(c).alias(c) for c in counter_cols],
+                 F.max(self.ts_col).alias(self.ts_col),
+                 F.max(_SEQ).alias(_SEQ))
+            .withColumn(_DELETED, F.lit(False))
+            .select(self.key_col, self.ts_col, *counter_cols,
+                    _BUCKET, _DELETED, _SEQ)
+        )
+        return self._write_and_commit(
+            merged, offsets, touched, data_cols, epoch_key, stream_id, epoch_id)
 
     # ---------------------------------------------------- schema evolution
 

@@ -53,6 +53,42 @@ COUNTERS_SCHEMA = (
 )
 
 
+def _arrow_schemas():
+    import pyarrow as pa
+    lineage = pa.schema([
+        ("epoch_id", pa.int64()), ("bucket", pa.int32()),
+        ("live_rows", pa.int64()), ("rows_with_tombstones", pa.int64()),
+        ("checksum", pa.decimal128(38, 0)), ("min_seq", pa.int64()),
+        ("max_seq", pa.int64()), ("events", pa.int64()),
+        ("version", pa.int32()), ("stream_id", pa.string()),
+    ])
+    counters = pa.schema([
+        ("epoch_id", pa.int64()), ("read", pa.int64()),
+        ("valid", pa.int64()), ("skipped", pa.int64()),
+        ("quarantined", pa.int64()), ("events_applied", pa.int64()),
+        ("buckets", pa.int32()), ("stream_id", pa.string()),
+    ])
+    return lineage, counters
+
+
+_LINEAGE_ARROW, _COUNTERS_ARROW = _arrow_schemas()
+
+
+def _append_parquet(path: str, rows: list[dict], schema) -> None:
+    """Driver-side parquet append of a tiny row list (no Spark job)."""
+    import uuid
+    from decimal import Decimal
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    for r in rows:  # decimal128 column needs Decimal values
+        if r.get("checksum") is not None:
+            r["checksum"] = Decimal(r["checksum"])
+    os.makedirs(path, exist_ok=True)
+    table = pa.Table.from_pylist(rows, schema=schema)
+    pq.write_table(table, os.path.join(path, f"part-{uuid.uuid4().hex}.parquet"))
+
+
 class CdcPipeline:
     """Applies a change-event stream/log to a LakeTable."""
 
@@ -126,46 +162,50 @@ class CdcPipeline:
         """One micro-batch: the foreachBatch body (also callable directly
         for batch replays)."""
         batch, n_skip, n_quar = self._prepare(events)
-        # the merge traverses its source more than once (touched-bucket
-        # probe, the merge itself, lineage offsets): persist so the Arrow
-        # UDF transform stage runs exactly once per epoch. Bounded memory:
-        # one trigger's worth of rows, spilled to disk if large.
-        from pyspark import StorageLevel
-        batch = batch.persist(StorageLevel.MEMORY_AND_DISK)
-        try:
-            result = self.table.merge_batch(
-                batch,
-                stream_id=self.stream_id,
-                epoch_id=epoch_id,
-                unset_nulls=self.unset_nulls,
-            )
-            if not result.skipped:
-                self._record(result, epoch_id, n_skip, n_quar)
-        finally:
-            batch.unpersist()
+        # no persist: the merge traverses its source twice, but the probe
+        # pass prunes to (bucket, seq) so the Arrow UDF transform columns
+        # are computed exactly once — in the merge's write traversal.
+        # Caching the full transformed batch would materialize the whole
+        # payload (html+text) per epoch for no saved work.
+        result = self.table.merge_batch(
+            batch,
+            stream_id=self.stream_id,
+            epoch_id=epoch_id,
+            unset_nulls=self.unset_nulls,
+        )
+        if not result.skipped:
+            self._record(result, epoch_id, n_skip, n_quar)
         return result
 
     def _record(self, result: MergeResult, epoch_id: int,
                 n_skip: int, n_quar: int) -> None:
-        from decimal import Decimal
+        """Append lineage + counter rows for this epoch.
 
+        Written driver-side via pyarrow (a handful of rows): launching a
+        Spark job per tiny side-table write costs several seconds per
+        epoch at high core counts for no distributed work.
+        """
         rows = [
-            (epoch_id, r["_bucket"], r["live_rows"], r["rows_with_tombstones"],
-             Decimal(r["checksum"]) if r["checksum"] is not None else None,
-             r.get("min_seq"), r.get("max_seq"),
-             r.get("events"), result.version, self.stream_id)
+            {"epoch_id": epoch_id, "bucket": r["_bucket"],
+             "live_rows": r["live_rows"],
+             "rows_with_tombstones": r["rows_with_tombstones"],
+             "checksum": r["checksum"],
+             "min_seq": r.get("min_seq"), "max_seq": r.get("max_seq"),
+             "events": r.get("events"), "version": result.version,
+             "stream_id": self.stream_id}
             for r in result.lineage
         ]
         if rows:
-            self.spark.createDataFrame(rows, LINEAGE_SCHEMA) \
-                .coalesce(1).write.mode("append").parquet(self.lineage_path)
+            _append_parquet(self.lineage_path, rows, _LINEAGE_ARROW)
         c = result.counters or {}
-        crow = [(epoch_id,
-                 (c.get("events", 0)) + max(n_skip, 0) + max(n_quar, 0),
-                 c.get("events", 0), max(n_skip, 0), max(n_quar, 0),
-                 c.get("events", 0), c.get("buckets", 0), self.stream_id)]
-        self.spark.createDataFrame(crow, COUNTERS_SCHEMA) \
-            .coalesce(1).write.mode("append").parquet(self.counters_path)
+        _append_parquet(self.counters_path, [{
+            "epoch_id": epoch_id,
+            "read": c.get("events", 0) + max(n_skip, 0) + max(n_quar, 0),
+            "valid": c.get("events", 0), "skipped": max(n_skip, 0),
+            "quarantined": max(n_quar, 0),
+            "events_applied": c.get("events", 0),
+            "buckets": c.get("buckets", 0), "stream_id": self.stream_id,
+        }], _COUNTERS_ARROW)
 
     # ------------------------------------------------------- entrypoints
 

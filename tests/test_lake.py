@@ -195,3 +195,60 @@ def test_overwrite_bootstrap(spark, table):
     assert sorted(final_state(table)) == ["u1", "u2"]
     cs = table.checksums().collect()
     assert sum(r["row_count"] for r in cs) == 2
+
+
+COUNTER_SCHEMA = T.StructType([
+    T.StructField("url", T.StringType(), False),
+    T.StructField("warc_ts", T.TimestampType(), True),
+    T.StructField("hits", T.LongType(), True),
+])
+
+
+def mk_incr(spark, rows):
+    """rows: (seq, url, ts_s, hits_delta)"""
+    data = [(seq, url, ts(t), d) for (seq, url, t, d) in rows]
+    schema = T.StructType([
+        T.StructField("seq", T.LongType(), False),
+        T.StructField("url", T.StringType(), False),
+        T.StructField("warc_ts", T.TimestampType(), True),
+        T.StructField("hits", T.LongType(), True),
+    ])
+    return spark.createDataFrame(data, schema)
+
+
+def test_counter_merge_accumulates(spark, tmpdir_path):
+    """Reference SIT/smoke/04_counters: counter columns accumulate via
+    additive merge (UPDATE SET c = c + delta)."""
+    t = LakeTable.create(
+        spark, os.path.join(tmpdir_path, "c"), COUNTER_SCHEMA,
+        EngineConfig(n_buckets=8))
+    t.merge_counter_batch(mk_incr(spark, [
+        (0, "a", 0, 3), (1, "a", 1, 4), (2, "b", 2, 10)]))
+    t.merge_counter_batch(mk_incr(spark, [
+        (3, "a", 3, -2), (4, "c", 4, 1)]))
+    got = {r["url"]: r["hits"] for r in t.read().collect()}
+    assert got == {"a": 5, "b": 10, "c": 1}
+
+
+def test_counter_merge_epoch_fence(spark, tmpdir_path):
+    """Re-applying a counter epoch MUST be a no-op — increments are not
+    idempotent (reference forces batchSize=1 for counters,
+    schema/CqlTable.java:202-209; our fence is strictly stronger)."""
+    t = LakeTable.create(
+        spark, os.path.join(tmpdir_path, "c"), COUNTER_SCHEMA,
+        EngineConfig(n_buckets=8))
+    batch = mk_incr(spark, [(0, "a", 0, 7)])
+    t.merge_counter_batch(batch, stream_id="s", epoch_id=0)
+    r = t.merge_counter_batch(batch, stream_id="s", epoch_id=0)
+    assert r.skipped
+    assert t.read().collect()[0]["hits"] == 7
+
+
+def test_counter_rejects_non_counter_columns(spark, tmpdir_path):
+    t = LakeTable.create(
+        spark, os.path.join(tmpdir_path, "c"), WEB_SCHEMA,
+        EngineConfig(n_buckets=8))
+    with pytest.raises(ValueError, match="non-counter"):
+        t.merge_counter_batch(
+            mk_events(spark, [(0, "insert", "a", 0, "x")]),
+            counter_cols=["html"])
