@@ -1,0 +1,68 @@
+"""Physical-plan contracts: the scale properties PLANS.md documents are
+asserted here so a regression (extra shuffle, unfused UDFs, lost
+pushdown) fails tests instead of surfacing at 100 TB."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from cassandra_data_migrator_spark import plans
+from cassandra_data_migrator_spark.functions.hashing import bucket_expr
+from cassandra_data_migrator_spark.functions.udfs import extract_text, normalize_lang
+from cassandra_data_migrator_spark.operators.similarity import cosine_topk
+from cassandra_data_migrator_spark.sources.event_log import write_event_log
+from cassandra_data_migrator_spark.sources.synthetic import gen_change_events
+
+
+def _log(spark, tmpdir_path):
+    path = os.path.join(tmpdir_path, "log")
+    write_event_log(gen_change_events(spark, 50, 200), path, n_chunks=2)
+    return spark.read.parquet(path)
+
+
+def test_adjacent_pandas_udfs_fuse_into_one_arrow_node(spark, tmpdir_path):
+    df = _log(spark, tmpdir_path) \
+        .withColumn("text", extract_text(F.col("html"))) \
+        .withColumn("lang", normalize_lang(F.col("lang")))
+    assert plans.python_eval_nodes(df) == 1
+
+
+def test_validity_filter_pushed_to_scan(spark, tmpdir_path):
+    df = _log(spark, tmpdir_path).filter(F.col("url").isNotNull())
+    pushed = plans.pushed_filters(df)
+    assert any("IsNotNull(url)" in p for p in pushed)
+
+
+def test_merge_shape_is_single_shuffle(spark, tmpdir_path):
+    """The LWW merge's core claim: clustering by _bucket once serves both
+    the (bucket, key) window and the bucketed write — exactly ONE
+    exchange in the plan (Spark's ClusteredDistribution subset rule).
+    Guards the rework documented in PLANS.md against Spark upgrades."""
+    df = _log(spark, tmpdir_path).withColumn("_b", bucket_expr("url", 16))
+    ranked = (
+        df.repartition(8, F.col("_b"))
+        .withColumn("_rn", F.row_number().over(
+            Window.partitionBy("_b", "url")
+            .orderBy(F.col("warc_ts").desc(), F.col("seq").desc())))
+        .filter(F.col("_rn") == 1)
+    )
+    assert plans.count_exchanges(ranked) == 1
+    assert plans.has_window_group_limit(ranked)
+
+
+def test_topk_uses_window_group_limit(spark, tmpdir_path):
+    emb = spark.range(50).select(
+        F.col("id").alias("vec_id"),
+        F.array(*[(F.col("id") * (i + 1) % 7).cast("float")
+                  for i in range(4)]).alias("embedding"))
+    out = cosine_topk(emb, emb.filter(F.col("vec_id") < 3), k=2)
+    assert plans.has_window_group_limit(out)
+
+
+def test_scan_prunes_columns(spark, tmpdir_path):
+    df = _log(spark, tmpdir_path).select("url")
+    plan = plans.explain_str(df, "formatted")
+    assert "html" not in plan.split("ReadSchema:")[1].split("\n")[0]
