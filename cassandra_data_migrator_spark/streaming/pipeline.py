@@ -120,12 +120,13 @@ class CdcPipeline:
 
     # ------------------------------------------------------------ core
 
-    def _prepare(self, events: DataFrame) -> tuple[DataFrame, int, int]:
+    def _prepare(self, events: DataFrame,
+                 epoch_id: int = 0) -> tuple[DataFrame, int, int]:
         """Filters + vectorized transforms; returns (batch, n_skip, n_quar)."""
         valid, skipped, quarantined = split_events(events, self.config)
 
-        n_skip = self._side_sink(skipped, self.skipped_path)
-        n_quar = self._side_sink(quarantined, self.quarantine_path)
+        n_skip = self._side_sink(skipped, self.skipped_path, epoch_id)
+        n_quar = self._side_sink(quarantined, self.quarantine_path, epoch_id)
 
         batch = valid
         if self.salt_transform_stage:
@@ -150,18 +151,25 @@ class CdcPipeline:
             batch = self.transform(batch)
         return batch, n_skip, n_quar
 
-    def _side_sink(self, df: DataFrame, path: str) -> int:
-        # cheap emptiness probe first — the common case writes nothing
+    def _side_sink(self, df: DataFrame, path: str, epoch_id: int) -> int:
+        """Persist rejected rows for this epoch; returns their count.
+
+        The common case (nothing rejected) costs one pruned probe; when
+        rows exist they land under ``epoch=<id>/`` and the count comes
+        from the parquet footers of the just-written directory — a
+        metadata-only read, no second data scan.
+        """
         first = df.take(1)
         if not first:
             return 0
-        df.write.mode("append").parquet(path)
-        return -1  # count folded into counters later (avoid double action)
+        target = os.path.join(path, f"epoch={epoch_id}")
+        df.write.mode("overwrite").parquet(target)
+        return self.spark.read.parquet(target).count()
 
     def apply_batch(self, events: DataFrame, epoch_id: int) -> MergeResult:
         """One micro-batch: the foreachBatch body (also callable directly
         for batch replays)."""
-        batch, n_skip, n_quar = self._prepare(events)
+        batch, n_skip, n_quar = self._prepare(events, epoch_id)
         # no persist: the merge traverses its source twice, but the probe
         # pass prunes to (bucket, seq) so the Arrow UDF transform columns
         # are computed exactly once — in the merge's write traversal.
@@ -200,9 +208,9 @@ class CdcPipeline:
         c = result.counters or {}
         _append_parquet(self.counters_path, [{
             "epoch_id": epoch_id,
-            "read": c.get("events", 0) + max(n_skip, 0) + max(n_quar, 0),
-            "valid": c.get("events", 0), "skipped": max(n_skip, 0),
-            "quarantined": max(n_quar, 0),
+            "read": c.get("events", 0) + n_skip + n_quar,
+            "valid": c.get("events", 0), "skipped": n_skip,
+            "quarantined": n_quar,
             "events_applied": c.get("events", 0),
             "buckets": c.get("buckets", 0), "stream_id": self.stream_id,
         }], _COUNTERS_ARROW)

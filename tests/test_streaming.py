@@ -135,3 +135,41 @@ def test_lineage_and_counters(spark, tmpdir_path, event_log):
     for r in last:
         if r["live_rows"] > 0:
             assert cs[r["bucket"]] == int(r["checksum"])
+
+
+def test_counters_count_skipped_and_quarantined(spark, tmpdir_path):
+    """Reference SKIPPED/ERROR counter parity (job/JobCounter.java:36):
+    rejected rows are persisted per epoch and counted exactly."""
+    import datetime as dt
+
+    t = mk_table(spark, tmpdir_path, "t")
+    cfg = EngineConfig(
+        n_buckets=8,
+        writetime_min=dt.datetime(2023, 11, 15, tzinfo=dt.timezone.utc),
+    )
+    p = CdcPipeline(spark, t, cfg, stream_id="s")
+    rows = [
+        (0, "update", "https://a/1", dt.datetime(2023, 11, 20), b"<p>x</p>", "en"),
+        (1, "update", "https://a/2", dt.datetime(2023, 11, 1), b"<p>y</p>", "en"),
+        (2, "update", None, dt.datetime(2023, 11, 21), b"<p>z</p>", "en"),
+        (3, "update", "https://a/3", dt.datetime(2023, 11, 22), b"<p>w</p>", "en"),
+    ]
+    schema = T.StructType([
+        T.StructField("seq", T.LongType(), False),
+        T.StructField("op", T.StringType(), False),
+        T.StructField("url", T.StringType(), True),
+        T.StructField("warc_ts", T.TimestampType(), True),
+        T.StructField("html", T.BinaryType(), True),
+        T.StructField("lang", T.StringType(), True),
+    ])
+    p.apply_batch(spark.createDataFrame(rows, schema), epoch_id=0)
+    c = p.counters().collect()[0]
+    assert c["valid"] == 2            # seq 0 and 3
+    assert c["skipped"] == 1          # seq 1: before writetime window
+    assert c["quarantined"] == 1      # seq 2: null key
+    assert c["read"] == 4
+    # rejected rows are persisted, not dropped
+    assert spark.read.parquet(p.skipped_path).count() == 1
+    assert spark.read.parquet(p.quarantine_path).count() == 1
+    # the lake table only holds the valid rows
+    assert t.read().count() == 2

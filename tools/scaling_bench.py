@@ -33,8 +33,11 @@ if _REPO not in sys.path:
 
 def _session(cores: int):
     from cassandra_data_migrator_spark.session import get_spark
+    # local[N,4]: allow task retries — a transient python-worker death
+    # (connection reset) must not kill a 10-minute run, same as task
+    # retry on a real cluster
     return get_spark(
-        f"scaling_{cores}", master=f"local[{cores}]",
+        f"scaling_{cores}", master=f"local[{cores},4]",
         shuffle_partitions=max(cores * 2, 16),
         extra_conf={
             "spark.driver.memory": "48g",
