@@ -388,7 +388,7 @@ def _q_counter_merge_replay(spark, sf_dir):
 
 _COUNTER_MERGE_ORACLE = """
 SELECT user_id,
-       sum(CAST(round(value*100) AS BIGINT)) AS counter_cents,
+       CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS counter_cents,
        epoch_us(max(ts)) AS ts_us
 FROM events WHERE event_type <> 'error'
 GROUP BY user_id
@@ -444,18 +444,19 @@ def _q_bucket_checksums(spark, sf_dir):
     bucket = F.pmod(md5_int48_expr(F.col("user_id")), F.lit(16)).cast("long")
     rowh = md5_int48_expr(
         F.concat_ws("|", F.col("user_id"), F.col("event_id")))
+    # checksum is XOR-folded: stays a plain BIGINT in both engines at
+    # any row count (a sum needs int128 in DuckDB → driver hash drift)
     return (
         ev.groupBy(bucket.alias("bucket"))
         .agg(F.count("*").alias("row_count"),
-             F.sum(rowh.cast("decimal(38,0)")).alias("checksum"))
+             F.bit_xor(rowh).alias("checksum"))
     )
 
 
 _BUCKET_CHECKSUMS_ORACLE = f"""
 SELECT {md5_int48_sql('user_id')} % 16 AS bucket,
        count(*) AS row_count,
-       CAST(sum({md5_int48_sql("user_id || '|' || event_id")}) AS DECIMAL(38,0))
-         AS checksum
+       bit_xor({md5_int48_sql("user_id || '|' || event_id")}) AS checksum
 FROM events GROUP BY 1
 """
 
@@ -958,7 +959,7 @@ FROM events
         "timestamp_codec": _TIMESTAMP_CODEC_ORACLE,
         "counters_by_type": """
 SELECT event_type, count(*) AS n,
-       sum(CAST(round(value*100) AS BIGINT)) AS sum_cents,
+       CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS sum_cents,
        min(event_id) AS min_seq, max(event_id) AS max_seq
 FROM events GROUP BY event_type
 """,

@@ -44,13 +44,17 @@ def row_checksum_expr(*cols: str | Column) -> Column:
 
 
 def checksum_agg_expr(*cols: str | Column) -> Column:
-    """Order-insensitive aggregate checksum: ``sum(xxhash64(cols))``.
+    """Order-insensitive aggregate checksum: ``bit_xor(xxhash64(cols))``.
 
-    Summed in ``decimal(38,0)`` — ANSI-safe (a signed-long sum of 64-bit
-    hashes overflows under Spark 4's default ANSI mode; decimal holds
-    ~10^19 rows per group before it could).
+    XOR-folded, so the result stays a plain 64-bit long at ANY group
+    size (no ANSI-overflow risk, unlike a sum) and renders identically
+    in every engine (DuckDB ``bit_xor`` over BIGINT gives the same
+    value) — the canonical cross-engine per-bucket checksum. Paired
+    with the bucket row count in lineage rows, it detects any
+    single-row difference; duplicate full rows cancelling under XOR are
+    caught by the count.
     """
-    return F.sum(row_checksum_expr(*cols).cast("decimal(38,0)"))
+    return F.bit_xor(row_checksum_expr(*cols))
 
 
 def md5_int48_expr(col: str | Column, salt: int | None = None) -> Column:

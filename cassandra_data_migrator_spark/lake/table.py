@@ -62,6 +62,9 @@ from cassandra_data_migrator_spark.functions.hashing import (
 _BUCKET = "_bucket"     # int   — hash bucket of the key
 _DELETED = "_deleted"   # bool  — tombstone marker (delete events persist)
 _SEQ = "_seq"           # long  — event seq of the winning writer (tie-break)
+_CK = "_ck"             # long  — row checksum, precomputed at write time so
+                        #         the lineage pass reads 3 thin columns
+                        #         instead of re-scanning payloads
 _PB = "_pb"             # partition-dir duplicate of _bucket (not read back)
 INTERNAL_COLS = (_BUCKET, _DELETED, _SEQ)
 
@@ -373,7 +376,7 @@ class LakeTable:
         # driver-side result, ≤ n_buckets rows; payload columns pruned)
         touched, offsets = self._probe_source(src)
         if not touched:
-            return MergeResult(epoch_key=epoch_key, skipped=False, version=self.version)
+            return self._commit_empty_epoch(epoch_key, stream_id, epoch_id)
 
         target = self.read(buckets=touched, include_deleted=True,
                            include_internal=True)
@@ -431,6 +434,29 @@ class LakeTable:
         return self._write_and_commit(
             merged, offsets, touched, data_cols, epoch_key, stream_id, epoch_id)
 
+    def _commit_empty_epoch(
+        self, epoch_key: str | None, stream_id: str | None,
+        epoch_id: int | None,
+    ) -> MergeResult:
+        """An epoch whose batch is empty (e.g. every row skipped or
+        quarantined) still advances the fence with a metadata-only
+        commit: otherwise a checkpoint redelivery of the same epoch
+        would re-run its side effects (double-counted reject counters).
+        """
+        if stream_id is None or epoch_id is None:
+            return MergeResult(epoch_key=epoch_key, skipped=False,
+                               version=self.version)
+        m = json.loads(json.dumps(self.manifest))
+        m["version"] = self.version + 1
+        m["parent"] = self.version
+        m["epoch_key"] = epoch_key
+        m["epoch_fence"][stream_id] = max(
+            epoch_id, m["epoch_fence"].get(stream_id, -1))
+        m["lineage"] = []
+        self._commit(m)
+        return MergeResult(epoch_key=epoch_key, skipped=False,
+                           version=m["version"])
+
     def _probe_source(
         self, src: DataFrame
     ) -> tuple[list[int], dict[int, dict]]:
@@ -464,27 +490,30 @@ class LakeTable:
         rel, absdir = self._new_data_dir()
         # already clustered by _bucket: the partitionBy(_PB) write
         # splits per-bucket dirs with no extra shuffle, and each
-        # bucket still lands in exactly one file
-        (merged.withColumn(_PB, F.col(_BUCKET))
+        # bucket still lands in exactly one file. The per-row checksum
+        # is computed inline here (codegen'd xxhash64) and persisted as
+        # a thin internal column.
+        ck = F.when(~F.col(_DELETED),
+                    row_checksum_expr(self.key_col, self.ts_col, *data_cols)) \
+             .otherwise(F.lit(0)).cast("long")
+        (merged.withColumn(_CK, ck)
+               .withColumn(_PB, F.col(_BUCKET))
                .write.partitionBy(_PB).parquet(absdir))
         files = self._list_written_files(rel, absdir)
 
-        # per-bucket lineage (row count, order-insensitive checksum,
+        # per-bucket lineage (row count, order-insensitive XOR checksum,
         # applied-event offsets — reference run_details analog), computed
-        # by re-reading the files just written: cheaper than caching the
-        # whole uncompressed merge output for a second pass, and the
-        # checksum then covers what is actually durable on disk
+        # from the files just written so the checksum covers what is
+        # actually durable on disk. Reads ONLY (_bucket, _deleted, _ck):
+        # a column-pruned parquet scan that never touches payloads —
+        # the per-epoch lineage cost is O(rows) over 13 bytes/row, not
+        # a full re-read.
         written = self.spark.read.parquet(absdir)
         lineage_df = (
             written.groupBy(F.col(_BUCKET)).agg(
                 F.sum(F.when(~F.col(_DELETED), 1).otherwise(0)).alias("live_rows"),
                 F.count("*").alias("rows_with_tombstones"),
-                F.sum(F.when(~F.col(_DELETED),
-                             row_checksum_expr(self.key_col, self.ts_col,
-                                               *data_cols)
-                             .cast("decimal(38,0)"))
-                      .otherwise(F.lit(0).cast("decimal(38,0)")))
-                 .alias("checksum"),
+                F.bit_xor(F.col(_CK)).alias("checksum"),
             ))
         lineage_rows = []
         for r in lineage_df.collect():
@@ -581,16 +610,19 @@ class LakeTable:
 
         touched, offsets = self._probe_source(src)
         if not touched:
-            return MergeResult(epoch_key=epoch_key, skipped=False,
-                               version=self.version)
+            return self._commit_empty_epoch(epoch_key, stream_id, epoch_id)
 
-        # stored rows contribute their current value as the base term
-        base = (
-            self.read(buckets=touched, include_deleted=True,
-                      include_internal=True)
-            .filter(~F.col(_DELETED))
-            .select(src.columns)
-        )
+        # stored rows contribute their current value as the base term;
+        # tombstones previously written to a touched bucket (by
+        # merge_batch on the same table) are carried through UNCHANGED —
+        # the bucket rewrite must not discard them, or a late pre-delete
+        # update replayed later via merge_batch could resurrect the key.
+        stored = self.read(buckets=touched, include_deleted=True,
+                           include_internal=True)
+        out_cols = [self.key_col, self.ts_col, *counter_cols,
+                    _BUCKET, _DELETED, _SEQ]
+        tombstones = stored.filter(F.col(_DELETED)).select(*out_cols)
+        base = stored.filter(~F.col(_DELETED)).select(src.columns)
         unioned = base.unionByName(src)
         n_part = max(len(touched),
                      self.spark.sparkContext.defaultParallelism)
@@ -603,8 +635,8 @@ class LakeTable:
                  F.max(self.ts_col).alias(self.ts_col),
                  F.max(_SEQ).alias(_SEQ))
             .withColumn(_DELETED, F.lit(False))
-            .select(self.key_col, self.ts_col, *counter_cols,
-                    _BUCKET, _DELETED, _SEQ)
+            .select(*out_cols)
+            .unionByName(tombstones)
         )
         return self._write_and_commit(
             merged, offsets, touched, data_cols, epoch_key, stream_id, epoch_id)

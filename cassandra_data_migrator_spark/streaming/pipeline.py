@@ -44,7 +44,7 @@ from cassandra_data_migrator_spark.sources.event_log import read_event_stream
 
 LINEAGE_SCHEMA = (
     "epoch_id long, bucket int, live_rows long, rows_with_tombstones long, "
-    "checksum decimal(38,0), min_seq long, max_seq long, events long, "
+    "checksum long, min_seq long, max_seq long, events long, "
     "version int, stream_id string"
 )
 COUNTERS_SCHEMA = (
@@ -58,7 +58,7 @@ def _arrow_schemas():
     lineage = pa.schema([
         ("epoch_id", pa.int64()), ("bucket", pa.int32()),
         ("live_rows", pa.int64()), ("rows_with_tombstones", pa.int64()),
-        ("checksum", pa.decimal128(38, 0)), ("min_seq", pa.int64()),
+        ("checksum", pa.int64()), ("min_seq", pa.int64()),
         ("max_seq", pa.int64()), ("events", pa.int64()),
         ("version", pa.int32()), ("stream_id", pa.string()),
     ])
@@ -74,19 +74,23 @@ def _arrow_schemas():
 _LINEAGE_ARROW, _COUNTERS_ARROW = _arrow_schemas()
 
 
-def _append_parquet(path: str, rows: list[dict], schema) -> None:
-    """Driver-side parquet append of a tiny row list (no Spark job)."""
+def _append_parquet(path: str, rows: list[dict], schema,
+                    file_key: str | None = None) -> None:
+    """Driver-side parquet append of a tiny row list (no Spark job).
+
+    When ``file_key`` is given (e.g. ``"<stream_id>-<epoch_id>"``) the
+    file name is deterministic and an existing file is overwritten —
+    making the append idempotent under checkpoint redelivery of the
+    same epoch.
+    """
     import uuid
-    from decimal import Decimal
 
     import pyarrow as pa
     import pyarrow.parquet as pq
-    for r in rows:  # decimal128 column needs Decimal values
-        if r.get("checksum") is not None:
-            r["checksum"] = Decimal(r["checksum"])
     os.makedirs(path, exist_ok=True)
+    name = file_key if file_key is not None else uuid.uuid4().hex
     table = pa.Table.from_pylist(rows, schema=schema)
-    pq.write_table(table, os.path.join(path, f"part-{uuid.uuid4().hex}.parquet"))
+    pq.write_table(table, os.path.join(path, f"part-{name}.parquet"))
 
 
 class CdcPipeline:
@@ -203,8 +207,10 @@ class CdcPipeline:
              "stream_id": self.stream_id}
             for r in result.lineage
         ]
+        key = f"{self.stream_id}-{epoch_id}"
         if rows:
-            _append_parquet(self.lineage_path, rows, _LINEAGE_ARROW)
+            _append_parquet(self.lineage_path, rows, _LINEAGE_ARROW,
+                            file_key=key)
         c = result.counters or {}
         _append_parquet(self.counters_path, [{
             "epoch_id": epoch_id,
@@ -213,7 +219,7 @@ class CdcPipeline:
             "quarantined": n_quar,
             "events_applied": c.get("events", 0),
             "buckets": c.get("buckets", 0), "stream_id": self.stream_id,
-        }], _COUNTERS_ARROW)
+        }], _COUNTERS_ARROW, file_key=key)
 
     # ------------------------------------------------------- entrypoints
 

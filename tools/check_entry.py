@@ -22,14 +22,21 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
 
 
 def norm_cell(v):
+    # type-tagged: a Decimal/float that happens to print like an int must
+    # NOT hash-match an int — the driver's hasher distinguishes them (the
+    # r1 counter_merge/bucket_checksums driver-red came from exactly this:
+    # DuckDB HUGEINT/DECIMAL sums vs Spark longs).
+    from decimal import Decimal
     if v is None:
         return "∅"
+    if isinstance(v, bool):
+        return str(bool(v)).lower()
     if isinstance(v, float):
         if math.isnan(v):
             return "nan"
-        return f"{v:.10g}"
-    if isinstance(v, bool):
-        return str(bool(v)).lower()
+        return f"f:{v:.10g}"
+    if isinstance(v, Decimal):
+        return f"dec:{v}"
     return str(v)
 
 
@@ -80,7 +87,10 @@ def main():
         try:
             res = con.sql(sql)
             ocols = [c for c in res.columns]
-            orows = res.fetchall()
+            # Arrow fetch (not fetchall): HUGEINT surfaces as decimal128 →
+            # Decimal, exactly the typed value the driver's hasher sees
+            orows = [tuple(d[c] for c in ocols)
+                     for d in res.arrow().to_pylist()]
         except Exception as ex:
             print(f"FAIL  {name}: duckdb error: {ex}")
             failures.append(name)
