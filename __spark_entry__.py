@@ -655,7 +655,7 @@ WHERE CAST(i.inter_size AS DOUBLE) / (sa.sz + sb.sz - i.inter_size) >= 0.2
 
 def _q_simhash(spark, sf_dir):
     docs = _tbl(spark, sf_dir, "documents")
-    return D.simhash(docs, "doc_id", "text", bits=16)
+    return D.simhash(docs, "doc_id", "text", bits=48)
 
 
 def _simhash_oracle(bits: int = 16) -> str:
@@ -674,16 +674,18 @@ SELECT doc_id, CAST({fp} AS BIGINT) AS simhash FROM per
 
 def _q_simhash_dup_pairs(spark, sf_dir):
     """SimHash near-dup: complete segment-bucket candidates (pigeonhole
-    over max_hamming+1 segments) + exact bit_count verify."""
+    over max_hamming+1 segments) + exact bit_count verify. 48-bit
+    fingerprints → 12-bit segments: candidate buckets stay sparse at
+    scale (16-bit segments collapse to 16 values → near-quadratic)."""
     docs = _tbl(spark, sf_dir, "documents")
-    out = D.simhash_dup_pairs(docs, "doc_id", "text", bits=16, max_hamming=3)
+    out = D.simhash_dup_pairs(docs, "doc_id", "text", bits=48, max_hamming=3)
     return out.select("id_a", "id_b", F.col("hamming").cast("long").alias("hamming"))
 
 
 def _simhash_pairs_oracle() -> str:
     # brute-force oracle: all-pairs hamming (the Spark side must find
     # exactly these, proving the segment candidates are complete)
-    fp = _simhash_oracle(16)
+    fp = _simhash_oracle(48)
     return f"""
 WITH fp AS ({fp})
 SELECT a.doc_id AS id_a, b.doc_id AS id_b,
@@ -791,13 +793,75 @@ FROM p QUALIFY rank <= 5
 
 def _q_ann_lsh_topk(spark, sf_dir):
     """Approximate NN: multi-table random-hyperplane LSH bucketing →
-    candidate equi-join → exact re-rank (the 100 TB scale path; no
-    SQL oracle — approximation is recall-bounded, not value-equal)."""
+    candidate equi-join → exact re-rank (the 100 TB scale path). The
+    planes are deterministic (md5-seeded), so the FULL approximate
+    result is oracle-checkable: the DuckDB oracle replays the identical
+    plane matrix, bucketing, multiprobe and re-rank."""
     emb = _tbl(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10)
-    out = SIM.lsh_ann_topk(emb, queries, k=5, n_planes=6, n_tables=4)
+    out = SIM.lsh_ann_topk(emb, queries, k=5, n_planes=6, n_tables=4, dim=64)
     return out.select("query_id", "neighbor_id", "cosine",
                       F.col("rank").cast("long").alias("rank"))
+
+
+def _ann_lsh_oracle(k: int = 5, n_planes: int = 6, n_tables: int = 4,
+                    seed: int = 42, dim: int = 64) -> str:
+    """DuckDB replay of :func:`SIM.lsh_ann_topk` — same md5-derived
+    plane literals, same sign-pattern buckets, same single-bit-flip
+    multiprobe, same round(cosine, 4) re-rank. Plane values are exact
+    multiples of 0.001 embedded via ``repr`` (round-trips to the same
+    IEEE double in both engines)."""
+    rows = []
+    for t in range(n_tables):
+        for j, plane in enumerate(SIM._plane_matrix(n_planes, dim,
+                                                    seed + 1000 * t)):
+            vec = "[" + ", ".join(repr(x) for x in plane) + "]"
+            rows.append(f"({t}, {j}, CAST({vec} AS DOUBLE[]))")
+    values = ",\n".join(rows)
+    dot_c = ("list_sum(list_transform(range(1, len(cv)+1), "
+             "i -> CAST(cv[i] AS DOUBLE) * pv[i]))")
+    dot_q = ("list_sum(list_transform(range(1, len(qv)+1), "
+             "i -> CAST(qv[i] AS DOUBLE) * pv[i]))")
+    return f"""
+WITH pl AS (SELECT * FROM (VALUES {values}) AS t(tbl, j, pv)),
+c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings),
+q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+      WHERE vec_id < 10),
+cbits AS (
+  SELECT neighbor_id, tbl,
+         CAST(sum(CASE WHEN {dot_c} >= 0
+                       THEN CAST(1 AS BIGINT) << j ELSE 0 END) AS BIGINT)
+           AS bits
+  FROM c, pl GROUP BY neighbor_id, tbl),
+qbits AS (
+  SELECT query_id, tbl,
+         CAST(sum(CASE WHEN {dot_q} >= 0
+                       THEN CAST(1 AS BIGINT) << j ELSE 0 END) AS BIGINT)
+           AS bits
+  FROM q, pl GROUP BY query_id, tbl),
+qprobes AS (
+  SELECT query_id, tbl,
+         unnest([bits] || list_transform(range(0, {n_planes}),
+                jj -> xor(bits, CAST(1 AS BIGINT) << jj))) AS pbits
+  FROM qbits),
+cand AS (
+  SELECT DISTINCT qp.query_id, cb.neighbor_id
+  FROM qprobes qp JOIN cbits cb ON qp.tbl = cb.tbl AND qp.pbits = cb.bits
+  WHERE qp.query_id <> cb.neighbor_id),
+p AS (
+  SELECT cand.query_id, cand.neighbor_id,
+    round(
+      list_sum(list_transform(range(1, len(qv)+1),
+               i -> CAST(qv[i] AS DOUBLE) * CAST(cv[i] AS DOUBLE)))
+      / (sqrt(list_sum(list_transform(qv, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))
+       * sqrt(list_sum(list_transform(cv, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))),
+      4) AS cosine
+  FROM cand JOIN q USING(query_id) JOIN c USING(neighbor_id))
+SELECT query_id, neighbor_id, cosine,
+       row_number() OVER (PARTITION BY query_id
+                          ORDER BY cosine DESC, neighbor_id) AS rank
+FROM p QUALIFY rank <= {k}
+"""
 
 
 def _q_media_meta(spark, sf_dir):
@@ -973,11 +1037,11 @@ FROM documents GROUP BY md5(text)
         "minhash_signatures": _MINHASH_SIG_ORACLE,
         "jaccard_pairs": _JACCARD_ORACLE,
         "minhash_lsh_dedup": _MINHASH_LSH_ORACLE,
-        "simhash": _simhash_oracle(16),
+        "simhash": _simhash_oracle(48),
         "simhash_dup_pairs": _simhash_pairs_oracle(),
         "lang_id": _lang_id_oracle(),
         "token_quality": _TOKEN_QUALITY_ORACLE,
         "doc_fingerprint": _DOC_FINGERPRINT_ORACLE,
         "cosine_topk": _COSINE_TOPK_ORACLE,
-        # ann_lsh_topk: approximate — rows-only check by design
+        "ann_lsh_topk": _ann_lsh_oracle(),
     }

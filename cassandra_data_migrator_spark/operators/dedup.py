@@ -129,20 +129,35 @@ def jaccard_pairs(
     ``(id_a, id_b, inter_size, size_a, size_b, jaccard)``; restricted to
     ``candidates`` when given (the LSH output), else all pairs sharing
     ≥1 shingle. Joins only on shingle/id keys — no cross join.
+
+    With ``candidates`` the expensive step is BOUNDED by them: the
+    intersection is computed as candidates → a-side shingles →
+    equi-join on ``(id_b, shingle)``, i.e. O(|candidates| ×
+    shingles/doc) — the whole point of LSH. The inverted-index
+    self-join (quadratic in stop-shingle frequency) only runs in the
+    unrestricted mode.
     """
     sh = shingles(df, id_col, text_col, n=shingle_n)
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("sz"))
-    a = sh.alias("a")
-    b = sh.alias("b")
-    inter = (
-        a.join(b, on="shingle")
-        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
-        .groupBy(F.col(f"a.{id_col}").alias("id_a"),
-                 F.col(f"b.{id_col}").alias("id_b"))
-        .agg(F.count("*").alias("inter_size"))
-    )
     if candidates is not None:
-        inter = inter.join(candidates, on=["id_a", "id_b"], how="left_semi")
+        inter = (
+            candidates.select("id_a", "id_b")
+            .join(sh.withColumnRenamed(id_col, "id_a"), on="id_a")
+            .join(sh.withColumnRenamed(id_col, "id_b"),
+                  on=["id_b", "shingle"])
+            .groupBy("id_a", "id_b")
+            .agg(F.count("*").alias("inter_size"))
+        )
+    else:
+        a = sh.alias("a")
+        b = sh.alias("b")
+        inter = (
+            a.join(b, on="shingle")
+            .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+            .groupBy(F.col(f"a.{id_col}").alias("id_a"),
+                     F.col(f"b.{id_col}").alias("id_b"))
+            .agg(F.count("*").alias("inter_size"))
+        )
     out = (
         inter
         .join(sizes.withColumnsRenamed({id_col: "id_a", "sz": "size_a"}), "id_a")
@@ -170,7 +185,7 @@ def minhash_dedup_pairs(
 
 
 def simhash(df: DataFrame, id_col: str, text_col: str,
-            bits: int = 16) -> DataFrame:
+            bits: int = 48) -> DataFrame:
     """SimHash fingerprint: per-bit majority vote over token hashes.
 
     ``(id, simhash)`` where bit j is set iff more token hashes have bit
@@ -196,7 +211,7 @@ def simhash(df: DataFrame, id_col: str, text_col: str,
 
 
 def simhash_dup_pairs(df: DataFrame, id_col: str, text_col: str,
-                      bits: int = 16, max_hamming: int = 2) -> DataFrame:
+                      bits: int = 48, max_hamming: int = 3) -> DataFrame:
     """Near-dup pairs by simhash hamming distance ≤ max_hamming.
 
     Candidate generation splits the fingerprint into ``max_hamming + 1``
@@ -205,6 +220,12 @@ def simhash_dup_pairs(df: DataFrame, id_col: str, text_col: str,
     buckets are a COMPLETE candidate set (no missed pairs). Exact
     ``bit_count`` verify afterwards. Candidate volume is tuned by
     ``bits`` (wider fingerprint → smaller buckets).
+
+    Scale rule: keep every segment ≥ 12 bits (``bits >= 12 *
+    (max_hamming + 1)``) or buckets collapse to a handful of distinct
+    values and candidate volume goes near-quadratic — the md5-derived
+    hash provides 48 usable bits, so the 48/3 default gives 4 × 12-bit
+    segments (4096 bucket values each).
     """
     fps = simhash(df, id_col, text_col, bits)
     n_seg = max_hamming + 1

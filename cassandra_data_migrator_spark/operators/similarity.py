@@ -113,6 +113,7 @@ def lsh_ann_topk(
     id_col: str = "vec_id", vec_col: str = "embedding",
     n_planes: int = 6, n_tables: int = 4, seed: int = 42,
     multiprobe: bool = True, round_digits: int | None = 4,
+    dim: int | None = None,
 ) -> DataFrame:
     """Approximate top-k: multi-table hyperplane LSH → candidate
     equi-join → exact cosine re-rank.
@@ -128,7 +129,10 @@ def lsh_ann_topk(
     """
     from pyspark.sql import Window
 
-    dim = len(corpus.select(vec_col).first()[0])
+    if dim is None:
+        # fallback only — pass ``dim`` explicitly in pipelines: this is
+        # a driver-side action over the corpus in the hot path
+        dim = len(corpus.select(vec_col).first()[0])
 
     def bucket_for_table(t: int) -> Column:
         planes = _plane_matrix(n_planes, dim, seed + 1000 * t)

@@ -15,9 +15,22 @@ from pyspark.sql import DataFrame
 
 
 def explain_str(df: DataFrame, mode: str = "formatted") -> str:
-    """The physical plan as a string (what ``df.explain(mode)`` prints)."""
-    return df._sc._jvm.PythonSQLUtils.explainString(  # type: ignore[attr-defined]
-        df._jdf.queryExecution(), mode)
+    """The physical plan as a string (what ``df.explain(mode)`` prints).
+
+    Prefers the JVM fast path, but degrades to capturing
+    ``df.explain(mode)`` stdout so the plan helpers keep working under
+    Spark Connect / across PySpark internal-API drift.
+    """
+    try:
+        return df._sc._jvm.PythonSQLUtils.explainString(  # type: ignore[attr-defined]
+            df._jdf.queryExecution(), mode)
+    except Exception:
+        import contextlib
+        import io
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            df.explain(mode=mode)
+        return buf.getvalue()
 
 
 def count_exchanges(df: DataFrame) -> int:

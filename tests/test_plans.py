@@ -62,6 +62,28 @@ def test_topk_uses_window_group_limit(spark, tmpdir_path):
     assert plans.has_window_group_limit(out)
 
 
+def test_candidate_bounded_jaccard_has_no_shingle_selfjoin(spark):
+    """With LSH candidates supplied, the exact-Jaccard verify must be
+    bounded by them: the plan may join on (id, shingle) keys but NEVER
+    run the inverted-index self-join on shingle alone (quadratic in
+    stop-shingle frequency — the r1 scale-killer)."""
+    import re
+
+    from cassandra_data_migrator_spark.operators import dedup as D
+
+    docs = spark.createDataFrame(
+        [(1, "a b c"), (2, "a b d"), (3, "x y z")], "doc_id long, text string")
+    cand = spark.createDataFrame([(1, 2)], "id_a long, id_b long")
+    out = D.jaccard_pairs(docs, "doc_id", "text", candidates=cand)
+    plan = plans.explain_str(out, "simple")
+    join_keys = re.findall(
+        r"(?:SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)\w*\s*"
+        r"(?:\w+\s+)?\[([^\]]*)\]", plan)
+    for keys in join_keys:
+        names = {k.strip().split("#")[0] for k in keys.split(",") if k.strip()}
+        assert names != {"shingle"}, plan
+
+
 def test_scan_prunes_columns(spark, tmpdir_path):
     df = _log(spark, tmpdir_path).select("url")
     plan = plans.explain_str(df, "formatted")
