@@ -568,6 +568,233 @@ def _q_counters_by_type(spark, sf_dir):
         F.max("event_id").alias("max_seq"))
 
 
+def _q_row_ttl_expiry(spark, sf_dir):
+    """TTL propagation (WritetimeTTL's TTL half,
+    feature/WritetimeTTL.java:104-177,259-281 + USING TTL write,
+    TargetUpsertStatement.java:113-130; SIT/smoke/03_ttl_writetime):
+    rows carry expires_at = ts + TTL; LakeTable.read(as_of=...) filters
+    expired rows. Every 5th event has no TTL (never expires)."""
+    ev = _change_events(spark, sf_dir)
+    ev = ev.withColumn(
+        "ttl_secs",
+        F.when(F.col("seq") % 5 == 0, F.lit(None).cast("long"))
+         .otherwise((F.col("seq") % 1000 + 1) * 3600))
+    ev = TR.ttl_expiry(ev, "ts", "ttl_secs")
+    schema = T.StructType(
+        list(_STATE_SCHEMA.fields)
+        + [T.StructField("expires_at", T.TimestampNTZType(), True)])
+    table = LakeTable.create(
+        spark, _tmpdir("ttl"), schema,
+        EngineConfig(n_buckets=16, key_col="user_id", ts_col="ts",
+                     expires_col="expires_at"))
+    table.merge_batch(ev.drop("ttl_secs"), stream_id="q_ttl", epoch_id=0)
+    return table.read(as_of=datetime(2024, 1, 20)).select(
+        "user_id", _ts_us("ts").alias("ts_us"),
+        _ts_us("expires_at").alias("expires_us"))
+
+
+_ROW_TTL_ORACLE = """
+WITH ranked AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events),
+s AS (
+  SELECT user_id, epoch_us(ts) AS ts_us,
+         CASE WHEN event_id % 5 <> 0
+              THEN epoch_us(ts) + (event_id % 1000 + 1) * 3600 * 1000000
+         END AS expires_us
+  FROM ranked WHERE rn = 1 AND event_type <> 'error')
+SELECT user_id, ts_us, expires_us FROM s
+WHERE expires_us IS NULL
+   OR expires_us > epoch_us(TIMESTAMP '2024-01-20')
+"""
+
+
+def _q_list_element_cast(spark, sf_dir):
+    """Element-wise LIST conversion (T2 collections,
+    data/CqlConversion.java:290-321; SIT/features/03_codec): cast each
+    array element through a codec (long→string here)."""
+    ev = _tbl(spark, sf_dir, "events").withColumn(
+        "arr", F.array(F.col("event_id"), F.col("event_id") * 2 + 1))
+    out = TR.cast_array_elements(ev, "arr", "string")
+    return out.select(
+        "event_id", F.posexplode(F.col("arr")).alias("pos", "elem")
+    ).withColumn("pos", F.col("pos").cast("long"))
+
+
+_LIST_CAST_ORACLE = """
+SELECT event_id, 0 AS pos, CAST(event_id AS VARCHAR) AS elem FROM events
+UNION ALL
+SELECT event_id, 1 AS pos, CAST(event_id*2+1 AS VARCHAR) AS elem FROM events
+"""
+
+
+def _q_udt_collection_codec(spark, sf_dir):
+    """UDT→UDT field mapper + MAP value codec
+    (data/CqlConversion.java:322-375; SIT/features/04_udt_mapper):
+    struct fields renamed+cast, map values cast, emitted flattened."""
+    ev = _tbl(spark, sf_dir, "events").withColumn(
+        "u", F.struct(F.col("event_type").alias("a"),
+                      F.col("event_id").alias("b"))
+    ).withColumn(
+        "m", F.create_map(F.lit("id"), F.col("event_id")))
+    out = TR.map_struct_fields(
+        ev, "u", {"etype": ("a", "string"), "eid_str": ("b", "string")})
+    out = TR.cast_map_values(out, "m", "string")
+    return out.select(
+        "event_id", F.col("u.etype").alias("etype"),
+        F.col("u.eid_str").alias("eid_str"),
+        F.element_at(F.col("m"), "id").alias("mval"))
+
+
+_UDT_CODEC_ORACLE = """
+SELECT event_id, event_type AS etype,
+       CAST(event_id AS VARCHAR) AS eid_str,
+       CAST(event_id AS VARCHAR) AS mval
+FROM events
+"""
+
+
+def _q_custom_where_filter(spark, sf_dir):
+    """F2 config-driven origin WHERE condition
+    (feature/OriginFilterCondition.java:25-77): free-form predicate
+    ANDed into the scan via split_events; failing rows → skipped."""
+    ev = _change_events(spark, sf_dir)
+    cfg = EngineConfig(
+        n_buckets=16, key_col="user_id", ts_col="ts",
+        origin_filter_condition="value > 50 AND event_type <> 'error'")
+    valid, _skipped, _quar = FL.split_events(ev, cfg)
+    return valid.select("seq", _cents("value").alias("value_cents"))
+
+
+_CUSTOM_WHERE_ORACLE = """
+SELECT event_id AS seq, CAST(round(value*100) AS BIGINT) AS value_cents
+FROM events WHERE value > 50 AND event_type <> 'error'
+"""
+
+
+def _q_guardrail_all_columns(spark, sf_dir):
+    """F7 full parity: guardrail defaults to EVERY column, fixed-width
+    primitives included (feature/Guardrail.java:101-125,
+    schema/CqlTable.java:327-340)."""
+    docs = _tbl(spark, sf_dir, "documents")
+    out = FL.guardrail_check(docs, None, 0.25)
+    return out.select("doc_id", "guardrail_max_kb", "guardrail_large")
+
+
+_GUARDRAIL_ALL_ORACLE = """
+SELECT doc_id,
+       CAST(greatest(
+         CASE WHEN doc_id IS NOT NULL THEN 8 ELSE 0 END,
+         coalesce(strlen(text), 0), coalesce(strlen(lang), 0),
+         coalesce(strlen(source), 0),
+         CASE WHEN n_chars IS NOT NULL THEN 8 ELSE 0 END)
+         AS DOUBLE) / 1024.0 AS guardrail_max_kb,
+       CAST(greatest(
+         CASE WHEN doc_id IS NOT NULL THEN 8 ELSE 0 END,
+         coalesce(strlen(text), 0), coalesce(strlen(lang), 0),
+         coalesce(strlen(source), 0),
+         CASE WHEN n_chars IS NOT NULL THEN 8 ELSE 0 END)
+         AS DOUBLE) / 1024.0 > 0.25 AS guardrail_large
+FROM documents
+"""
+
+
+def _q_sampled_validation(spark, sf_dir):
+    """Coverage-percent sampling (job/SplitPartitions.java:66-68):
+    deterministic hash-of-key sample — reproducible run-over-run and
+    engine-independent, unlike rand()."""
+    return _lww_state(spark, sf_dir).filter(
+        FL.sample_predicate("user_id", 37.0))
+
+
+_SAMPLED_VALIDATION_ORACLE = f"""
+SELECT * FROM ({_lww_state_sql()})
+WHERE {FL.sample_predicate_sql("user_id", 37.0)}
+"""
+
+
+def _q_diff_virtual_columns(spark, sf_dir):
+    """Feature-aware diff (DiffJobSession.java:243-330): constant and
+    extracted-JSON target columns have no physical origin counterpart —
+    they are compared through the feature's expression. A tenth of the
+    target rows carry a corrupted extracted value to prove the virtual
+    compare actually fires."""
+    origin = (
+        _lww_state(spark, sf_dir)
+        .join(_tbl(spark, sf_dir, "events").select(
+            F.col("event_id").alias("last_event_id"), "props"),
+            "last_event_id"))
+    target = (
+        origin
+        .withColumn("k", F.when(F.col("user_id") % 10 == 0,
+                                F.lit("corrupted"))
+                          .otherwise(F.get_json_object("props", "$.k")))
+        .withColumn("run_id", F.lit("r1"))
+        .drop("props"))
+    d = DIFF.diff_tables(
+        origin, target, key_cols=("user_id",),
+        compare_cols=("last_event_id",),
+        virtual_cols={
+            "k": (F.get_json_object("props", "$.k"), F.col("k")),
+            "run_id": (F.lit("r1"), F.col("run_id")),
+        })
+    return d.select(
+        "user_id", F.col(DIFF.DIFF_STATUS).alias("diff_status"),
+        F.size(DIFF.MISMATCH_COLS).cast("long").alias("n_mismatch_cols"))
+
+
+_DIFF_VIRTUAL_ORACLE = f"""
+WITH o AS ({_lww_state_sql()}),
+j AS (SELECT o.user_id, e.props FROM o
+      JOIN events e ON e.event_id = o.last_event_id)
+SELECT user_id,
+       CASE WHEN user_id % 10 = 0
+             AND (json_extract_string(props, '$.k')
+                  IS DISTINCT FROM 'corrupted')
+            THEN 'mismatch' ELSE 'valid' END AS diff_status,
+       CAST(CASE WHEN user_id % 10 = 0
+             AND (json_extract_string(props, '$.k')
+                  IS DISTINCT FROM 'corrupted')
+            THEN 1 ELSE 0 END AS BIGINT) AS n_mismatch_cols
+FROM j
+"""
+
+
+def _q_vector_merge(spark, sf_dir):
+    """vector<float> through the merge path (SIT/smoke/06_vector): an
+    array<float> payload column survives the bucketed CoW MERGE
+    byte-identically — proven by reading it back and re-ranking."""
+    emb = _tbl(spark, sf_dir, "embeddings")
+    src = (emb
+           .withColumn("ts", F.lit(datetime(2024, 1, 1))
+                              .cast("timestamp_ntz"))
+           .withColumn("op", F.lit("update"))
+           .withColumn("seq", F.col("vec_id")))
+    schema = T.StructType([
+        T.StructField("vec_id", T.LongType(), False),
+        T.StructField("ts", T.TimestampNTZType(), True),
+        T.StructField("embedding", T.ArrayType(T.FloatType()), True),
+        T.StructField("label", T.IntegerType(), True),
+    ])
+    table = LakeTable.create(
+        spark, _tmpdir("vector"), schema,
+        EngineConfig(n_buckets=16, key_col="vec_id", ts_col="ts"))
+    table.merge_batch(src, stream_id="q_vec", epoch_id=0)
+    return table.read().select(
+        "vec_id", F.col("label").cast("long").alias("label"),
+        F.round(SIM.norm_expr(F.col("embedding")), 4).alias("norm"))
+
+
+_VECTOR_MERGE_ORACLE = """
+SELECT vec_id, CAST(label AS BIGINT) AS label,
+       round(sqrt(list_sum(list_transform(
+         embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 4)
+         AS norm
+FROM embeddings
+"""
+
+
 # ------------------------------------------------------------ training ops
 
 def _q_exact_dedup(spark, sf_dir):
@@ -946,6 +1173,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "column_value_skip": _q_column_value_skip,
         "null_ts_default": _q_null_ts_default,
         "guardrail_large_rows": _q_guardrail_large_rows,
+        "guardrail_all_columns": _q_guardrail_all_columns,
+        "custom_where_filter": _q_custom_where_filter,
+        "sampled_validation": _q_sampled_validation,
         # transforms (§2.4) + metrics (§2.6)
         "extract_json": _q_extract_json,
         "explode_map": _q_explode_map,
@@ -954,6 +1184,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "map_null_scrub": _q_map_null_scrub,
         "timestamp_codec": _q_timestamp_codec,
         "counters_by_type": _q_counters_by_type,
+        "row_ttl_expiry": _q_row_ttl_expiry,
+        "list_element_cast": _q_list_element_cast,
+        "udt_collection_codec": _q_udt_collection_codec,
+        "diff_virtual_columns": _q_diff_virtual_columns,
+        "vector_merge": _q_vector_merge,
         # vectorized pandas-UDF transforms (§2.10, north rule)
         "extract_text_udf": _q_extract_text_udf,
         "normalize_lang_udf": _q_normalize_lang_udf,
@@ -1003,6 +1238,14 @@ SELECT event_id,
 FROM events
 """,
         "guardrail_large_rows": _GUARDRAIL_ORACLE,
+        "guardrail_all_columns": _GUARDRAIL_ALL_ORACLE,
+        "custom_where_filter": _CUSTOM_WHERE_ORACLE,
+        "sampled_validation": _SAMPLED_VALIDATION_ORACLE,
+        "row_ttl_expiry": _ROW_TTL_ORACLE,
+        "list_element_cast": _LIST_CAST_ORACLE,
+        "udt_collection_codec": _UDT_CODEC_ORACLE,
+        "diff_virtual_columns": _DIFF_VIRTUAL_ORACLE,
+        "vector_merge": _VECTOR_MERGE_ORACLE,
         "extract_json": """
 SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
 FROM events

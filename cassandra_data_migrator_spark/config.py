@@ -44,6 +44,18 @@ class EngineConfig:
     skip_column: str | None = None    # column-value filter: skip row iff
     skip_value: str | None = None     # upper(trim(col)) == upper(value)
     column_skip_list: tuple[str, ...] = ()   # ref CqlTable.java:479-483
+    # free-form SQL predicate ANDed into the origin scan — the analog of
+    # spark.cdm.filter.cassandra.whereCondition
+    # (ref feature/OriginFilterCondition.java:25-77); rows failing it are
+    # counted as skipped, and as a Catalyst expr it pushes down to the scan
+    origin_filter_condition: str | None = None
+    # deterministic coverage sampling (ref job/SplitPartitions.java:66-68
+    # coveragePercent): keep ~percent% of keys by portable key-hash —
+    # reproducible across engines/runs, unlike rand()-based sampling
+    sample_percent: float | None = None
+
+    # --- TTL propagation (ref feature/WritetimeTTL.java:104-177) ---------
+    expires_col: str | None = None    # column read() treats as row expiry
 
     # --- null-PK handling (ref CqlTable.java:375-400) --------------------
     null_ts_default: datetime | None = field(

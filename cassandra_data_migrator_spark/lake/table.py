@@ -135,6 +135,9 @@ class LakeTable:
             raise ValueError(f"key column {config.key_col!r} not in schema")
         if config.ts_col not in schema.fieldNames():
             raise ValueError(f"ts column {config.ts_col!r} not in schema")
+        if config.expires_col and config.expires_col not in schema.fieldNames():
+            raise ValueError(
+                f"expires column {config.expires_col!r} not in schema")
         os.makedirs(os.path.join(path, "_manifests"), exist_ok=True)
         os.makedirs(os.path.join(path, "data"), exist_ok=True)
         fields = _schema_to_fields(schema)
@@ -146,6 +149,7 @@ class LakeTable:
                 "n_buckets": config.n_buckets,
                 "key_col": config.key_col,
                 "ts_col": config.ts_col,
+                "expires_col": config.expires_col,
             },
             "schema_version": 1,
             "schemas": {"1": fields},
@@ -187,6 +191,10 @@ class LakeTable:
         return self.manifest["config"]["ts_col"]
 
     @property
+    def expires_col(self) -> str | None:
+        return self.manifest["config"].get("expires_col")
+
+    @property
     def version(self) -> int:
         return self.manifest["version"]
 
@@ -207,6 +215,7 @@ class LakeTable:
         buckets: list[int] | None = None,
         include_deleted: bool = False,
         include_internal: bool = False,
+        as_of: Any | None = None,
     ) -> DataFrame:
         """Current snapshot as a DataFrame; prunes to ``buckets`` if given.
 
@@ -215,6 +224,13 @@ class LakeTable:
         columns surface as null (Iceberg-style id-based evolution —
         reference analog: the origin→target correspondingIndexes map,
         ``schema/CqlTable.java:408-428``).
+
+        ``as_of`` (a datetime): when the table has an ``expires_col``
+        configured, rows whose expiry is at or before ``as_of`` are
+        filtered out — the read-side half of Cassandra TTL semantics
+        (write side: :func:`operators.transforms.ttl_expiry`). Null
+        expiry means the row never expires. The predicate is a plain
+        Catalyst comparison, so it pushes down to the parquet scan.
         """
         file_groups: dict[int, list[str]] = {}
         sel = None if buckets is None else {int(b) for b in buckets}
@@ -236,6 +252,12 @@ class LakeTable:
             )
         if not include_deleted:
             out = out.filter(~F.col(_DELETED))
+        if as_of is not None and self.expires_col is not None:
+            ec = F.col(self.expires_col)
+            # literal cast to the column's own type: timestamp_ntz
+            # expiry columns stay ntz (no session-TZ coupling)
+            lit = F.lit(as_of).cast(self.schema()[self.expires_col].dataType)
+            out = out.filter(ec.isNull() | (ec > lit))
         if not include_internal:
             out = out.drop(*INTERNAL_COLS)
         return out

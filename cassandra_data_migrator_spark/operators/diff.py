@@ -27,9 +27,9 @@ Classification (mirrors the reference's JobCounter vocabulary,
 
 from __future__ import annotations
 
-from typing import Sequence
+from typing import Mapping, Sequence
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from cassandra_data_migrator_spark.functions.hashing import bucket_expr
@@ -45,6 +45,7 @@ def diff_tables(
     key_cols: Sequence[str] = ("url",),
     compare_cols: Sequence[str] | None = None,
     n_buckets: int | None = None,
+    virtual_cols: Mapping[str, tuple[Column, Column]] | None = None,
 ) -> DataFrame:
     """Row-level diff of two tables on ``key_cols``.
 
@@ -55,31 +56,44 @@ def diff_tables(
     Null-safe per-column comparison (``eqNullSafe``) matches the
     reference's null-tolerant ``DataUtility.diff``
     (``data/DataUtility.java:47-57``).
+
+    ``virtual_cols`` compares COMPUTED values — ``{name:
+    (origin_expr, target_expr)}`` — the reference's feature-aware
+    compare: an extract-json / explode-map / constant target column has
+    no physical origin counterpart, so the origin side is compared
+    through the feature's expression instead
+    (``job/DiffJobSession.java:243-330``). E.g. constant column:
+    ``("run_id", (F.lit("r1"), F.col("run_id")))``; extracted JSON:
+    ``("k", (F.get_json_object("props", "$.k"), F.col("k")))``.
     """
     keys = list(key_cols)
     if compare_cols is None:
         compare_cols = [c for c in origin.columns
                         if c in target.columns and c not in keys]
     compare_cols = list(compare_cols)
+    virtual_cols = dict(virtual_cols or {})
 
     o = origin.select(
         *[F.col(k) for k in keys],
         *[F.col(c).alias(f"o_{c}") for c in compare_cols],
+        *[oe.alias(f"o_{n}") for n, (oe, _te) in virtual_cols.items()],
         F.lit(True).alias("_in_o"),
     )
     t = target.select(
         *[F.col(k) for k in keys],
         *[F.col(c).alias(f"t_{c}") for c in compare_cols],
+        *[te.alias(f"t_{n}") for n, (_oe, te) in virtual_cols.items()],
         F.lit(True).alias("_in_t"),
     )
     j = o.join(t, on=keys, how="full_outer")
 
+    all_compare = compare_cols + list(virtual_cols)
     neq = [
         F.when(~F.col(f"o_{c}").eqNullSafe(F.col(f"t_{c}")), F.lit(c))
-        for c in compare_cols
+        for c in all_compare
     ]
     mismatch_cols = F.filter(F.array(*neq), lambda x: x.isNotNull()) \
-        if compare_cols else F.array().cast("array<string>")
+        if all_compare else F.array().cast("array<string>")
 
     out = (
         j.withColumn(MISMATCH_COLS, mismatch_cols)

@@ -17,6 +17,31 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from cassandra_data_migrator_spark.config import EngineConfig
+from cassandra_data_migrator_spark.functions.hashing import md5_int48_expr
+
+
+def sample_predicate(key_col: str, percent: float,
+                     salt: str = "sample") -> Column:
+    """Deterministic coverage sampling: keep a key iff
+    ``hash(key#salt) % 10000 < percent * 100``.
+
+    Reference analog: coverage-percent sampled validation runs
+    (``job/SplitPartitions.java:66-68``). Hash-based (not ``rand()``)
+    so a sampled validation is reproducible run-over-run, every engine
+    agrees on the sample (DuckDB-oracle-checkable), and all events of
+    one key stay together — sampling keys, not rows.
+    """
+    h = md5_int48_expr(
+        F.concat(F.col(key_col).cast("string"), F.lit(f"#{salt}")))
+    return F.pmod(h, F.lit(10_000)) < F.lit(int(round(percent * 100)))
+
+
+def sample_predicate_sql(key_expr: str, percent: float,
+                         salt: str = "sample") -> str:
+    """DuckDB rendering of :func:`sample_predicate`."""
+    from cassandra_data_migrator_spark.functions.hashing import md5_int48_sql
+    h = md5_int48_sql(f"CAST({key_expr} AS VARCHAR) || '#{salt}'")
+    return f"(({h}) % 10000 < {int(round(percent * 100))})"
 
 
 def writetime_window_predicate(
@@ -93,6 +118,13 @@ def split_events(
     if config.skip_column and config.skip_value is not None:
         keep = keep & column_value_skip_predicate(
             config.skip_column, config.skip_value)
+    if config.origin_filter_condition:
+        # free-form predicate (ref OriginFilterCondition.java:25-77) —
+        # a Catalyst expr, so it reaches the scan as a pushed filter
+        keep = keep & F.expr(config.origin_filter_condition)
+    if config.sample_percent is not None:
+        keep = keep & sample_predicate(config.key_col,
+                                       config.sample_percent)
     valid_keys = validity_predicate(
         [config.key_col] + ([config.ts_col] if config.null_ts_default is None
                             else [])
@@ -102,20 +134,47 @@ def split_events(
     return kept.filter(keep), kept.filter(~keep), quarantined
 
 
+# fixed encoded widths for non-variable types (bytes) — mirrors the
+# reference's codec-encoded sizes (schema/CqlTable.java:327-340)
+_FIXED_WIDTHS = {
+    "boolean": 1, "tinyint": 1, "smallint": 2, "int": 4, "date": 4,
+    "float": 4, "bigint": 8, "double": 8, "timestamp": 8,
+    "timestamp_ntz": 8,
+}
+
+
+def _encoded_size(df: DataFrame, c: str) -> Column:
+    """Encoded byte size of one column, JVM-side. Strings/binary count
+    bytes; fixed-width primitives use their codec width; collections /
+    structs fall back to their JSON encoding length (a deterministic
+    over-estimate, fine for a guardrail)."""
+    t = df.schema[c].dataType.simpleString()
+    if t in ("string", "binary"):
+        return F.coalesce(F.octet_length(F.col(c)), F.lit(0))
+    w = _FIXED_WIDTHS.get(t)
+    if w is not None:
+        return F.when(F.col(c).isNotNull(), F.lit(w)).otherwise(F.lit(0))
+    if t.startswith(("array", "map", "struct")):
+        return F.coalesce(F.octet_length(F.to_json(F.col(c))), F.lit(0))
+    return F.coalesce(F.octet_length(F.col(c).cast("string")), F.lit(0))
+
+
 def guardrail_check(
-    df: DataFrame, cols: Sequence[str], col_size_kb: float
+    df: DataFrame, cols: Sequence[str] | None = None,
+    col_size_kb: float = 10.0,
 ) -> DataFrame:
     """Flag rows where any column's encoded size exceeds the threshold.
 
-    Reference: ``feature/Guardrail.java:88-125`` encodes every column via
-    its codec and counts bytes (``schema/CqlTable.java:327-340``); Spark
-    equivalent is ``octet_length`` (binary/string) — JVM-side, no UDF.
-    Adds ``guardrail_large: boolean`` and ``guardrail_max_kb: double``.
+    Reference: ``feature/Guardrail.java:88-125,101-125`` encodes EVERY
+    column via its codec and counts bytes (``schema/CqlTable.java:
+    327-340``) — so ``cols=None`` defaults to every column, with
+    fixed-width primitives contributing their codec width and
+    collections their serialized length. All JVM-side expressions, no
+    UDF. Adds ``guardrail_large: boolean`` and ``guardrail_max_kb:
+    double``.
     """
-    sizes = [
-        F.coalesce(F.octet_length(F.col(c)), F.lit(0)).alias(f"_sz_{c}")
-        for c in cols
-    ]
+    cols = list(cols) if cols is not None else list(df.columns)
+    sizes = [_encoded_size(df, c).alias(f"_sz_{c}") for c in cols]
     largest = F.greatest(*sizes) if len(sizes) > 1 else sizes[0]
     return (
         df.withColumn("guardrail_max_kb", largest / 1024.0)

@@ -96,6 +96,79 @@ def row_writetime(cols: Sequence[str], increment: int = 0) -> Column:
     return m
 
 
+def row_ttl(cols: Sequence[str]) -> Column:
+    """Row-level TTL = max over eligible columns' TTL values (seconds) —
+    the TTL half of WritetimeTTL (``feature/WritetimeTTL.java:104-177``:
+    ``max(TTL(col))`` across configured columns, written ``USING TTL``,
+    ``cql/statement/TargetUpsertStatement.java:113-130``)."""
+    return F.greatest(*[F.col(c) for c in cols]) if len(cols) > 1 \
+        else F.col(cols[0])
+
+
+def ttl_expiry(df: DataFrame, ts_col: str, ttl_secs: Column | str,
+               out: str = "expires_at") -> DataFrame:
+    """Materialize the row's expiry instant: ``ts + TTL seconds``.
+
+    Cassandra stores TTL per cell and expires server-side; the lake
+    analog is an explicit ``expires_at`` column computed at write time
+    and honored at read time (``LakeTable.read(as_of=...)`` filters
+    expired rows). Null TTL ⇒ null expiry ⇒ the row never expires —
+    matching Cassandra's "no TTL" semantics
+    (``feature/WritetimeTTL.java:259-281``).
+    """
+    t = F.col(ttl_secs) if isinstance(ttl_secs, str) else ttl_secs
+    return (
+        df.withColumn("_ttl_secs", t.cast("long"))
+        # timestampadd works directly on timestamp_ntz (no session-TZ
+        # round trip) and propagates a null TTL to a null expiry
+        .withColumn(out, F.expr(f"timestampadd(SECOND, _ttl_secs, {ts_col})"))
+        .drop("_ttl_secs")
+    )
+
+
+def cast_array_elements(df: DataFrame, col: str, type_ddl: str,
+                        out: str | None = None) -> DataFrame:
+    """Element-wise LIST/SET conversion (T2 collections): cast every
+    element of an array column (``data/CqlConversion.java:290-321``,
+    codecs ``cql/codec/Codecset.java:18-21``; SIT/features/03_codec).
+    Pure ``F.transform`` — stays inside codegen, no UDF."""
+    return df.withColumn(
+        out or col, F.transform(F.col(col), lambda x: x.cast(type_ddl)))
+
+
+def cast_map_values(df: DataFrame, col: str, type_ddl: str,
+                    out: str | None = None) -> DataFrame:
+    """Value-wise MAP conversion (``data/CqlConversion.java:322-347``)."""
+    return df.withColumn(
+        out or col, F.transform_values(F.col(col),
+                                       lambda _k, v: v.cast(type_ddl)))
+
+
+def cast_map_keys(df: DataFrame, col: str, type_ddl: str,
+                  out: str | None = None) -> DataFrame:
+    """Key-wise MAP conversion (same reference path as values)."""
+    return df.withColumn(
+        out or col, F.transform_keys(F.col(col),
+                                     lambda k, _v: k.cast(type_ddl)))
+
+
+def map_struct_fields(
+    df: DataFrame, col: str,
+    mapping: Mapping[str, tuple[str, str]],
+    out: str | None = None,
+) -> DataFrame:
+    """UDT→UDT mapper: build a new struct from an existing one with
+    per-field rename + cast — the reference's field-wise UDT conversion
+    (``data/CqlConversion.java:348-375``; SIT/features/04_udt_mapper).
+    ``mapping`` is ``{new_field: (old_field, type_ddl)}``.
+    """
+    s = F.struct(*[
+        F.col(f"{col}.{old}").cast(t).alias(new)
+        for new, (old, t) in mapping.items()
+    ])
+    return df.withColumn(out or col, s)
+
+
 def map_null_scrub(df: DataFrame, map_col: str) -> DataFrame:
     """Drop map entries whose value is null (T8,
     ``schema/CqlTable.java:348-350,369-373``)."""

@@ -112,3 +112,113 @@ def test_coalesce_unset_nulls_batch(spark):
     out = TR.coalesce_unset_nulls(src, existing, ["url"], ["text", "lang"])
     r = out.collect()[0]
     assert r["text"] == "old" and r["lang"] == "fr"
+
+
+def test_ttl_expiry_and_read_filter(spark, tmpdir_path):
+    """TTL half of WritetimeTTL: expires_at = ts + TTL, null TTL never
+    expires, read(as_of) hides expired rows (ref
+    feature/WritetimeTTL.java:104-177; SIT/smoke/03_ttl_writetime)."""
+    from datetime import datetime
+
+    from pyspark.sql import types as T
+
+    from cassandra_data_migrator_spark.config import EngineConfig
+    from cassandra_data_migrator_spark.lake import LakeTable
+    from cassandra_data_migrator_spark.operators import transforms as TR
+
+    df = spark.createDataFrame(
+        [(1, datetime(2024, 1, 1), 3600), (2, datetime(2024, 1, 1), None),
+         (3, datetime(2024, 1, 1), 86400 * 30)],
+        "k long, ts timestamp_ntz, ttl long")
+    out = TR.ttl_expiry(df, "ts", "ttl")
+    got = {r["k"]: r["expires_at"] for r in out.collect()}
+    assert got[1] == datetime(2024, 1, 1, 1, 0, 0)
+    assert got[2] is None
+    schema = T.StructType([
+        T.StructField("k", T.LongType(), False),
+        T.StructField("ts", T.TimestampNTZType(), True),
+        T.StructField("expires_at", T.TimestampNTZType(), True),
+    ])
+    t = LakeTable.create(
+        spark, f"{tmpdir_path}/ttl", schema,
+        EngineConfig(n_buckets=4, key_col="k", ts_col="ts",
+                     expires_col="expires_at"))
+    src = out.select("k", "ts", "expires_at") \
+        .withColumn("op", F.lit("update")).withColumn("seq", F.col("k"))
+    t.merge_batch(src)
+    # at 2024-01-02, row 1 (1h TTL) is expired; 2 (no TTL) and 3 live
+    live = {r["k"] for r in t.read(as_of=datetime(2024, 1, 2)).collect()}
+    assert live == {2, 3}
+    # without as_of, everything is visible (snapshot semantics)
+    assert t.read().count() == 3
+
+
+def test_collection_and_udt_casts(spark):
+    from cassandra_data_migrator_spark.operators import transforms as TR
+
+    df = spark.createDataFrame(
+        [(1, [1, 2], {"a": 10}, (5, 0.5))],
+        "k long, arr array<long>, m map<string,long>, "
+        "u struct<x:long,y:double>")
+    out = TR.cast_array_elements(df, "arr", "string")
+    out = TR.cast_map_values(out, "m", "string")
+    out = TR.cast_map_keys(out, "m", "string")
+    out = TR.map_struct_fields(out, "u", {"xs": ("x", "string"),
+                                          "yd": ("y", "double")})
+    r = out.first()
+    assert r["arr"] == ["1", "2"]
+    assert r["m"] == {"a": "10"}
+    assert r["u"].asDict() == {"xs": "5", "yd": 0.5}
+
+
+def test_guardrail_all_columns_default(spark):
+    from cassandra_data_migrator_spark.operators.filters import guardrail_check
+
+    df = spark.createDataFrame(
+        [(1, "x" * 2048, [1, 2, 3]), (2, "y", None)],
+        "k long, payload string, tags array<long>")
+    out = guardrail_check(df, None, 1.0)  # all columns incl. fixed + array
+    got = {r["k"]: r["guardrail_large"] for r in out.collect()}
+    assert got == {1: True, 2: False}
+    # fixed-width primitive contributes its codec width, not 0
+    kb = {r["k"]: r["guardrail_max_kb"] for r in out.collect()}
+    assert kb[2] >= 8 / 1024.0
+
+
+def test_custom_where_and_sampling(spark):
+    from datetime import datetime
+
+    from cassandra_data_migrator_spark.config import EngineConfig
+    from cassandra_data_migrator_spark.operators import filters as FL
+
+    df = spark.createDataFrame(
+        [(i, datetime(2024, 1, 1), float(i)) for i in range(100)],
+        "url long, warc_ts timestamp_ntz, value double")
+    cfg = EngineConfig(origin_filter_condition="value >= 50")
+    valid, skipped, _ = FL.split_events(df, cfg)
+    assert valid.count() == 50 and skipped.count() == 50
+    # sampling is deterministic and key-based
+    s1 = {r["url"] for r in df.filter(
+        FL.sample_predicate("url", 30.0)).collect()}
+    s2 = {r["url"] for r in df.filter(
+        FL.sample_predicate("url", 30.0)).collect()}
+    assert s1 == s2 and 10 <= len(s1) <= 50
+
+
+def test_diff_virtual_columns(spark):
+    from cassandra_data_migrator_spark.operators import diff as DIFF
+
+    o = spark.createDataFrame(
+        [(1, '{"k":"a"}'), (2, '{"k":"b"}')], "id long, props string")
+    t = spark.createDataFrame(
+        [(1, "a", "r1"), (2, "WRONG", "r1")], "id long, k string, run_id string")
+    d = DIFF.diff_tables(
+        o, t, key_cols=("id",), compare_cols=(),
+        virtual_cols={
+            "k": (F.get_json_object("props", "$.k"), F.col("k")),
+            "run_id": (F.lit("r1"), F.col("run_id")),
+        })
+    got = {r["id"]: (r[DIFF.DIFF_STATUS], list(r[DIFF.MISMATCH_COLS]))
+           for r in d.collect()}
+    assert got[1] == ("valid", [])
+    assert got[2] == ("mismatch", ["k"])
