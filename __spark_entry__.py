@@ -568,6 +568,26 @@ def _q_counters_by_type(spark, sf_dir):
         F.max("event_id").alias("max_seq"))
 
 
+def _q_tracked_batch_replay(spark, sf_dir):
+    """Batch-run resume (reference TrackRun / PREV_RUN_ID,
+    feature/TrackRun.java:59-71): a partial run 'crashes' after 3 of 8
+    bucket groups; a fresh tracker resumes only the pending groups
+    (with a finer rerun split, reference P4) — final state must equal
+    the single-shot LWW oracle."""
+    from cassandra_data_migrator_spark.streaming.trackrun import BatchRunTracker
+
+    ev = _change_events(spark, sf_dir)
+    table = LakeTable.create(
+        spark, _tmpdir("trackrun"), _STATE_SCHEMA,
+        EngineConfig(n_buckets=16, key_col="user_id", ts_col="ts"))
+    BatchRunTracker(spark, table, n_groups=8).run(
+        ev, "r1", groups=[0, 1, 2])            # "crash" mid-run
+    reopened = LakeTable(spark, table.path)    # fresh process resumes
+    BatchRunTracker(spark, reopened, n_groups=8).resume(
+        ev, "r1", rerun_multiplier=2)
+    return _final_state_df(reopened)
+
+
 def _q_row_ttl_expiry(spark, sf_dir):
     """TTL propagation (WritetimeTTL's TTL half,
     feature/WritetimeTTL.java:104-177,259-281 + USING TTL write,
@@ -1167,6 +1187,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "autocorrect_replay": _q_autocorrect_replay,
         "schema_evolution_replay": _q_schema_evolution_replay,
         "counter_merge_replay": _q_counter_merge_replay,
+        "tracked_batch_replay": _q_tracked_batch_replay,
         "bucket_checksums": _q_bucket_checksums,
         # filters (§2.3)
         "writetime_window_filter": _q_writetime_window_filter,
@@ -1221,6 +1242,7 @@ GROUP BY diff_status
         "autocorrect_replay": _lww_state_sql(),
         "schema_evolution_replay": _SCHEMA_EVOLUTION_ORACLE,
         "counter_merge_replay": _COUNTER_MERGE_ORACLE,
+        "tracked_batch_replay": _FINAL_STATE_ORACLE,
         "bucket_checksums": _BUCKET_CHECKSUMS_ORACLE,
         "writetime_window_filter": """
 SELECT event_id, epoch_us(ts) AS ts_us FROM events

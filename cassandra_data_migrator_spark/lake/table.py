@@ -57,6 +57,7 @@ from cassandra_data_migrator_spark.functions.hashing import (
     checksum_agg_expr,
     row_checksum_expr,
 )
+from cassandra_data_migrator_spark.lake.fs import get_fs
 
 # internal (non-evolvable) columns stored in every data file
 _BUCKET = "_bucket"     # int   — hash bucket of the key
@@ -116,6 +117,7 @@ class LakeTable:
     def __init__(self, spark: SparkSession, path: str):
         self.spark = spark
         self.path = path
+        self.fs = get_fs(path)
         self.manifest: dict[str, Any] = {}
         self._load_latest()
 
@@ -138,8 +140,9 @@ class LakeTable:
         if config.expires_col and config.expires_col not in schema.fieldNames():
             raise ValueError(
                 f"expires column {config.expires_col!r} not in schema")
-        os.makedirs(os.path.join(path, "_manifests"), exist_ok=True)
-        os.makedirs(os.path.join(path, "data"), exist_ok=True)
+        fs = get_fs(path)
+        fs.makedirs(os.path.join(path, "_manifests"))
+        fs.makedirs(os.path.join(path, "data"))
         fields = _schema_to_fields(schema)
         manifest = {
             "version": 1,
@@ -166,12 +169,11 @@ class LakeTable:
 
     def _load_latest(self) -> None:
         latest = os.path.join(self.path, "_manifests", "LATEST")
-        if not os.path.exists(latest):
+        if not self.fs.exists(latest):
             raise FileNotFoundError(f"not a lake table: {self.path}")
-        with open(latest) as f:
-            version = int(f.read().strip())
-        with open(self._manifest_path(version)) as f:
-            self.manifest = json.load(f)
+        version = int(self.fs.read_text(latest).strip())
+        self.manifest = json.loads(
+            self.fs.read_text(self._manifest_path(version)))
 
     def _manifest_path(self, version: int) -> str:
         return os.path.join(self.path, "_manifests", f"v{version:012d}.json")
@@ -291,12 +293,12 @@ class LakeTable:
     def _list_written_files(self, rel: str, absdir: str) -> dict[int, list[str]]:
         """Map bucket -> relative parquet paths under a freshly written dir."""
         out: dict[int, list[str]] = {}
-        for entry in sorted(os.listdir(absdir)):
+        for entry in self.fs.listdir(absdir):
             if not entry.startswith(f"{_PB}="):
                 continue
             b = int(entry.split("=", 1)[1])
             d = os.path.join(absdir, entry)
-            for fn in sorted(os.listdir(d)):
+            for fn in self.fs.listdir(d):
                 if fn.endswith(".parquet"):
                     out.setdefault(b, []).append(f"{rel}/{entry}/{fn}")
         return out
@@ -722,27 +724,22 @@ class LakeTable:
     def history(self) -> list[int]:
         d = os.path.join(self.path, "_manifests")
         return sorted(
-            int(fn[1:-5]) for fn in os.listdir(d)
+            int(fn[1:-5]) for fn in self.fs.listdir(d)
             if fn.startswith("v") and fn.endswith(".json")
         )
 
 
 def _write_manifest(path: str, manifest: dict, expect_new_table: bool = False) -> None:
+    """Two-step atomic commit through the FS seam: exclusive-create the
+    immutable versioned manifest (conflict detector), then atomically
+    swing the LATEST pointer."""
+    fs = get_fs(path)
     mdir = os.path.join(path, "_manifests")
     target = os.path.join(mdir, f"v{manifest['version']:012d}.json")
     try:
-        fd = os.open(target, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        fs.create_exclusive(target, json.dumps(manifest))
     except FileExistsError as e:
         raise CommitConflict(
             f"manifest v{manifest['version']} already exists at {path}"
         ) from e
-    with os.fdopen(fd, "w") as f:
-        json.dump(manifest, f)
-        f.flush()
-        os.fsync(f.fileno())
-    tmp = os.path.join(mdir, f".LATEST.{uuid.uuid4().hex}")
-    with open(tmp, "w") as f:
-        f.write(str(manifest["version"]))
-        f.flush()
-        os.fsync(f.fileno())
-    os.replace(tmp, os.path.join(mdir, "LATEST"))
+    fs.replace(os.path.join(mdir, "LATEST"), str(manifest["version"]))

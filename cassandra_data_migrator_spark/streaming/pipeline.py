@@ -158,14 +158,15 @@ class CdcPipeline:
     def _side_sink(self, df: DataFrame, path: str, epoch_id: int) -> int:
         """Persist rejected rows for this epoch; returns their count.
 
-        The common case (nothing rejected) costs one pruned probe; when
-        rows exist they land under ``epoch=<id>/`` and the count comes
-        from the parquet footers of the just-written directory — a
-        metadata-only read, no second data scan.
+        Exactly ONE pass over the reject predicate's (column-pruned)
+        scan: write unconditionally, then count from the parquet footers
+        of the just-written directory — a metadata-only read. (A
+        take(1) pre-probe costs a full extra scan precisely when
+        nothing is rejected, the common case; a statically-empty reject
+        side — e.g. no filters configured — constant-folds to an empty
+        write, no scan at all.) Overwrite keeps checkpoint redelivery
+        of the epoch idempotent.
         """
-        first = df.take(1)
-        if not first:
-            return 0
         target = os.path.join(path, f"epoch={epoch_id}")
         df.write.mode("overwrite").parquet(target)
         return self.spark.read.parquet(target).count()

@@ -1,0 +1,103 @@
+"""Tracked batch runs: kill-mid-run → resume must converge to the
+single-shot result (reference TrackRun previousRunId replay), plus the
+metadata-FS seam."""
+
+from __future__ import annotations
+
+import os
+from datetime import datetime, timedelta
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from cassandra_data_migrator_spark.config import EngineConfig
+from cassandra_data_migrator_spark.lake import LakeTable
+from cassandra_data_migrator_spark.lake.fs import LocalFS, get_fs, register_fs
+from cassandra_data_migrator_spark.streaming.trackrun import BatchRunTracker
+
+SCHEMA = T.StructType([
+    T.StructField("url", T.StringType(), False),
+    T.StructField("warc_ts", T.TimestampNTZType(), True),
+    T.StructField("v", T.LongType(), True),
+])
+
+
+def _events(spark, n=400, keys=80):
+    base = datetime(2024, 1, 1)
+    rows = [(f"u{i % keys}", base + timedelta(minutes=i), i,
+             "delete" if i % 37 == 0 else "update", i)
+            for i in range(n)]
+    return spark.createDataFrame(
+        rows, "url string, warc_ts timestamp_ntz, v long, op string, seq long")
+
+
+def _state(table):
+    return {r["url"]: (r["warc_ts"], r["v"])
+            for r in table.read().collect()}
+
+
+def test_kill_mid_run_then_resume_converges(spark, tmpdir_path):
+    ev = _events(spark)
+    cfg = EngineConfig(n_buckets=16, key_col="url", ts_col="warc_ts")
+
+    # oracle: single-shot merge of the whole batch
+    ref = LakeTable.create(spark, f"{tmpdir_path}/ref", SCHEMA, cfg)
+    ref.merge_batch(ev)
+
+    # tracked run killed after 3 of 8 groups
+    t = LakeTable.create(spark, f"{tmpdir_path}/t", SCHEMA, cfg)
+    tracker = BatchRunTracker(spark, t, n_groups=8)
+    tracker.run(ev, "run1", groups=[0, 1, 2])          # "crash" here
+    assert tracker.pending_groups("run1") == [3, 4, 5, 6, 7]
+
+    t2 = LakeTable(spark, t.path)                      # fresh process
+    tracker2 = BatchRunTracker(spark, t2, n_groups=8)
+    results = tracker2.resume(ev, "run1")
+    assert all(not r.skipped for r in results)
+    assert tracker2.pending_groups("run1") == []
+    assert _state(t2) == _state(ref)
+
+    # resuming again re-merges nothing
+    assert tracker2.resume(ev, "run1") == []
+    # and a forced re-merge of a committed group is fenced off
+    assert tracker2.run(ev, "run1", groups=[3])[0].skipped
+
+
+def test_resume_with_rerun_multiplier(spark, tmpdir_path):
+    ev = _events(spark)
+    cfg = EngineConfig(n_buckets=16, key_col="url", ts_col="warc_ts")
+    ref = LakeTable.create(spark, f"{tmpdir_path}/ref", SCHEMA, cfg)
+    ref.merge_batch(ev)
+
+    t = LakeTable.create(spark, f"{tmpdir_path}/t", SCHEMA, cfg)
+    tracker = BatchRunTracker(spark, t, n_groups=4)
+    tracker.run(ev, "runm", groups=[0])
+    # retry the pending groups in finer sub-merges (reference P4)
+    tracker.resume(ev, "runm", rerun_multiplier=3)
+    assert tracker.pending_groups("runm") == []
+    assert _state(t) == _state(ref)
+    # a later plain resume sees the multiplier-covered groups as PASS
+    assert tracker.resume(ev, "runm") == []
+
+
+def test_fs_seam_local_roundtrip(tmpdir_path):
+    fs = get_fs(tmpdir_path)
+    assert isinstance(fs, LocalFS)
+    d = os.path.join(tmpdir_path, "meta")
+    fs.makedirs(d)
+    p = os.path.join(d, "v1.json")
+    fs.create_exclusive(p, '{"version": 1}')
+    with pytest.raises(FileExistsError):
+        fs.create_exclusive(p, "dup")          # commit-conflict semantics
+    fs.replace(os.path.join(d, "LATEST"), "1")
+    fs.replace(os.path.join(d, "LATEST"), "2")  # pointer swing overwrites
+    assert fs.read_text(os.path.join(d, "LATEST")) == "2"
+    assert fs.listdir(d) == ["LATEST", "v1.json"]
+
+
+def test_fs_registry_unknown_scheme(tmpdir_path):
+    with pytest.raises(NotImplementedError):
+        get_fs("s3://bucket/table")
+    register_fs("mem-test", LocalFS)
+    assert isinstance(get_fs("mem-test://x"), LocalFS)
