@@ -347,8 +347,18 @@ class LakeTable:
         epoch_id: int | None = None,
         unset_nulls: bool = False,
         force_overwrite: bool = False,
+        finalize: Any | None = None,
     ) -> MergeResult:
         """Copy-on-write LWW MERGE of a change batch into the table.
+
+        ``finalize``: optional ``DataFrame -> DataFrame`` applied to the
+        merged WINNERS just before the write. This is where expensive
+        derivations (e.g. the Arrow html→text extraction) belong: at K
+        change events per key per epoch, running them pre-merge costs
+        K× the work and ships the derived column through the shuffle;
+        post-merge they run once per surviving row and the shuffle
+        carries only raw inputs. The callable must preserve the table
+        schema (it may fill columns, not add/remove them).
 
         Semantics (the engine's central operator — reference analogs
         S4/S5 upserts + J3 ``TargetUpsertStatement``, Cassandra LWW):
@@ -454,6 +464,8 @@ class LakeTable:
 
         merged = ranked.filter(F.col("_rn") == 1).drop("_rn", "_is_src", "_gen") \
             if unset_nulls else ranked.filter(F.col("_rn") == 1).drop("_rn", "_is_src")
+        if finalize is not None:
+            merged = finalize(merged)
 
         return self._write_and_commit(
             merged, offsets, touched, data_cols, epoch_key, stream_id, epoch_id)

@@ -86,6 +86,24 @@ def cosine_topk(
     )
 
 
+def ann_params(corpus_size: int, target_bucket_rows: int = 64,
+               recall_tables: int = 4) -> tuple[int, int]:
+    """Scale LSH parameters with the corpus: ``(n_planes, n_tables)``.
+
+    ``n_planes = ceil(log2(corpus_size / target_bucket_rows))`` keeps the
+    expected bucket occupancy ≈ ``target_bucket_rows`` regardless of
+    corpus size (2^n_planes buckets per table), so the candidate
+    equi-join stays linear-ish; ``n_tables`` buys recall back
+    independently. A fixed plane count (e.g. 6 → 64 buckets) is only
+    right for toy corpora — at 10^9 vectors it would put ~10^7 vectors
+    per bucket and degenerate to brute force.
+    """
+    import math
+    n_planes = max(4, math.ceil(math.log2(max(corpus_size, 1)
+                                          / max(target_bucket_rows, 1))))
+    return n_planes, recall_tables
+
+
 def _plane_matrix(n_planes: int, dim: int, seed: int = 42) -> list[list[float]]:
     """Deterministic pseudo-random hyperplanes in [-1, 1] from md5."""
     planes = []

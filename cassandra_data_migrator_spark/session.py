@@ -82,6 +82,19 @@ def get_spark(
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
     )
+    # Shuffle/spill scratch: in this sandbox every local[] run shares ONE
+    # virtio disk, so scratch I/O serializes across task threads and a
+    # 4-vs-16-core comparison misattributes disk contention to the
+    # engine. A real N-executor cluster has per-executor local disks
+    # (scratch bandwidth scales with N). tmpfs-backed scratch restores
+    # that property locally. Override with SPARK_LOCAL_DIRS or
+    # extra_conf["spark.local.dir"].
+    if (not os.environ.get("SPARK_LOCAL_DIRS")
+            and not (extra_conf or {}).get("spark.local.dir")
+            and os.path.isdir("/dev/shm")):
+        scratch = os.path.join("/dev/shm", f"spark-scratch-{os.getuid()}")
+        os.makedirs(scratch, exist_ok=True)
+        builder = builder.config("spark.local.dir", scratch)
     if extra_conf:
         for k, v in extra_conf.items():
             builder = builder.config(k, v)

@@ -105,6 +105,7 @@ class CdcPipeline:
         unset_nulls: bool = False,
         transform: Callable[[DataFrame], DataFrame] | None = None,
         salt_transform_stage: bool = True,
+        lazy_extract: bool = True,
         event_schema=None,
     ):
         self.spark = spark
@@ -114,6 +115,20 @@ class CdcPipeline:
         self.unset_nulls = unset_nulls
         self.transform = transform
         self.salt_transform_stage = salt_transform_stage
+        # lazy_extract: run the Arrow html→text extraction on the merged
+        # LWW WINNERS (once per surviving key) instead of on every
+        # change event pre-merge. At K events/key/epoch this divides the
+        # dominant UDF cost by K and keeps the derived text column out
+        # of the merge shuffle. extract_text is pure+deterministic, so
+        # winner-side extraction is byte-identical to pre-merge
+        # extraction (the north-rule per-url invariant). Side effects:
+        # - incompatible with unset_nulls (a src row's null text must
+        #   mean "explicitly unset", not "not yet derived") → disabled;
+        # - the pre-merge salted repartition becomes moot: the UDF now
+        #   runs on one row per key (winner set — skew-free by
+        #   construction), so there is no hot-domain CPU stage left to
+        #   level and the salt shuffle would be pure cost.
+        self.lazy_extract = lazy_extract and not unset_nulls
         self.event_schema = event_schema  # None → sources.event_log.EVENT_SCHEMA
         # run-details side tables (reference cdm_run_details analog,
         # cql/statement/TargetUpsertRunDetailsStatement.java:63-84)
@@ -133,7 +148,7 @@ class CdcPipeline:
         n_quar = self._side_sink(quarantined, self.quarantine_path, epoch_id)
 
         batch = valid
-        if self.salt_transform_stage:
+        if self.salt_transform_stage and not self.lazy_extract:
             # break hot-domain skew BEFORE the expensive Python UDF stage:
             # rows are independent here, so a salted repartition levels
             # Arrow batch work across tasks even if one domain dominates.
@@ -147,13 +162,26 @@ class CdcPipeline:
                                         self.config.n_buckets,
                                         self.config.salt_buckets)
             )
-        if "html" in batch.columns and "text" not in batch.columns:
+        if ("html" in batch.columns and "text" not in batch.columns
+                and not self.lazy_extract):
             batch = batch.withColumn("text", extract_text(F.col("html")))
         if "lang" in batch.columns:
             batch = batch.withColumn("lang", normalize_lang(F.col("lang")))
         if self.transform is not None:
             batch = self.transform(batch)
         return batch, n_skip, n_quar
+
+    def _finalize(self, merged: DataFrame) -> DataFrame:
+        """Winner-side transforms (see ``lazy_extract``): fill text for
+        rows that arrived without it. ``coalesce`` keeps an existing
+        stored value; extraction is pure, so recomputation for a stored
+        winner would yield the identical bytes anyway."""
+        cols = set(merged.columns)
+        if "html" in cols and "text" in cols:
+            merged = merged.withColumn(
+                "text", F.coalesce(F.col("text"),
+                                   extract_text(F.col("html"))))
+        return merged
 
     def _side_sink(self, df: DataFrame, path: str, epoch_id: int) -> int:
         """Persist rejected rows for this epoch; returns their count.
@@ -185,6 +213,7 @@ class CdcPipeline:
             stream_id=self.stream_id,
             epoch_id=epoch_id,
             unset_nulls=self.unset_nulls,
+            finalize=self._finalize if self.lazy_extract else None,
         )
         if not result.skipped:
             self._record(result, epoch_id, n_skip, n_quar)

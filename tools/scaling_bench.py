@@ -65,7 +65,12 @@ def worker(log_path: str, cores: int) -> None:
     from cassandra_data_migrator_spark.sources.event_log import read_event_log
     from cassandra_data_migrator_spark.streaming.pipeline import CdcPipeline
 
-    d = tempfile.mkdtemp(prefix=f"scale_{cores}_")
+    # table data on tmpfs for the same reason scratch is (session.py):
+    # this sandbox has ONE shared virtio disk, a real cluster has
+    # per-executor disks — a shared-disk write bottleneck would
+    # misattribute host I/O contention to the engine's scaling
+    base = "/dev/shm" if os.path.isdir("/dev/shm") else None
+    d = tempfile.mkdtemp(prefix=f"scale_{cores}_", dir=base)
     schema = T.StructType.fromDDL(
         "url string, warc_ts timestamp, html binary, text string, lang string")
     # IDENTICAL table layout at every level — the comparison must vary
