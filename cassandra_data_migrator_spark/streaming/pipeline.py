@@ -162,25 +162,35 @@ class CdcPipeline:
                                         self.config.n_buckets,
                                         self.config.salt_buckets)
             )
-        if ("html" in batch.columns and "text" not in batch.columns
-                and not self.lazy_extract):
-            batch = batch.withColumn("text", extract_text(F.col("html")))
-        if "lang" in batch.columns:
-            batch = batch.withColumn("lang", normalize_lang(F.col("lang")))
+        if not self.lazy_extract:
+            if "html" in batch.columns and "text" not in batch.columns:
+                batch = batch.withColumn("text", extract_text(F.col("html")))
+            if "lang" in batch.columns:
+                batch = batch.withColumn("lang",
+                                         normalize_lang(F.col("lang")))
         if self.transform is not None:
             batch = self.transform(batch)
         return batch, n_skip, n_quar
 
     def _finalize(self, merged: DataFrame) -> DataFrame:
         """Winner-side transforms (see ``lazy_extract``): fill text for
-        rows that arrived without it. ``coalesce`` keeps an existing
-        stored value; extraction is pure, so recomputation for a stored
-        winner would yield the identical bytes anyway."""
+        rows that arrived without it, normalize the lang tag. Both are
+        pure + idempotent, so re-running them on a stored winner yields
+        the identical value. Keeping EVERY pandas UDF out of the
+        pre-merge path matters beyond the row-count cut: an
+        ArrowEvalPython node in the scan stage breaks whole-stage
+        codegen and materializes all pass-through columns (the fat html
+        payload included) around the Python boundary for every source
+        row; winner-side, the one fused Arrow node touches each
+        surviving row once."""
         cols = set(merged.columns)
         if "html" in cols and "text" in cols:
             merged = merged.withColumn(
                 "text", F.coalesce(F.col("text"),
                                    extract_text(F.col("html"))))
+        if "lang" in cols:
+            merged = merged.withColumn("lang",
+                                       normalize_lang(F.col("lang")))
         return merged
 
     def _side_sink(self, df: DataFrame, path: str, epoch_id: int) -> int:

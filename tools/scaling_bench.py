@@ -41,7 +41,12 @@ def _session(cores: int):
         shuffle_partitions=max(cores * 2, 16),
         extra_conf={
             "spark.driver.memory": "48g",
-            "spark.sql.files.maxPartitionBytes": "64m",
+            # the zstd'd event log is tiny on disk (~45 B/event) but fat
+            # decoded; default 128m splits would coalesce the whole scan
+            # into a handful of tasks and starve the higher parallelism
+            # level — split fine so the SCAN stage scales with cores too
+            "spark.sql.files.maxPartitionBytes": "4m",
+            "spark.sql.files.openCostInBytes": "1m",
         })
 
 
@@ -51,8 +56,8 @@ def gen(path: str, n_events: int, n_urls: int) -> None:
     from cassandra_data_migrator_spark.sources.event_log import write_event_log
     from cassandra_data_migrator_spark.sources.synthetic import gen_change_events
     ev = gen_change_events(spark, n_urls=n_urls, n_events=n_events,
-                           partitions=64)
-    write_event_log(ev, path, n_chunks=32)
+                           partitions=128)
+    write_event_log(ev, path, n_chunks=128)
     spark.stop()
 
 
