@@ -348,6 +348,7 @@ class LakeTable:
         unset_nulls: bool = False,
         force_overwrite: bool = False,
         finalize: Any | None = None,
+        probed: tuple[list[int], dict[int, dict]] | None = None,
     ) -> MergeResult:
         """Copy-on-write LWW MERGE of a change batch into the table.
 
@@ -407,8 +408,12 @@ class LakeTable:
 
         # ONE probe pass over the source yields both the touched-bucket
         # list and the per-bucket event offsets for lineage (tiny
-        # driver-side result, ≤ n_buckets rows; payload columns pruned)
-        touched, offsets = self._probe_source(src)
+        # driver-side result, ≤ n_buckets rows; payload columns pruned).
+        # A caller that already aggregated the batch (the pipeline's
+        # combined status/offset rollup) passes ``probed`` and the job
+        # is skipped entirely.
+        touched, offsets = probed if probed is not None \
+            else self._probe_source(src)
         if not touched:
             return self._commit_empty_epoch(epoch_key, stream_id, epoch_id)
 

@@ -94,19 +94,14 @@ def drop_skip_list(df: DataFrame, cols: Sequence[str]) -> DataFrame:
     return df.drop(*cols)
 
 
-def split_events(
+def split_predicates(
     df: DataFrame, config: EngineConfig
-) -> tuple[DataFrame, DataFrame, DataFrame]:
-    """Apply all configured origin filters at once.
-
-    Returns ``(valid, skipped, quarantined)``:
-    - ``skipped``      — failed writetime-window or column-value filter
-      (deliberate exclusions; reference SKIPPED counter)
-    - ``quarantined``  — null key column (reference error records); if
-      ``config.null_ts_default`` is set, null *timestamps* are defaulted
-      instead of quarantined.
-    One pass, no shuffle; the three outputs share the scan via Catalyst.
-    """
+) -> tuple[DataFrame, Column, Column]:
+    """The shared core of event splitting: the pre-processed frame plus
+    the ``keep`` (not-skipped) and ``valid_keys`` (not-quarantined)
+    predicates — so callers can either materialize three DataFrames
+    (:func:`split_events`) or tag statuses for a single-pass rollup
+    (``CdcPipeline``)."""
     out = df
     if config.column_skip_list:
         out = drop_skip_list(out, config.column_skip_list)
@@ -129,6 +124,23 @@ def split_events(
         [config.key_col] + ([config.ts_col] if config.null_ts_default is None
                             else [])
     )
+    return out, keep, valid_keys
+
+
+def split_events(
+    df: DataFrame, config: EngineConfig
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Apply all configured origin filters at once.
+
+    Returns ``(valid, skipped, quarantined)``:
+    - ``skipped``      — failed writetime-window or column-value filter
+      (deliberate exclusions; reference SKIPPED counter)
+    - ``quarantined``  — null key column (reference error records); if
+      ``config.null_ts_default`` is set, null *timestamps* are defaulted
+      instead of quarantined.
+    One pass, no shuffle; the three outputs share the scan via Catalyst.
+    """
+    out, keep, valid_keys = split_predicates(df, config)
     quarantined = out.filter(~valid_keys)
     kept = out.filter(valid_keys)
     return kept.filter(keep), kept.filter(~keep), quarantined

@@ -36,10 +36,16 @@ from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 
 from cassandra_data_migrator_spark.config import EngineConfig
-from cassandra_data_migrator_spark.functions.hashing import salted_partition_exprs
+from cassandra_data_migrator_spark.functions.hashing import (
+    bucket_expr,
+    salted_partition_exprs,
+)
 from cassandra_data_migrator_spark.functions.udfs import extract_text, normalize_lang
 from cassandra_data_migrator_spark.lake.table import LakeTable, MergeResult
-from cassandra_data_migrator_spark.operators.filters import split_events
+from cassandra_data_migrator_spark.operators.filters import (
+    split_events,
+    split_predicates,
+)
 from cassandra_data_migrator_spark.sources.event_log import read_event_stream
 
 LINEAGE_SCHEMA = (
@@ -209,10 +215,64 @@ class CdcPipeline:
         df.write.mode("overwrite").parquet(target)
         return self.spark.read.parquet(target).count()
 
+    def _prepare_probed(
+        self, events: DataFrame, epoch_id: int
+    ) -> tuple[DataFrame, tuple[list[int], dict[int, dict]], int, int]:
+        """Single-job variant of :meth:`_prepare`: ONE aggregation over
+        the status-tagged batch yields the reject counts AND the merge's
+        per-bucket probe offsets together (3 driver jobs per epoch
+        instead of ~6 — the fixed per-epoch job-gap tail is the last
+        Amdahl term once row work is distributed). Reject ROWS are only
+        materialized when their counts are non-zero (the rare path).
+        Requires row-preserving config (no custom ``transform``)."""
+        out, keep, valid_keys = split_predicates(events, self.config)
+        tag = out.withColumn(
+            "_status",
+            F.when(~valid_keys, F.lit("quarantined"))
+             .when(~keep, F.lit("skipped")).otherwise(F.lit("valid")))
+        seq = (F.col(self.config.seq_col).cast("long")
+               if self.config.seq_col in tag.columns
+               else F.lit(None).cast("long"))
+        stats = (
+            tag.groupBy(
+                "_status",
+                bucket_expr(self.config.key_col,
+                            self.table.n_buckets).alias("_b"))
+            .agg(F.min(seq).alias("mn"), F.max(seq).alias("mx"),
+                 F.count("*").alias("n"))
+            .collect())
+        offsets = {r["_b"]: {"min_seq": r["mn"], "max_seq": r["mx"],
+                             "events": r["n"]}
+                   for r in stats if r["_status"] == "valid"}
+        n_skip = sum(r["n"] for r in stats if r["_status"] == "skipped")
+        n_quar = sum(r["n"] for r in stats if r["_status"] == "quarantined")
+        if n_skip:
+            self._side_sink(tag.filter(F.col("_status") == "skipped")
+                            .drop("_status"), self.skipped_path, epoch_id)
+        if n_quar:
+            self._side_sink(tag.filter(F.col("_status") == "quarantined")
+                            .drop("_status"), self.quarantine_path, epoch_id)
+        batch = tag.filter(F.col("_status") == "valid").drop("_status")
+        if not self.lazy_extract:
+            if "html" in batch.columns and "text" not in batch.columns:
+                batch = batch.withColumn("text", extract_text(F.col("html")))
+            if "lang" in batch.columns:
+                batch = batch.withColumn("lang",
+                                         normalize_lang(F.col("lang")))
+        return batch, (sorted(offsets), offsets), n_skip, n_quar
+
     def apply_batch(self, events: DataFrame, epoch_id: int) -> MergeResult:
         """One micro-batch: the foreachBatch body (also callable directly
         for batch replays)."""
-        batch, n_skip, n_quar = self._prepare(events, epoch_id)
+        probed = None
+        if self.transform is None:
+            # combined path: probe + reject counts in one job
+            batch, probed, n_skip, n_quar = self._prepare_probed(
+                events, epoch_id)
+        else:
+            # a custom transform may drop/add rows, so the pre-computed
+            # offsets would lie — fall back to the per-sink path
+            batch, n_skip, n_quar = self._prepare(events, epoch_id)
         # no persist: the merge traverses its source twice, but the probe
         # pass prunes to (bucket, seq) so the Arrow UDF transform columns
         # are computed exactly once — in the merge's write traversal.
@@ -220,10 +280,12 @@ class CdcPipeline:
         # payload (html+text) per epoch for no saved work.
         result = self.table.merge_batch(
             batch,
+            seq_col=self.config.seq_col,
             stream_id=self.stream_id,
             epoch_id=epoch_id,
             unset_nulls=self.unset_nulls,
             finalize=self._finalize if self.lazy_extract else None,
+            probed=probed,
         )
         if not result.skipped:
             self._record(result, epoch_id, n_skip, n_quar)
