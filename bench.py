@@ -52,6 +52,10 @@ def main() -> None:
     except ValueError:
         sf = -1.0
 
+    # bench-only: tmpfs scratch decouples shuffle I/O from the sandbox's
+    # single shared virtio disk (see session.py); NOT a library default
+    os.environ.setdefault("SPARK_GRAFT_TMPFS_SCRATCH", "1")
+
     import __spark_entry__ as E
     from cassandra_data_migrator_spark.session import get_spark
 

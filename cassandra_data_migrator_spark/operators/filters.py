@@ -120,6 +120,12 @@ def split_predicates(
     if config.sample_percent is not None:
         keep = keep & sample_predicate(config.key_col,
                                        config.sample_percent)
+    # NULL-predicate rows (e.g. `value > 50` over a NULL value) are
+    # SKIPPED, not dropped: the reference's WHERE evaluation treats a
+    # non-true predicate as "filter out → SKIPPED counter"
+    # (OriginFilterCondition.java:25-77), and without this both
+    # `filter(keep)` and `filter(~keep)` would silently lose the row.
+    keep = F.coalesce(keep, F.lit(False))
     valid_keys = validity_predicate(
         [config.key_col] + ([config.ts_col] if config.null_ts_default is None
                             else [])

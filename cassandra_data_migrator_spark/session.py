@@ -87,9 +87,14 @@ def get_spark(
     # 4-vs-16-core comparison misattributes disk contention to the
     # engine. A real N-executor cluster has per-executor local disks
     # (scratch bandwidth scales with N). tmpfs-backed scratch restores
-    # that property locally. Override with SPARK_LOCAL_DIRS or
+    # that property locally — but tmpfs is RAM-capped (~50% typically),
+    # so it is a BENCHMARKING aid, not a library default: spill-heavy
+    # production workloads must spill to disk. Opt in with
+    # SPARK_GRAFT_TMPFS_SCRATCH=1 (bench.py and the scaling harness set
+    # it); override outright with SPARK_LOCAL_DIRS or
     # extra_conf["spark.local.dir"].
-    if (not os.environ.get("SPARK_LOCAL_DIRS")
+    if (os.environ.get("SPARK_GRAFT_TMPFS_SCRATCH") == "1"
+            and not os.environ.get("SPARK_LOCAL_DIRS")
             and not (extra_conf or {}).get("spark.local.dir")
             and os.path.isdir("/dev/shm")):
         scratch = os.path.join("/dev/shm", f"spark-scratch-{os.getuid()}")

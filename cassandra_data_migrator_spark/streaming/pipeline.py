@@ -253,6 +253,16 @@ class CdcPipeline:
             self._side_sink(tag.filter(F.col("_status") == "quarantined")
                             .drop("_status"), self.quarantine_path, epoch_id)
         batch = tag.filter(F.col("_status") == "valid").drop("_status")
+        if self.salt_transform_stage and not self.lazy_extract:
+            # mirror _prepare: level hot-domain skew before the eager
+            # Arrow extraction (same rationale/partition count as there)
+            n_tasks = max(self.spark.sparkContext.defaultParallelism * 2, 16)
+            batch = batch.repartition(
+                n_tasks,
+                *salted_partition_exprs(self.config.key_col,
+                                        self.config.n_buckets,
+                                        self.config.salt_buckets)
+            )
         if not self.lazy_extract:
             if "html" in batch.columns and "text" not in batch.columns:
                 batch = batch.withColumn("text", extract_text(F.col("html")))

@@ -115,15 +115,20 @@ class BatchRunTracker:
             else f"run:{run_id}:g{grp}.{sub}/{n_subs}"
         result = self.table.merge_batch(
             part, stream_id=stream, epoch_id=0, **merge_kw)
-        if not result.skipped:
-            _append_parquet(
-                self.details_path,
-                [{"run_id": run_id, "grp": grp, "sub": sub,
-                  "n_subs": n_subs, "status": "PASS",
-                  "events": int(result.counters.get("events", 0)),
-                  "buckets": len(result.touched_buckets),
-                  "version": result.version}],
-                self._arrow, file_key=f"{run_id}-g{grp}-{sub}-{n_subs}")
+        # Record PASS even when the epoch fence skipped the merge: a
+        # skip PROVES this exact (stream, epoch) already committed —
+        # i.e. a prior run crashed after the manifest commit but before
+        # its PASS row landed. Recording it makes resume converge
+        # instead of re-attempting a fenced no-op forever. The
+        # deterministic file_key keeps re-appends idempotent.
+        _append_parquet(
+            self.details_path,
+            [{"run_id": run_id, "grp": grp, "sub": sub,
+              "n_subs": n_subs, "status": "PASS",
+              "events": int(result.counters.get("events", 0)),
+              "buckets": len(result.touched_buckets),
+              "version": result.version}],
+            self._arrow, file_key=f"{run_id}-g{grp}-{sub}-{n_subs}")
         return result
 
     def run(self, events: DataFrame, run_id: str,

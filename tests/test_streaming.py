@@ -137,6 +137,53 @@ def test_lineage_and_counters(spark, tmpdir_path, event_log):
             assert cs[r["bucket"]] == int(r["checksum"])
 
 
+def test_probed_path_counts_null_predicate_as_skipped(spark, tmpdir_path):
+    """_prepare_probed (the transform=None fast path) must agree with
+    split_events on NULL-predicate rows: skipped, never 'valid' or
+    silently dropped (ADVICE r2)."""
+    import datetime as dt
+
+    t = mk_table(spark, tmpdir_path, "t")
+    cfg = EngineConfig(n_buckets=8, origin_filter_condition="lang = 'en'")
+    p = CdcPipeline(spark, t, cfg, stream_id="s")
+    base = dt.datetime(2023, 11, 20)
+    rows = [
+        (0, "update", "https://a/1", base, b"<p>x</p>", "en"),
+        (1, "update", "https://a/2", base, b"<p>y</p>", "fr"),
+        (2, "update", "https://a/3", base, b"<p>z</p>", None),  # NULL pred
+    ]
+    schema = T.StructType([
+        T.StructField("seq", T.LongType(), False),
+        T.StructField("op", T.StringType(), False),
+        T.StructField("url", T.StringType(), True),
+        T.StructField("warc_ts", T.TimestampType(), True),
+        T.StructField("html", T.BinaryType(), True),
+        T.StructField("lang", T.StringType(), True),
+    ])
+    p.apply_batch(spark.createDataFrame(rows, schema), epoch_id=0)
+    c = p.counters().collect()[0]
+    assert c["valid"] == 1
+    assert c["skipped"] == 2          # fr AND the NULL-lang row
+    assert c["quarantined"] == 0
+    assert c["read"] == 3
+    assert t.read().count() == 1
+
+
+def test_probed_path_applies_salted_repartition(spark, tmpdir_path):
+    """With eager extraction (lazy_extract=False) + salting on, the
+    probed fast path must level hot-domain skew before the Arrow UDF
+    stage exactly like _prepare does (ADVICE r2)."""
+    t = mk_table(spark, tmpdir_path, "t")
+    p = CdcPipeline(spark, t, stream_id="s",
+                    lazy_extract=False, salt_transform_stage=True)
+    ev = gen_change_events(spark, n_urls=20, n_events=50, seed=3)
+    batch, _probed, _s, _q = p._prepare_probed(ev, epoch_id=0)
+    # the salt expr hashes (key, monotonically_increasing_id)
+    plan = batch._jdf.queryExecution().analyzed().toString()
+    assert "RepartitionByExpression" in plan
+    assert "monotonically_increasing_id" in plan
+
+
 def test_counters_count_skipped_and_quarantined(spark, tmpdir_path):
     """Reference SKIPPED/ERROR counter parity (job/JobCounter.java:36):
     rejected rows are persisted per epoch and counted exactly."""

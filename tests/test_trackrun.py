@@ -81,6 +81,34 @@ def test_resume_with_rerun_multiplier(spark, tmpdir_path):
     assert tracker.resume(ev, "runm") == []
 
 
+def test_crash_after_commit_before_pass_row_converges(spark, tmpdir_path):
+    """Crash window: a group's manifest commit landed but its PASS row
+    did not. Resume re-attempts the group, the epoch fence skips the
+    merge — and the PASS row must STILL be recorded (the fence proves
+    the commit happened), so resume converges instead of re-attempting
+    a fenced no-op forever (ADVICE r2)."""
+    ev = _events(spark)
+    cfg = EngineConfig(n_buckets=16, key_col="url", ts_col="warc_ts")
+    t = LakeTable.create(spark, f"{tmpdir_path}/t", SCHEMA, cfg)
+    tracker = BatchRunTracker(spark, t, n_groups=4)
+    tracker.run(ev, "runc", groups=[0, 1])
+    # simulate the crash: group 1's PASS row vanishes, its commit stays
+    os.remove(os.path.join(tracker.details_path,
+                           "part-runc-g1-0-1.parquet"))
+    assert tracker.pending_groups("runc") == [1, 2, 3]
+
+    results = tracker.resume(ev, "runc")
+    # group 1 was fenced (no double merge) but is now recorded PASS
+    assert [r.skipped for r in results] == [True, False, False]
+    assert tracker.pending_groups("runc") == []
+    assert tracker.resume(ev, "runc") == []
+
+    # state equals a single-shot replay
+    ref = LakeTable.create(spark, f"{tmpdir_path}/ref", SCHEMA, cfg)
+    ref.merge_batch(ev)
+    assert _state(t) == _state(ref)
+
+
 def test_fs_seam_local_roundtrip(tmpdir_path):
     fs = get_fs(tmpdir_path)
     assert isinstance(fs, LocalFS)

@@ -47,6 +47,22 @@ def test_split_events_window_value_and_quarantine(spark):
     assert u5 == ts(0).replace(tzinfo=None)
 
 
+def test_split_events_null_predicate_is_skipped(spark):
+    """A row whose origin_filter_condition evaluates to NULL (e.g.
+    ``v > 50`` over NULL v) is SKIPPED, not silently lost — the
+    reference counts every non-kept row (OriginFilterCondition.java:
+    25-77, SKIPPED counter). Regression: valid+skipped+quarantined
+    must partition the input."""
+    df = spark.createDataFrame(
+        [("u1", ts(100), 60), ("u2", ts(100), 10), ("u3", ts(100), None)],
+        "url string, warc_ts timestamp, v int")
+    cfg = EngineConfig(origin_filter_condition="v > 50")
+    valid, skipped, quarantined = FL.split_events(df, cfg)
+    assert [r["url"] for r in valid.collect()] == ["u1"]
+    assert sorted(r["url"] for r in skipped.collect()) == ["u2", "u3"]
+    assert quarantined.count() == 0
+
+
 def test_guardrail(spark):
     df = spark.createDataFrame(
         [("u1", b"x" * 2048), ("u2", b"y" * 100)], ["url", "html"])

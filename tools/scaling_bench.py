@@ -32,6 +32,9 @@ if _REPO not in sys.path:
 
 
 def _session(cores: int):
+    # bench-only tmpfs scratch (see session.py): decouple shuffle I/O
+    # from the sandbox's single shared virtio disk
+    os.environ.setdefault("SPARK_GRAFT_TMPFS_SCRATCH", "1")
     from cassandra_data_migrator_spark.session import get_spark
     # local[N,4]: allow task retries — a transient python-worker death
     # (connection reset) must not kill a 10-minute run, same as task
