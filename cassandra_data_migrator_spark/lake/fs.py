@@ -65,6 +65,33 @@ class LocalFS:
             os.fsync(f.fileno())
         os.replace(tmp, path)
 
+    def write_bytes(self, path: str, data: bytes) -> None:
+        """(Over)write a small binary object (driver-side side-table
+        appends). Atomic via temp+rename; object stores: plain PUT."""
+        d = os.path.dirname(path)
+        os.makedirs(d, exist_ok=True)
+        tmp = os.path.join(d, f".{os.path.basename(path)}.{uuid.uuid4().hex}")
+        with open(tmp, "wb") as f:
+            f.write(data)
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(tmp, path)
+
+    def delete(self, path: str) -> None:
+        """Delete one file/object; missing is not an error (GC retry)."""
+        try:
+            os.remove(path)
+        except FileNotFoundError:
+            pass
+
+    def rmdir(self, path: str) -> None:
+        """Remove an empty directory; no-op for object stores (no dirs)
+        and for non-empty/missing local dirs."""
+        try:
+            os.rmdir(path)
+        except OSError:
+            pass
+
 
 _REGISTRY: dict[str, Callable[[], object]] = {"file": LocalFS}
 

@@ -738,6 +738,129 @@ class LakeTable:
     def lineage_rows(self) -> list[dict]:
         return self.manifest.get("lineage", [])
 
+    # --------------------------------------------------- maintenance
+    # The reference never needed these — Cassandra compacts and expires
+    # for you. This engine owns the lake format, so it owns the two
+    # operational jobs a CoW table needs: snapshot expiry (bounded
+    # storage) and small-file compaction (bounded file counts). Both are
+    # metadata-plane driver work except the compaction rewrite itself,
+    # which is a distributed bucket-pruned read+write like any merge.
+
+    def expire_versions(self, keep_last: int = 1) -> dict[str, int]:
+        """Delete manifests older than the newest ``keep_last`` and every
+        data file no retained manifest references (vacuum).
+
+        CoW merges rewrite each touched bucket into a new data dir per
+        epoch; without expiry, storage grows with every commit forever.
+        Retained manifests keep time travel over the recent window;
+        everything else is GC'd. Safe under the single-writer
+        assumption: readers of the CURRENT snapshot never touch expired
+        files (the live manifest is always retained), and a concurrent
+        reader pinned to an expired version is the same trade-off
+        Iceberg's ``expireSnapshots`` makes.
+
+        Driver cost is file *listing*, not data: one listdir pass over
+        the data dirs (the same metadata plane the commit itself uses).
+        Returns counts: ``{"manifests_removed", "files_removed",
+        "files_kept"}``.
+        """
+        if keep_last < 1:
+            raise ValueError("keep_last must be >= 1")
+        versions = self.history()
+        keep = set(versions[-keep_last:])
+        keep.add(self.version)  # never expire the live snapshot
+        referenced: set[str] = set()
+        for v in sorted(keep):
+            m = json.loads(self.fs.read_text(self._manifest_path(v)))
+            for entries in m["files"].values():
+                referenced.update(e["path"] for e in entries)
+
+        def _is_referenced(d: str, pb: str, fn: str) -> bool:
+            if f"data/{d}/{pb}/{fn}" in referenced:
+                return True
+            # Hadoop checksum sidecar (".<name>.crc") of a kept file
+            if fn.startswith(".") and fn.endswith(".crc"):
+                return f"data/{d}/{pb}/{fn[1:-4]}" in referenced
+            return False
+
+        files_removed = 0
+        data_root = os.path.join(self.path, "data")
+        for d in self.fs.listdir(data_root):
+            sub = os.path.join(data_root, d)
+            if not self.fs.isdir(sub):
+                continue
+            dir_live = False
+            for pb in self.fs.listdir(sub):
+                pbdir = os.path.join(sub, pb)
+                if not self.fs.isdir(pbdir):
+                    continue
+                kept_any = False
+                for fn in self.fs.listdir(pbdir):
+                    if _is_referenced(d, pb, fn):
+                        kept_any = True
+                        continue
+                    self.fs.delete(os.path.join(pbdir, fn))
+                    files_removed += 1
+                if kept_any:
+                    dir_live = True
+                else:
+                    self.fs.rmdir(pbdir)
+            if not dir_live:
+                # whole commit dir expired: drop its write markers too
+                for fn in self.fs.listdir(sub):
+                    p = os.path.join(sub, fn)
+                    if not self.fs.isdir(p):
+                        self.fs.delete(p)
+                self.fs.rmdir(sub)
+
+        manifests_removed = 0
+        for v in versions:
+            if v not in keep:
+                self.fs.delete(self._manifest_path(v))
+                manifests_removed += 1
+        return {"manifests_removed": manifests_removed,
+                "files_removed": files_removed,
+                "files_kept": len(referenced)}
+
+    def compact(self, buckets: list[int] | None = None,
+                min_files: int = 2) -> MergeResult | None:
+        """Rewrite fragmented buckets so each holds one file again.
+
+        Every epoch's CoW write adds files only for *touched* buckets,
+        but a long-lived table accumulates buckets whose file list grew
+        via partial rewrites plus old-schema stragglers. Compaction
+        reads the selected buckets (tombstones included — they carry
+        delete semantics for late events and MUST survive), rewrites
+        them clustered one-file-per-bucket under the CURRENT schema, and
+        commits a new snapshot. No row changes: same LWW state,
+        checksums recomputed over identical values. Run
+        :meth:`expire_versions` afterwards to reclaim the old files.
+
+        ``buckets=None`` selects every bucket holding ≥ ``min_files``
+        files (or any file on an old schema version). Returns the
+        commit's MergeResult, or None if nothing qualified.
+        """
+        if buckets is None:
+            buckets = [
+                int(b) for b, entries in self.manifest["files"].items()
+                if len(entries) >= min_files
+                or any(e["schema_version"] != self.schema_version
+                       for e in entries)
+            ]
+        buckets = sorted(set(int(b) for b in buckets))
+        if not buckets:
+            return None
+        rows = self.read(buckets=buckets, include_deleted=True,
+                         include_internal=True)
+        n_part = max(len(buckets),
+                     self.spark.sparkContext.defaultParallelism)
+        clustered = rows.repartition(n_part, F.col(_BUCKET))
+        data_cols = [f["name"] for f in self.current_fields()
+                     if f["name"] not in (self.key_col, self.ts_col)]
+        return self._write_and_commit(
+            clustered, offsets={}, touched=buckets, data_cols=data_cols,
+            epoch_key=None, stream_id=None, epoch_id=None)
+
     def history(self) -> list[int]:
         d = os.path.join(self.path, "_manifests")
         return sorted(

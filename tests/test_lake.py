@@ -252,3 +252,129 @@ def test_counter_rejects_non_counter_columns(spark, tmpdir_path):
         t.merge_counter_batch(
             mk_events(spark, [(0, "insert", "a", 0, "x")]),
             counter_cols=["html"])
+
+
+# ------------------------------------------------- vacuum / compaction
+
+def _disk_parquet_files(path):
+    out = []
+    for root, _d, files in os.walk(os.path.join(path, "data")):
+        out += [os.path.join(root, f) for f in files if f.endswith(".parquet")]
+    return sorted(out)
+
+
+def _manifest_versions_on_disk(path):
+    d = os.path.join(path, "_manifests")
+    return sorted(int(f[1:-5]) for f in os.listdir(d)
+                  if f.startswith("v") and f.endswith(".json"))
+
+
+def test_expire_versions_reclaims_disk_and_preserves_state(spark, table):
+    """K epochs then expire: disk holds ONLY files the retained
+    manifests reference, reads/checksums unchanged (VERDICT r2 #2)."""
+    for e in range(5):
+        table.merge_batch(mk_events(spark, [
+            (10 * e + i, "update", f"https://x/{i % 7}", 100 + 10 * e + i,
+             f"v{e}.{i}") for i in range(6)
+        ]), stream_id="s", epoch_id=e)
+    state = final_state(table)
+    cs = {r["bucket"]: (r["row_count"], int(r["checksum"]))
+          for r in table.checksums().collect()}
+    n_files_before = len(_disk_parquet_files(table.path))
+
+    stats = table.expire_versions(keep_last=2)
+    assert stats["manifests_removed"] > 0
+    assert stats["files_removed"] > 0
+    assert _manifest_versions_on_disk(table.path) == table.history()
+    assert len(table.history()) == 2
+
+    # every file on disk is referenced by a retained manifest, and
+    # every referenced file exists
+    referenced = set()
+    import json as _json
+    for v in table.history():
+        m = _json.loads(table.fs.read_text(table._manifest_path(v)))
+        for es in m["files"].values():
+            referenced.update(os.path.join(table.path, e["path"]) for e in es)
+    on_disk = set(_disk_parquet_files(table.path))
+    assert referenced <= on_disk
+    assert len(on_disk) < n_files_before
+
+    # reads and checksums still pass after vacuum (fresh handle too)
+    t2 = LakeTable(spark, table.path)
+    assert final_state(t2) == state
+    assert {r["bucket"]: (r["row_count"], int(r["checksum"]))
+            for r in t2.checksums().collect()} == cs
+    # expire is idempotent
+    again = table.expire_versions(keep_last=2)
+    assert again["files_removed"] == 0 and again["manifests_removed"] == 0
+
+
+def test_expire_never_drops_live_snapshot(spark, table):
+    table.merge_batch(mk_events(spark, [(1, "insert", "u", 100, "a")]))
+    table.expire_versions(keep_last=1)
+    assert final_state(table)["u"][1] == "a"
+    assert LakeTable(spark, table.path).read().count() == 1
+
+
+def test_compact_single_file_per_bucket_same_state(spark, table):
+    """Many partial-rewrite epochs fragment buckets; compact rewrites
+    them one-file-per-bucket with identical LWW state, tombstones
+    preserved, checksums equal (VERDICT r2 #2)."""
+    # a big bucket splits into several files per write once it crosses
+    # maxRecordsPerFile — the realistic fragmentation mode at scale
+    spark.conf.set("spark.sql.files.maxRecordsPerFile", "3")
+    try:
+        table.merge_batch(mk_events(spark, [
+            (i, "insert", f"https://x/{i}", 100 + i, f"v{i}") for i in range(20)
+        ]))
+        table.merge_batch(mk_events(
+            spark, [(100, "delete", "https://x/3", 500, None)]))
+        for e in range(3):
+            table.merge_batch(mk_events(spark, [
+                (200 + 10 * e + i, "update", f"https://x/{i}",
+                 600 + 10 * e + i, f"w{e}.{i}") for i in range(3)
+            ]))
+    finally:
+        spark.conf.unset("spark.sql.files.maxRecordsPerFile")
+    state = final_state(table)
+    cs = {r["bucket"]: (r["row_count"], int(r["checksum"]))
+          for r in table.checksums().collect()}
+    frag = {b: len(es) for b, es in table.manifest["files"].items()}
+    assert max(frag.values()) > 1  # fixture really is fragmented
+
+    r = table.compact()
+    assert r is not None
+    after = {b: len(es) for b, es in table.manifest["files"].items()}
+    assert all(n == 1 for n in after.values())
+    assert final_state(table) == state
+    assert {r2["bucket"]: (r2["row_count"], int(r2["checksum"]))
+            for r2 in table.checksums().collect()} == cs
+    # tombstone survived compaction: late update still loses
+    table.merge_batch(mk_events(spark, [(300, "update", "https://x/3", 400, "late")]))
+    assert "https://x/3" not in final_state(table)
+
+    # compact + expire together: fully reclaimed, still correct
+    table.expire_versions(keep_last=1)
+    assert final_state(LakeTable(spark, table.path)) == final_state(table)
+    # nothing further to compact
+    assert table.compact() is None
+
+
+def test_compact_migrates_old_schema_files(spark, table):
+    """Compaction folds old-schema stragglers forward: files written
+    before a rename/add are rewritten under the current schema ids."""
+    table.merge_batch(mk_events(spark, [
+        (i, "insert", f"https://x/{i}", 100 + i, f"v{i}") for i in range(10)
+    ]))
+    table.rename_column("lang", "language")
+    table.add_column("fetch_status", "int")
+    assert any(e["schema_version"] != table.schema_version
+               for es in table.manifest["files"].values() for e in es)
+    state = {r["url"]: (r["warc_ts"], r["text"], r["language"], r["fetch_status"])
+             for r in table.read().collect()}
+    table.compact()
+    assert all(e["schema_version"] == table.schema_version
+               for es in table.manifest["files"].values() for e in es)
+    assert {r["url"]: (r["warc_ts"], r["text"], r["language"], r["fetch_status"])
+            for r in table.read().collect()} == state
