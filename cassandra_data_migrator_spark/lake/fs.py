@@ -93,6 +93,96 @@ class LocalFS:
             pass
 
 
+class ObjectStoreEmulatorFS:
+    """Object-store-semantics implementation backed by a local directory
+    — the contract a real S3/GCS adapter must satisfy, shipped as the
+    second FS implementation and exercised end-to-end by tests.
+
+    Semantics (why each differs from :class:`LocalFS`):
+
+    - **keys, not directories**: ``makedirs``/``rmdir`` are no-ops (an
+      object store has no directories); writing a key materializes its
+      local parent dirs as a backing detail.
+    - ``create_exclusive`` = **conditional PUT** (S3 ``If-None-Match:*``,
+      GCS ``if-generation-match:0``): existence check + whole-object
+      write under a process-wide lock standing in for the store's
+      server-side atomicity. No ``O_CREAT|O_EXCL``.
+    - ``replace``/``write_bytes`` = **plain PUT**: atomic per key on the
+      server, so no fsync/temp/rename dance.
+    - ``delete`` ignores missing keys (idempotent DELETE).
+
+    Data files are still read/written by Spark directly against the same
+    paths (on a real deployment: the Hadoop ``s3a://`` connector); ONLY
+    the driver's metadata/side-table I/O flows through this class —
+    which is exactly the split the seam exists to enforce.
+
+    ``ops`` records every call so tests can assert the routing.
+    """
+
+    def __init__(self, strip_scheme: str | None = None):
+        import threading
+        self._lock = threading.Lock()
+        self._strip = strip_scheme
+        self.ops: list[tuple[str, str]] = []
+
+    def _local(self, path: str) -> str:
+        if self._strip and path.startswith(f"{self._strip}://"):
+            return path[len(self._strip) + 2:]
+        return path
+
+    def makedirs(self, path: str) -> None:
+        self.ops.append(("makedirs", path))  # no directories: no-op
+
+    def exists(self, path: str) -> bool:
+        self.ops.append(("exists", path))
+        return os.path.exists(self._local(path))
+
+    def isdir(self, path: str) -> bool:
+        self.ops.append(("isdir", path))  # "dir" = any key under prefix
+        return os.path.isdir(self._local(path))
+
+    def listdir(self, path: str) -> list[str]:
+        self.ops.append(("listdir", path))
+        p = self._local(path)
+        return sorted(os.listdir(p)) if os.path.isdir(p) else []
+
+    def read_text(self, path: str) -> str:
+        self.ops.append(("read_text", path))
+        with open(self._local(path)) as f:
+            return f.read()
+
+    def _put(self, path: str, data: bytes) -> None:
+        p = self._local(path)
+        os.makedirs(os.path.dirname(p), exist_ok=True)
+        with open(p, "wb") as f:
+            f.write(data)
+
+    def create_exclusive(self, path: str, data: str) -> None:
+        self.ops.append(("create_exclusive", path))
+        with self._lock:  # server-side conditional-PUT atomicity
+            if os.path.exists(self._local(path)):
+                raise FileExistsError(path)
+            self._put(path, data.encode())
+
+    def replace(self, path: str, data: str) -> None:
+        self.ops.append(("replace", path))
+        self._put(path, data.encode())
+
+    def write_bytes(self, path: str, data: bytes) -> None:
+        self.ops.append(("write_bytes", path))
+        self._put(path, data)
+
+    def delete(self, path: str) -> None:
+        self.ops.append(("delete", path))
+        try:
+            os.remove(self._local(path))
+        except FileNotFoundError:
+            pass
+
+    def rmdir(self, path: str) -> None:
+        self.ops.append(("rmdir", path))  # no directories: no-op
+
+
 _REGISTRY: dict[str, Callable[[], object]] = {"file": LocalFS}
 
 

@@ -114,10 +114,13 @@ def _internal_struct_fields() -> list[T.StructField]:
 class LakeTable:
     """A bucket-partitioned parquet table with snapshot manifests."""
 
-    def __init__(self, spark: SparkSession, path: str):
+    def __init__(self, spark: SparkSession, path: str, fs: Any | None = None):
         self.spark = spark
         self.path = path
-        self.fs = get_fs(path)
+        # fs injection (tests / bespoke stores); default resolves by
+        # URI scheme. The same handle serves every metadata op of this
+        # table AND its pipelines' side tables (they use ``table.fs``).
+        self.fs = fs if fs is not None else get_fs(path)
         self.manifest: dict[str, Any] = {}
         self._load_latest()
 
@@ -130,6 +133,7 @@ class LakeTable:
         path: str,
         schema: T.StructType,
         config: EngineConfig | None = None,
+        fs: Any | None = None,
     ) -> "LakeTable":
         """Initialise an empty table (manifest v1, no data files)."""
         config = config or EngineConfig()
@@ -140,7 +144,7 @@ class LakeTable:
         if config.expires_col and config.expires_col not in schema.fieldNames():
             raise ValueError(
                 f"expires column {config.expires_col!r} not in schema")
-        fs = get_fs(path)
+        fs = fs if fs is not None else get_fs(path)
         fs.makedirs(os.path.join(path, "_manifests"))
         fs.makedirs(os.path.join(path, "data"))
         fields = _schema_to_fields(schema)
@@ -164,8 +168,8 @@ class LakeTable:
             "stats": {"rows": 0},
             "lineage": [],
         }
-        _write_manifest(path, manifest, expect_new_table=True)
-        return cls(spark, path)
+        _write_manifest(path, manifest, expect_new_table=True, fs=fs)
+        return cls(spark, path, fs=fs)
 
     def _load_latest(self) -> None:
         latest = os.path.join(self.path, "_manifests", "LATEST")
@@ -304,7 +308,7 @@ class LakeTable:
         return out
 
     def _commit(self, new_manifest: dict) -> None:
-        _write_manifest(self.path, new_manifest)
+        _write_manifest(self.path, new_manifest, fs=self.fs)
         self.manifest = new_manifest
 
     def overwrite(self, df: DataFrame) -> int:
@@ -869,11 +873,12 @@ class LakeTable:
         )
 
 
-def _write_manifest(path: str, manifest: dict, expect_new_table: bool = False) -> None:
+def _write_manifest(path: str, manifest: dict, expect_new_table: bool = False,
+                    fs: Any | None = None) -> None:
     """Two-step atomic commit through the FS seam: exclusive-create the
     immutable versioned manifest (conflict detector), then atomically
     swing the LATEST pointer."""
-    fs = get_fs(path)
+    fs = fs if fs is not None else get_fs(path)
     mdir = os.path.join(path, "_manifests")
     target = os.path.join(mdir, f"v{manifest['version']:012d}.json")
     try:

@@ -80,9 +80,11 @@ def _arrow_schemas():
 _LINEAGE_ARROW, _COUNTERS_ARROW = _arrow_schemas()
 
 
-def _append_parquet(path: str, rows: list[dict], schema,
+def _append_parquet(fs, path: str, rows: list[dict], schema,
                     file_key: str | None = None) -> None:
-    """Driver-side parquet append of a tiny row list (no Spark job).
+    """Driver-side parquet append of a tiny row list (no Spark job),
+    routed through the table's FS seam (``fs.write_bytes`` = one object
+    PUT — works identically on local disk and object stores).
 
     When ``file_key`` is given (e.g. ``"<stream_id>-<epoch_id>"``) the
     file name is deterministic and an existing file is overwritten —
@@ -93,10 +95,12 @@ def _append_parquet(path: str, rows: list[dict], schema,
 
     import pyarrow as pa
     import pyarrow.parquet as pq
-    os.makedirs(path, exist_ok=True)
     name = file_key if file_key is not None else uuid.uuid4().hex
     table = pa.Table.from_pylist(rows, schema=schema)
-    pq.write_table(table, os.path.join(path, f"part-{name}.parquet"))
+    sink = pa.BufferOutputStream()
+    pq.write_table(table, sink)
+    fs.write_bytes(os.path.join(path, f"part-{name}.parquet"),
+                   sink.getvalue().to_pybytes())
 
 
 class CdcPipeline:
@@ -201,6 +205,12 @@ class CdcPipeline:
 
     def _side_sink(self, df: DataFrame, path: str, epoch_id: int) -> int:
         """Persist rejected rows for this epoch; returns their count.
+
+        DATA-plane I/O by design: rejected rows can be arbitrarily many,
+        so they are written and counted by Spark itself (any
+        Hadoop-visible URI — local, s3a, gs), not the driver-side
+        metadata seam. Only bounded driver-side bookkeeping (lineage,
+        counters, run_details, manifests) routes through ``table.fs``.
 
         Exactly ONE pass over the reject predicate's (column-pruned)
         scan: write unconditionally, then count from the parquet footers
@@ -321,10 +331,10 @@ class CdcPipeline:
         ]
         key = f"{self.stream_id}-{epoch_id}"
         if rows:
-            _append_parquet(self.lineage_path, rows, _LINEAGE_ARROW,
-                            file_key=key)
+            _append_parquet(self.table.fs, self.lineage_path, rows,
+                            _LINEAGE_ARROW, file_key=key)
         c = result.counters or {}
-        _append_parquet(self.counters_path, [{
+        _append_parquet(self.table.fs, self.counters_path, [{
             "epoch_id": epoch_id,
             "read": c.get("events", 0) + n_skip + n_quar,
             "valid": c.get("events", 0), "skipped": n_skip,

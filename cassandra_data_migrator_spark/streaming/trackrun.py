@@ -78,7 +78,7 @@ class BatchRunTracker:
     def passed_groups(self, run_id: str) -> set[int]:
         """A group is PASS when its whole-group merge committed, or when
         every sub of one rerun-multiplier split committed."""
-        if not os.path.isdir(self.details_path):
+        if not self.table.fs.isdir(self.details_path):
             return set()
         rows = (
             self.run_details()
@@ -122,7 +122,7 @@ class BatchRunTracker:
         # instead of re-attempting a fenced no-op forever. The
         # deterministic file_key keeps re-appends idempotent.
         _append_parquet(
-            self.details_path,
+            self.table.fs, self.details_path,
             [{"run_id": run_id, "grp": grp, "sub": sub,
               "n_subs": n_subs, "status": "PASS",
               "events": int(result.counters.get("events", 0)),
