@@ -1,3 +1,11 @@
 from cassandra_data_migrator_spark.streaming.pipeline import (  # noqa: F401
     CdcPipeline,
 )
+from cassandra_data_migrator_spark.streaming.runinfo import (  # noqa: F401
+    finalize_stream_run,
+    finalize_tracked_run,
+    run_info,
+)
+from cassandra_data_migrator_spark.streaming.trackrun import (  # noqa: F401
+    BatchRunTracker,
+)

@@ -137,6 +137,54 @@ def test_lineage_and_counters(spark, tmpdir_path, event_log):
             assert cs[r["bucket"]] == int(r["checksum"])
 
 
+def test_run_info_rollup_with_known_rejects(spark, tmpdir_path):
+    """Run-level summary (reference cdm_run_info + cdm-assert.sh
+    totals): ENDED row whose totals equal the per-epoch counter sums
+    for a replay with known skips/quarantines (VERDICT r2 #5)."""
+    import datetime as dt
+
+    from cassandra_data_migrator_spark.streaming import (
+        finalize_stream_run,
+        run_info,
+    )
+
+    t = mk_table(spark, tmpdir_path, "t")
+    cfg = EngineConfig(
+        n_buckets=8,
+        writetime_min=dt.datetime(2023, 11, 15, tzinfo=dt.timezone.utc),
+    )
+    p = CdcPipeline(spark, t, cfg, stream_id="s")
+    schema = T.StructType([
+        T.StructField("seq", T.LongType(), False),
+        T.StructField("op", T.StringType(), False),
+        T.StructField("url", T.StringType(), True),
+        T.StructField("warc_ts", T.TimestampType(), True),
+        T.StructField("html", T.BinaryType(), True),
+        T.StructField("lang", T.StringType(), True),
+    ])
+    ok, old = dt.datetime(2023, 11, 20), dt.datetime(2023, 11, 1)
+    p.apply_batch(spark.createDataFrame([
+        (0, "update", "https://a/1", ok, b"<p>x</p>", "en"),
+        (1, "update", "https://a/2", old, b"<p>y</p>", "en"),   # skipped
+        (2, "update", None, ok, b"<p>z</p>", "en"),             # quarantined
+    ], schema), epoch_id=0)
+    p.apply_batch(spark.createDataFrame([
+        (3, "update", "https://a/3", ok, b"<p>w</p>", "en"),
+        (4, "delete", "https://a/1", ok, None, None),
+    ], schema), epoch_id=1)
+
+    totals = finalize_stream_run(p)
+    assert totals == {"epochs": 2, "read": 5, "valid": 3, "skipped": 1,
+                      "quarantined": 1, "events_applied": 3}
+    row = run_info(spark, t).collect()[0]
+    assert row["status"] == "ENDED" and row["kind"] == "stream"
+    assert row["final_version"] == t.version
+    assert row["events_applied"] == 3
+    # idempotent: re-finalizing overwrites, not duplicates
+    finalize_stream_run(p)
+    assert run_info(spark, t).count() == 1
+
+
 def test_probed_path_counts_null_predicate_as_skipped(spark, tmpdir_path):
     """_prepare_probed (the transform=None fast path) must agree with
     split_events on NULL-predicate rows: skipped, never 'valid' or

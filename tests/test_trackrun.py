@@ -109,6 +109,32 @@ def test_crash_after_commit_before_pass_row_converges(spark, tmpdir_path):
     assert _state(t) == _state(ref)
 
 
+def test_tracked_run_info_ended_only_when_complete(spark, tmpdir_path):
+    """cdm_run_info analog for tracked batch runs: STARTED while groups
+    are pending, ENDED with full totals once the run converges."""
+    from cassandra_data_migrator_spark.streaming import (
+        finalize_tracked_run,
+        run_info,
+    )
+
+    ev = _events(spark)
+    cfg = EngineConfig(n_buckets=16, key_col="url", ts_col="warc_ts")
+    t = LakeTable.create(spark, f"{tmpdir_path}/t", SCHEMA, cfg)
+    tracker = BatchRunTracker(spark, t, n_groups=4)
+    tracker.run(ev, "runi", groups=[0, 1])
+    partial = finalize_tracked_run(tracker, "runi")
+    assert run_info(spark, t).collect()[0]["status"] == "STARTED"
+
+    tracker.resume(ev, "runi")
+    totals = finalize_tracked_run(tracker, "runi")
+    row = run_info(spark, t).collect()[0]         # overwritten, 1 row
+    assert run_info(spark, t).count() == 1
+    assert row["status"] == "ENDED"
+    assert totals["events_applied"] == ev.count()
+    assert totals["events_applied"] > partial["events_applied"]
+    assert row["final_version"] == t.version
+
+
 def test_fs_seam_local_roundtrip(tmpdir_path):
     fs = get_fs(tmpdir_path)
     assert isinstance(fs, LocalFS)
