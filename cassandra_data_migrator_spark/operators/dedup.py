@@ -91,14 +91,60 @@ def minhash_signatures(
     return sh.groupBy(id_col).agg(*aggs)
 
 
+def _drop_oversized_buckets(
+    melted: DataFrame, bucket_col: str, max_bucket_size: int
+) -> DataFrame:
+    """Degenerate-bucket guard for bucket-join candidate generation.
+
+    A corpus of near-identical documents collapses into ONE band /
+    segment bucket, and the self-join over it is quadratic in that
+    bucket's size — AQE spreads the skew across tasks but cannot cap
+    the pair count itself. The standard mitigation: drop buckets larger
+    than ``max_bucket_size`` outright (members that are genuine
+    near-dups still pair through their OTHER bands/segments unless
+    those are equally degenerate — in which case the corpus needs exact
+    dedup first, which such a corpus by construction mostly is).
+
+    Plan shape: the oversized-key list is tiny (it takes >max docs to
+    create one), so it is aggregated and broadcast as a left-anti join
+    — no extra full shuffle of the melted frame. Use
+    :func:`oversized_buckets` to audit what a given cap would drop.
+    """
+    oversized = (
+        melted.groupBy(bucket_col)
+        .agg(F.count("*").alias("_bsz"))
+        .filter(F.col("_bsz") > max_bucket_size)
+        .select(bucket_col)
+    )
+    return melted.join(F.broadcast(oversized), bucket_col, "left_anti")
+
+
+def oversized_buckets(
+    melted: DataFrame, bucket_col: str, max_bucket_size: int
+) -> DataFrame:
+    """Audit companion to the ``max_bucket_size`` guard: the bucket keys
+    and sizes that a given cap would drop (log/inspect before enabling)."""
+    return (
+        melted.groupBy(bucket_col)
+        .agg(F.count("*").alias("bucket_size"))
+        .filter(F.col("bucket_size") > max_bucket_size)
+    )
+
+
 def lsh_candidate_pairs(
     sig_df: DataFrame, id_col: str,
     num_hashes: int = 8, band_size: int = 2,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """LSH banding: pairs sharing ≥1 band: ``(id_a, id_b)`` with a<b.
 
     Bands are exploded to ``(band_key, id)`` and self-joined per key —
     candidate generation without any all-pairs scan.
+
+    ``max_bucket_size`` (optional): drop band buckets holding more than
+    this many documents before the self-join, bounding worst-case
+    candidate volume on duplicate-heavy corpora (see
+    :func:`_drop_oversized_buckets`).
     """
     n_bands = num_hashes // band_size
     bands = F.array(*[
@@ -109,6 +155,8 @@ def lsh_candidate_pairs(
         for b in range(n_bands)
     ])
     melted = sig_df.select(F.col(id_col), F.explode(bands).alias("band_key"))
+    if max_bucket_size is not None:
+        melted = _drop_oversized_buckets(melted, "band_key", max_bucket_size)
     a = melted.alias("a")
     b = melted.alias("b")
     return (
@@ -175,11 +223,13 @@ def minhash_dedup_pairs(
     df: DataFrame, id_col: str, text_col: str,
     num_hashes: int = 8, band_size: int = 2,
     shingle_n: int = 1, threshold: float = 0.8,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Full MinHash-LSH near-dup chain: signatures → bands → candidates
     → exact-Jaccard verify ≥ threshold. Returns verified near-dup pairs."""
     sigs = minhash_signatures(df, id_col, text_col, num_hashes, shingle_n)
-    cand = lsh_candidate_pairs(sigs, id_col, num_hashes, band_size)
+    cand = lsh_candidate_pairs(sigs, id_col, num_hashes, band_size,
+                               max_bucket_size=max_bucket_size)
     pairs = jaccard_pairs(df, id_col, text_col, shingle_n, candidates=cand)
     return pairs.filter(F.col("jaccard") >= threshold)
 
@@ -211,7 +261,8 @@ def simhash(df: DataFrame, id_col: str, text_col: str,
 
 
 def simhash_dup_pairs(df: DataFrame, id_col: str, text_col: str,
-                      bits: int = 48, max_hamming: int = 3) -> DataFrame:
+                      bits: int = 48, max_hamming: int = 3,
+                      max_bucket_size: int | None = None) -> DataFrame:
     """Near-dup pairs by simhash hamming distance ≤ max_hamming.
 
     Candidate generation splits the fingerprint into ``max_hamming + 1``
@@ -226,6 +277,11 @@ def simhash_dup_pairs(df: DataFrame, id_col: str, text_col: str,
     values and candidate volume goes near-quadratic — the md5-derived
     hash provides 48 usable bits, so the 48/3 default gives 4 × 12-bit
     segments (4096 bucket values each).
+
+    ``max_bucket_size`` (optional): drop segment buckets holding more
+    than this many documents before the self-join — the guard against
+    duplicate-heavy corpora where every fingerprint is identical and
+    one bucket would go quadratic (see :func:`_drop_oversized_buckets`).
     """
     fps = simhash(df, id_col, text_col, bits)
     n_seg = max_hamming + 1
@@ -241,6 +297,8 @@ def simhash_dup_pairs(df: DataFrame, id_col: str, text_col: str,
         F.col(id_col), F.col("simhash"),
         F.explode(F.array(*seg_cols)).alias("bucket"),
     )
+    if max_bucket_size is not None:
+        melted = _drop_oversized_buckets(melted, "bucket", max_bucket_size)
     a = melted.alias("a")
     b = melted.alias("b")
     pairs = (

@@ -1,0 +1,135 @@
+"""SIT-parity scenarios the reference ships as smoke/feature suites:
+reserved-keyword identifiers (SIT/smoke/05_reserved_keyword) and the
+constant-column remove/replace migrations (SIT/features/06, 07),
+composed from this engine's drop/lit/rename/diff primitives."""
+
+from __future__ import annotations
+
+import datetime as dt
+import os
+
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from cassandra_data_migrator_spark.config import EngineConfig
+from cassandra_data_migrator_spark.lake import LakeTable
+from cassandra_data_migrator_spark.operators.diff import (
+    autocorrect,
+    diff_counters,
+    diff_tables,
+)
+from cassandra_data_migrator_spark.operators.transforms import constant_columns
+
+
+def ts(s):
+    return dt.datetime(2024, 1, 1, tzinfo=dt.timezone.utc) + dt.timedelta(seconds=s)
+
+
+def test_reserved_keyword_columns_roundtrip(spark, tmpdir_path):
+    """SIT/smoke/05_reserved_keyword: a column named ``order`` (plus
+    ``select``, both SQL keywords) flows through create → merge → read
+    → checksums → diff → autocorrect untouched."""
+    schema = T.StructType([
+        T.StructField("col1", T.StringType(), False),
+        T.StructField("warc_ts", T.TimestampType(), False),
+        T.StructField("order", T.StringType(), True),
+        T.StructField("select", T.StringType(), True),
+    ])
+    cfg = EngineConfig(n_buckets=4, key_col="col1", ts_col="warc_ts")
+    t = LakeTable.create(spark, os.path.join(tmpdir_path, "t"), schema, cfg)
+    ev = spark.createDataFrame(
+        [("c1", ts(1), "o1", "s1", "insert", 1),
+         ("c2", ts(1), "o2", "s2", "insert", 2),
+         ("c1", ts(2), "o1b", "s1b", "update", 3)],
+        "col1 string, warc_ts timestamp, `order` string, `select` string, "
+        "op string, seq long")
+    t.merge_batch(ev)
+    got = {r["col1"]: (r["order"], r["select"]) for r in t.read().collect()}
+    assert got == {"c1": ("o1b", "s1b"), "c2": ("o2", "s2")}
+    assert t.checksums().count() > 0
+
+    # diff + autocorrect with the keyword column mismatched
+    origin = t.read()
+    broken = origin.withColumn(
+        "order", F.when(F.col("col1") == "c1", F.lit("BROKEN"))
+                  .otherwise(F.col("order")))
+    t2 = LakeTable.create(spark, os.path.join(tmpdir_path, "t2"), schema, cfg)
+    t2.merge_batch(broken.withColumn("op", F.lit("insert"))
+                         .withColumn("seq", F.lit(1)))
+    d = diff_tables(origin, t2.read(), key_cols=["col1"], n_buckets=4)
+    c = diff_counters(d)
+    assert c["mismatch"] == 1
+    _res, corrected = autocorrect(t2, origin, d, key_cols=["col1"])
+    assert corrected["corrected_mismatch"] == 1
+    d2 = diff_tables(origin, t2.read(), key_cols=["col1"], n_buckets=4)
+    c2 = diff_counters(d2)
+    assert c2["valid"] == 2 and c2["mismatch"] == 0
+
+
+def _origin_const(spark):
+    # SIT setup.cql: (const1 int, key text, value text, const2 int)
+    return spark.createDataFrame(
+        [(1, "key1", "valueA", 21), (1, "key2", "valueB", 22),
+         (1, "key3", "valueC", 23)],
+        "const1 int, key string, value string, const2 int")
+
+
+def test_constant_column_remove(spark, tmpdir_path):
+    """SIT/features/06: origin carries const1/const2; the target drops
+    them — migrate only (key, value), then validate clean."""
+    schema = T.StructType([
+        T.StructField("key", T.StringType(), False),
+        T.StructField("warc_ts", T.TimestampType(), False),
+        T.StructField("value", T.StringType(), True),
+    ])
+    cfg = EngineConfig(n_buckets=4, key_col="key", ts_col="warc_ts")
+    t = LakeTable.create(spark, os.path.join(tmpdir_path, "t"), schema, cfg)
+    src = (_origin_const(spark).drop("const1", "const2")
+           .withColumn("warc_ts", F.lit(ts(0)))
+           .withColumn("op", F.lit("insert"))
+           .withColumn("seq", F.col("key").substr(4, 1).cast("long")))
+    t.merge_batch(src)
+    # expected.out: 3 rows, (key, value) only
+    assert sorted((r["key"], r["value"]) for r in t.read().collect()) == [
+        ("key1", "valueA"), ("key2", "valueB"), ("key3", "valueC")]
+    d = diff_tables(src.drop("op", "seq"), t.read(), key_cols=["key"])
+    assert diff_counters(d) == {"read": 3, "valid": 3, "mismatch": 0,
+                                "missing": 0, "extra_target": 0, "error": 0}
+
+
+def test_constant_column_replace(spark, tmpdir_path):
+    """SIT/features/07: origin consts (const1=1, const2=2x) are REPLACED
+    by target constants const3=2, const4=31 (the feature.constantColumns
+    config) — validated with the feature-aware virtual-column diff."""
+    schema = T.StructType([
+        T.StructField("const3", T.IntegerType(), True),
+        T.StructField("key", T.StringType(), False),
+        T.StructField("warc_ts", T.TimestampType(), False),
+        T.StructField("value", T.StringType(), True),
+        T.StructField("const4", T.IntegerType(), True),
+    ])
+    cfg = EngineConfig(n_buckets=4, key_col="key", ts_col="warc_ts")
+    t = LakeTable.create(spark, os.path.join(tmpdir_path, "t"), schema, cfg)
+    origin = _origin_const(spark)
+    src = constant_columns(
+        origin.drop("const1", "const2"),
+        {"const3": (2, "int"), "const4": (31, "int")},
+    ).withColumn("warc_ts", F.lit(ts(0))) \
+     .withColumn("op", F.lit("insert")) \
+     .withColumn("seq", F.col("key").substr(4, 1).cast("long"))
+    t.merge_batch(src)
+    # expected.out: const3=2, const4=31 on every row
+    assert sorted((r["const3"], r["key"], r["const4"], r["value"])
+                  for r in t.read().collect()) == [
+        (2, "key1", 31, "valueA"), (2, "key2", 31, "valueB"),
+        (2, "key3", 31, "valueC")]
+    # virtual-column validation: origin has no const3/const4 — compare
+    # the configured literals against the target columns
+    d = diff_tables(
+        origin.select("key", "value"), t.read(), key_cols=["key"],
+        compare_cols=["value"],
+        virtual_cols={"const3": (F.lit(2), F.col("const3")),
+                      "const4": (F.lit(31), F.col("const4"))},
+    )
+    assert diff_counters(d) == {"read": 3, "valid": 3, "mismatch": 0,
+                                "missing": 0, "extra_target": 0, "error": 0}

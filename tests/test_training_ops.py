@@ -108,3 +108,42 @@ def test_multimodal_meta_plumbing(spark, docs):
     assert rows[0]["format"] in ("jpeg", "png", "webp")
     assert 64 <= rows[0]["width"] < 704
     assert meta.count() == docs.count()
+
+
+def test_max_bucket_size_bounds_degenerate_corpora(spark):
+    """Adversarially duplicate-heavy corpus: every doc near-identical →
+    one LSH band / simhash segment bucket holds everything and the
+    self-join would go quadratic. The max_bucket_size guard drops those
+    buckets, bounding candidate volume; normal corpora are unaffected
+    (VERDICT r2 #6)."""
+    from cassandra_data_migrator_spark.operators import dedup as D
+
+    n = 120
+    clones = spark.createDataFrame(
+        [(i, "the same exact text repeated everywhere") for i in range(n)],
+        "doc_id long, text string")
+
+    # unguarded: quadratic blow-up in the one bucket (n*(n-1)/2 pairs)
+    sigs = D.minhash_signatures(clones, "doc_id", "text")
+    assert D.lsh_candidate_pairs(sigs, "doc_id").count() == n * (n - 1) // 2
+    # guarded: the degenerate buckets are dropped entirely
+    assert D.lsh_candidate_pairs(sigs, "doc_id",
+                                 max_bucket_size=20).count() == 0
+    assert D.simhash_dup_pairs(clones, "doc_id", "text",
+                               max_bucket_size=20).count() == 0
+    # audit companion reports what the cap drops
+    melted = sigs.selectExpr("doc_id",
+                             "concat_ws('_', '0', sig_0, sig_1) AS band_key")
+    over = D.oversized_buckets(melted, "band_key", 20).collect()
+    assert over and all(r["bucket_size"] == n for r in over)
+
+    # a mixed corpus keeps its genuine near-dup pairs under the guard
+    mixed = spark.createDataFrame(
+        [(i, f"document number {i} has distinct content alpha{i} beta{i * 31}")
+         for i in range(40)]
+        + [(1000, "a close near duplicate pair of documents x"),
+           (1001, "a close near duplicate pair of documents y")],
+        "doc_id long, text string")
+    got = D.minhash_dedup_pairs(mixed, "doc_id", "text", threshold=0.7,
+                                max_bucket_size=20)
+    assert [(r["id_a"], r["id_b"]) for r in got.collect()] == [(1000, 1001)]
