@@ -1111,6 +1111,49 @@ FROM p QUALIFY rank <= {k}
 """
 
 
+def _q_ann_scaled_topk(spark, sf_dir):
+    """The ann_params-driven ANN path (VERDICT r2 #4): n_planes is sized
+    from the corpus (ONE count at job setup — the operator itself runs
+    no driver action; ``dim`` is mandatory). At sf0.01 (500 vectors)
+    ann_params resolves to (4, 4), which the DuckDB oracle replays
+    plane-for-plane; tests/test_training_ops.py exercises the same path
+    at 10k vectors where n_planes=8 > 6 engages, and the bench's
+    ann_scaled_recall entry measures its recall at 20k vectors."""
+    emb = _tbl(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    out = SIM.lsh_ann_topk_scaled(emb, queries, corpus_size=emb.count(),
+                                  dim=64, k=5)
+    return out.select("query_id", "neighbor_id", "cosine",
+                      F.col("rank").cast("long").alias("rank"))
+
+
+def _synthetic_embeddings(spark, n: int, dim: int):
+    """Deterministic synthetic corpus (JVM-side xxhash64-derived floats)
+    for scale tests beyond the driver testdata's 2k vectors."""
+    cols = [((F.xxhash64(F.col("id"), F.lit(d)) % 2001) / 1000.0)
+            .cast("float") for d in range(dim)]
+    return spark.range(n).select(F.col("id").alias("vec_id"),
+                                 F.array(*cols).alias("embedding"))
+
+
+def _q_ann_scaled_recall(spark, sf_dir):
+    """Measured recall@5 of the scaled-LSH ANN vs the exact baseline
+    over a 20k-vector synthetic corpus — ann_params gives n_planes=9
+    (512 buckets/table × 4 tables), the genuinely-scaled configuration
+    the toy corpora cannot reach. Returns one row per query
+    (query_id, hits, total, recall). No SQL oracle by design: this
+    query MEASURES the approximate algorithm against the exact one
+    Spark-side (rows-only driver check); bit-exactness of the LSH
+    machinery itself is oracled by ann_lsh_topk / ann_scaled_topk."""
+    n, dim, k = 20_000, 16, 5
+    emb = _synthetic_embeddings(spark, n, dim)
+    queries = emb.filter(F.col("vec_id") < 20)
+    approx = SIM.lsh_ann_topk_scaled(emb, queries, corpus_size=n,
+                                     dim=dim, k=k)
+    exact = SIM.cosine_topk(emb, queries, k=k)
+    return SIM.recall_at_k(approx, exact).orderBy("query_id")
+
+
 def _q_media_meta(spark, sf_dir):
     """Multimodal plumbing: opaque binary payload → mapInPandas
     (Arrow-batched) metadata/decode-stub extraction."""
@@ -1226,6 +1269,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprint": _q_doc_fingerprint,
         "cosine_topk": _q_cosine_topk,
         "ann_lsh_topk": _q_ann_lsh_topk,
+        "ann_scaled_topk": _q_ann_scaled_topk,
+        "ann_scaled_recall": _q_ann_scaled_recall,
     }
 
 
@@ -1309,4 +1354,10 @@ FROM documents GROUP BY md5(text)
         "doc_fingerprint": _DOC_FINGERPRINT_ORACLE,
         "cosine_topk": _COSINE_TOPK_ORACLE,
         "ann_lsh_topk": _ann_lsh_oracle(),
+        # scaled params at the correctness gate's sf0.01 (500 vectors):
+        # same derivation the Spark side runs (ann_params(500) == (4, 4))
+        "ann_scaled_topk": _ann_lsh_oracle(
+            k=5, n_planes=SIM.ann_params(500)[0], n_tables=4),
+        # ann_scaled_recall: deliberately no oracle (measures the
+        # approximate algorithm against the exact one Spark-side)
     }

@@ -143,14 +143,20 @@ def lsh_ann_topk(
     (n_planes, n_tables): more planes → smaller buckets (cheaper, lower
     recall per table); more tables → recall back up. The candidate join
     is an equi-join on the bucket key — the scale path that replaces the
-    brute-force cross product.
+    brute-force cross product. Size ``n_planes`` with
+    :func:`ann_params`; measure the trade-off with :func:`recall_at_k`.
+
+    ``dim`` is REQUIRED: deriving it from the corpus would run a driver
+    action inside the operator's hot path (a job per call), and the
+    caller always knows its embedding dimension statically.
     """
     from pyspark.sql import Window
 
     if dim is None:
-        # fallback only — pass ``dim`` explicitly in pipelines: this is
-        # a driver-side action over the corpus in the hot path
-        dim = len(corpus.select(vec_col).first()[0])
+        raise ValueError(
+            "dim is required (the embedding dimension): deriving it "
+            "from the corpus would run a driver-side job inside the "
+            "operator — pass it explicitly")
 
     def bucket_for_table(t: int) -> Column:
         planes = _plane_matrix(n_planes, dim, seed + 1000 * t)
@@ -194,4 +200,51 @@ def lsh_ann_topk(
         .distinct()   # a pair can collide in several tables/probes
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
+    )
+
+
+def lsh_ann_topk_scaled(
+    corpus: DataFrame, queries: DataFrame, corpus_size: int, dim: int,
+    k: int = 10, id_col: str = "vec_id", vec_col: str = "embedding",
+    target_bucket_rows: int = 64, n_tables: int = 4, seed: int = 42,
+    round_digits: int | None = 4,
+) -> DataFrame:
+    """The production entrypoint for ANN: :func:`ann_params` sizes the
+    plane count from the corpus size so expected bucket occupancy stays
+    ≈ ``target_bucket_rows`` at ANY scale (a fixed plane count
+    degenerates to brute force as the corpus grows — 10^9 vectors in
+    2^6 buckets is ~10^7 per bucket). ``corpus_size`` is passed in (a
+    known catalog stat or one count at job setup), keeping the operator
+    itself free of driver actions."""
+    n_planes, n_tables = ann_params(corpus_size, target_bucket_rows,
+                                    n_tables)
+    return lsh_ann_topk(corpus, queries, k=k, id_col=id_col,
+                        vec_col=vec_col, n_planes=n_planes,
+                        n_tables=n_tables, seed=seed,
+                        round_digits=round_digits, dim=dim)
+
+
+def recall_at_k(approx: DataFrame, exact: DataFrame) -> DataFrame:
+    """Per-query recall@k of an approximate top-k against the exact
+    baseline: ``(query_id, hits, total, recall)`` with recall =
+    |approx ∩ exact| / |exact| over neighbor sets. Both inputs are
+    ``(query_id, neighbor_id, …)`` frames (e.g. :func:`lsh_ann_topk`
+    vs :func:`cosine_topk`) — two tiny aggregations over k·|queries|
+    rows, used to tune (n_planes, n_tables) empirically."""
+    a = approx.select("query_id", "neighbor_id")
+    e = exact.select("query_id", "neighbor_id")
+    hits = (
+        e.join(a, ["query_id", "neighbor_id"], "left_semi")
+        .groupBy("query_id").agg(F.count("*").alias("hits"))
+    )
+    totals = e.groupBy("query_id").agg(F.count("*").alias("total"))
+    return (
+        totals.join(hits, "query_id", "left")
+        .select(
+            "query_id",
+            F.coalesce(F.col("hits"), F.lit(0)).alias("hits"),
+            "total",
+            (F.coalesce(F.col("hits"), F.lit(0)) / F.col("total"))
+            .alias("recall"),
+        )
     )
