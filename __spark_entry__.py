@@ -1052,7 +1052,8 @@ def _q_ann_lsh_topk(spark, sf_dir):
 
 
 def _ann_lsh_oracle(k: int = 5, n_planes: int = 6, n_tables: int = 4,
-                    seed: int = 42, dim: int = 64) -> str:
+                    seed: int = 42, dim: int = 64,
+                    corpus_where: str = "TRUE") -> str:
     """DuckDB replay of :func:`SIM.lsh_ann_topk` — same md5-derived
     plane literals, same sign-pattern buckets, same single-bit-flip
     multiprobe, same round(cosine, 4) re-rank. Plane values are exact
@@ -1071,7 +1072,8 @@ def _ann_lsh_oracle(k: int = 5, n_planes: int = 6, n_tables: int = 4,
              "i -> CAST(qv[i] AS DOUBLE) * pv[i]))")
     return f"""
 WITH pl AS (SELECT * FROM (VALUES {values}) AS t(tbl, j, pv)),
-c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings),
+c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings
+      WHERE {corpus_where}),
 q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings
       WHERE vec_id < 10),
 cbits AS (
@@ -1118,10 +1120,17 @@ def _q_ann_scaled_topk(spark, sf_dir):
     ann_params resolves to (4, 4), which the DuckDB oracle replays
     plane-for-plane; tests/test_training_ops.py exercises the same path
     at 10k vectors where n_planes=8 > 6 engages, and the bench's
-    ann_scaled_recall entry measures its recall at 20k vectors."""
-    emb = _tbl(spark, sf_dir, "embeddings")
+    ann_scaled_recall entry measures its recall at 20k vectors.
+
+    The corpus is pinned to the ``vec_id < 500`` slice so the plane
+    derivation — and therefore the static oracle SQL — is identical at
+    EVERY sf (both engines read the same slice of the same tables; an
+    sf-dependent corpus size would desync the Spark params from the
+    oracle's whenever the check runs at a different scale)."""
+    corpus_n = 500
+    emb = _tbl(spark, sf_dir, "embeddings").filter(F.col("vec_id") < corpus_n)
     queries = emb.filter(F.col("vec_id") < 10)
-    out = SIM.lsh_ann_topk_scaled(emb, queries, corpus_size=emb.count(),
+    out = SIM.lsh_ann_topk_scaled(emb, queries, corpus_size=corpus_n,
                                   dim=64, k=5)
     return out.select("query_id", "neighbor_id", "cosine",
                       F.col("rank").cast("long").alias("rank"))
@@ -1354,10 +1363,11 @@ FROM documents GROUP BY md5(text)
         "doc_fingerprint": _DOC_FINGERPRINT_ORACLE,
         "cosine_topk": _COSINE_TOPK_ORACLE,
         "ann_lsh_topk": _ann_lsh_oracle(),
-        # scaled params at the correctness gate's sf0.01 (500 vectors):
+        # scaled params over the pinned 500-vector slice (sf-stable):
         # same derivation the Spark side runs (ann_params(500) == (4, 4))
         "ann_scaled_topk": _ann_lsh_oracle(
-            k=5, n_planes=SIM.ann_params(500)[0], n_tables=4),
+            k=5, n_planes=SIM.ann_params(500)[0], n_tables=4,
+            corpus_where="vec_id < 500"),
         # ann_scaled_recall: deliberately no oracle (measures the
         # approximate algorithm against the exact one Spark-side)
     }
