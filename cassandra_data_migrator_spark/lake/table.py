@@ -353,6 +353,7 @@ class LakeTable:
         force_overwrite: bool = False,
         finalize: Any | None = None,
         probed: tuple[list[int], dict[int, dict]] | None = None,
+        prereduce_max_events: int = 32_000_000,
     ) -> MergeResult:
         """Copy-on-write LWW MERGE of a change batch into the table.
 
@@ -420,6 +421,39 @@ class LakeTable:
             else self._probe_source(src)
         if not touched:
             return self._commit_empty_epoch(epoch_key, stream_id, epoch_id)
+
+        total_events = sum((o.get("events") or 0) for o in offsets.values())
+        if (prereduce_max_events and not unset_nulls
+                and 0 < total_events <= prereduce_max_events):
+            # LWW pre-reduction: drop intra-batch losers BEFORE the
+            # payload shuffle. A column-pruned (key → max(ts, seq))
+            # aggregation (map-side combined, ~24 B/row through its own
+            # tiny shuffle) picks the winning version per key; a
+            # broadcast join-back then admits only rows carrying that
+            # version. Rows that lose LWW within the batch can never win
+            # against stored rows, so this is a pure pre-filter: the
+            # window below sees identical winners, ties (exact duplicate
+            # events) still collapse there, and stored-row-wins-on-tie
+            # is untouched (base rows are never pre-reduced). Cuts the
+            # fat-payload shuffle AND the window's row buffering by the
+            # events-per-key factor — measured here as the merge's
+            # dominant cost (UnsafeRow payload copies), and on a real
+            # cluster it is the network shuffle itself.
+            neg = F.lit(-(2 ** 63))
+            win = (
+                src.groupBy(F.col(self.key_col).alias("_k"))
+                .agg(F.max(F.struct(
+                    F.col(self.ts_col).alias("_t"),
+                    F.coalesce(F.col(_SEQ), neg).alias("_s"))).alias("_w"))
+            )
+            # null-safe on key and ts: a null-ts (or even null-key) event
+            # must survive exactly as the window path would keep it
+            cond = (
+                F.col(self.key_col).eqNullSafe(F.col("_k"))
+                & F.col(self.ts_col).eqNullSafe(F.col("_w._t"))
+                & (F.coalesce(F.col(_SEQ), neg) == F.col("_w._s"))
+            )
+            src = src.join(F.broadcast(win), cond, "inner").drop("_k", "_w")
 
         target = self.read(buckets=touched, include_deleted=True,
                            include_internal=True)

