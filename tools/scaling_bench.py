@@ -44,11 +44,12 @@ def _session(cores: int):
         shuffle_partitions=max(cores * 2, 16),
         extra_conf={
             "spark.driver.memory": "48g",
-            # the zstd'd event log is tiny on disk (~45 B/event) but fat
-            # decoded; default 128m splits would coalesce the whole scan
-            # into a handful of tasks and starve the higher parallelism
-            # level — split fine so the SCAN stage scales with cores too
-            "spark.sql.files.maxPartitionBytes": "4m",
+            # the compressed event log is small on disk but fat decoded;
+            # default 128m splits would coalesce the whole scan into a
+            # handful of tasks and starve the higher parallelism level —
+            # split fine so the SCAN stage scales with cores too
+            # (8m ≈ 150 MB decoded per task on the snappy log)
+            "spark.sql.files.maxPartitionBytes": "8m",
             "spark.sql.files.openCostInBytes": "1m",
         })
 
@@ -115,21 +116,44 @@ def worker(log_path: str, cores: int) -> None:
     shutil.rmtree(d, ignore_errors=True)
 
 
+_BURN_BUFS = {}
+
+
 def _burn(_):
+    """One calibration chunk: ALU loop + streaming 64 MB memcpys.
+
+    The mix matters: this host's ALU capacity and its memory-subsystem
+    capacity degrade INDEPENDENTLY under neighbor load (measured: a
+    window where 16 pinned cores delivered ~11 ALU core-equivalents but
+    concurrent memcpy collapsed ~100x, inflating the same Spark scan
+    7-10x). A pure-ALU burn would overstate what the host can deliver
+    to a scan/shuffle workload, so the burn streams real memory too.
+    """
+    import numpy as np
+    bufs = _BURN_BUFS.get(os.getpid())
+    if bufs is None:
+        src = np.ones(64 * 1024 * 1024, dtype=np.uint8)
+        dst = np.empty_like(src)
+        np.copyto(dst, src)  # fault in
+        bufs = _BURN_BUFS[os.getpid()] = (src, dst)
+    src, dst = bufs
     t0 = time.time()
     x = 0
-    for i in range(20_000_000):
+    for i in range(8_000_000):
         x += i * i
+    for _ in range(4):
+        np.copyto(dst, src)
     return time.time() - t0
 
 
 def calibrate(cores: int) -> float:
     """Deliverable core-equivalents of this sandbox for `cores` pinned
-    CPUs, measured with a pure-CPU burn (multiprocessing, 2 waves).
+    CPUs, measured with a mixed ALU + streaming-memory burn
+    (multiprocessing, 2 waves).
 
-    The sandbox is a shared-host VM: identical runs vary up to 3x and
-    32 busy vCPUs deliver only ~20-24 core-equivalents even for pure
-    ALU work. Calibration lets the report separate the ENGINE's scaling
+    The sandbox is a shared-host VM: identical runs vary up to 3x, and
+    both CPU time and memory bandwidth are shared with invisible
+    neighbors. Calibration lets the report separate the ENGINE's scaling
     (speedup vs delivered capacity) from the HOST's ceiling (delivered
     vs nominal cores).
     """
