@@ -720,6 +720,35 @@ FROM documents
 """
 
 
+def _q_guardrail_job_totals(spark, sf_dir):
+    """Standalone guardrail JOB (job/GuardrailCheck.scala:22-52 +
+    GuardrailCheckJobSession.java:45-80): one scan of the audited
+    table → READ/VALID/LARGE totals, the job-end metric print of the
+    reference. The distributed aggregation runs inside
+    run_guardrail_check; this entry re-shapes its totals dict into a
+    one-row frame for the oracle compare."""
+    from cassandra_data_migrator_spark.streaming.guardjob import (
+        run_guardrail_check,
+    )
+    docs = _tbl(spark, sf_dir, "documents")
+    t = run_guardrail_check(docs, ["text", "source"], 0.25).totals
+    return spark.createDataFrame(
+        [(t["read"], t["valid"], t["large"])],
+        "n_read long, n_valid long, n_large long")
+
+
+_GUARDRAIL_JOB_ORACLE = """
+SELECT CAST(count(*) AS BIGINT) AS n_read,
+       CAST(sum(CASE WHEN greatest(coalesce(strlen(text),0),
+                               coalesce(strlen(source),0)) / 1024.0 > 0.25
+                 THEN 0 ELSE 1 END) AS BIGINT) AS n_valid,
+       CAST(sum(CASE WHEN greatest(coalesce(strlen(text),0),
+                               coalesce(strlen(source),0)) / 1024.0 > 0.25
+                 THEN 1 ELSE 0 END) AS BIGINT) AS n_large
+FROM documents
+"""
+
+
 def _q_sampled_validation(spark, sf_dir):
     """Coverage-percent sampling (job/SplitPartitions.java:66-68):
     deterministic hash-of-key sample — reproducible run-over-run and
@@ -1247,6 +1276,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "null_ts_default": _q_null_ts_default,
         "guardrail_large_rows": _q_guardrail_large_rows,
         "guardrail_all_columns": _q_guardrail_all_columns,
+        "guardrail_job_totals": _q_guardrail_job_totals,
         "custom_where_filter": _q_custom_where_filter,
         "sampled_validation": _q_sampled_validation,
         # transforms (§2.4) + metrics (§2.6)
@@ -1315,6 +1345,7 @@ FROM events
 """,
         "guardrail_large_rows": _GUARDRAIL_ORACLE,
         "guardrail_all_columns": _GUARDRAIL_ALL_ORACLE,
+        "guardrail_job_totals": _GUARDRAIL_JOB_ORACLE,
         "custom_where_filter": _CUSTOM_WHERE_ORACLE,
         "sampled_validation": _SAMPLED_VALIDATION_ORACLE,
         "row_ttl_expiry": _ROW_TTL_ORACLE,
