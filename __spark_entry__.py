@@ -1142,6 +1142,74 @@ FROM p QUALIFY rank <= {k}
 """
 
 
+def _q_ivf_ann_topk(spark, sf_dir):
+    """IVF ANN (the second scale path next to LSH): deterministic
+    hash-sampled centroids → literal-fold cell assignment → nprobe
+    cell equi-join → exact re-rank. Corpus pinned to ``vec_id < 500``
+    (sf-stable, same convention as ann_scaled_topk); the oracle replays
+    the identical centroid pick (ORDER BY portable-md5 LIMIT K), cell
+    assignment, probes, and re-rank in DuckDB."""
+    corpus_n, n_cells, nprobe, k = 500, 8, 3, 5
+    emb = _tbl(spark, sf_dir, "embeddings").filter(F.col("vec_id") < corpus_n)
+    queries = emb.filter(F.col("vec_id") < 10)
+    cents = SIM.ivf_centroids(emb, n_cells)
+    out = SIM.ivf_ann_topk(emb, queries, cents, k=k, nprobe=nprobe)
+    return out.select("query_id", "neighbor_id", "cosine",
+                      F.col("rank").cast("long").alias("rank"))
+
+
+def _ivf_oracle(corpus_n: int = 500, n_cells: int = 8, nprobe: int = 3,
+                k: int = 5) -> str:
+    """DuckDB replay of the full IVF pipeline: same hash-picked
+    centroids, same (rounded cosine desc, cell asc) assignment and
+    probe ranking, same exact re-rank."""
+    h = md5_int48_sql("vec_id")
+
+    def cos(a: str, b: str) -> str:
+        return f"""round(
+      list_sum(list_transform(range(1, len({a})+1),
+               i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)))
+      / (sqrt(list_sum(list_transform({a}, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))
+       * sqrt(list_sum(list_transform({b}, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))),
+      4)"""
+
+    return f"""
+WITH c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings
+           WHERE vec_id < {corpus_n}),
+q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+      WHERE vec_id < 10),
+cent AS (
+  SELECT row_number() OVER (ORDER BY {h}, vec_id) - 1 AS cell,
+         embedding AS ev
+  FROM embeddings WHERE vec_id < {corpus_n}
+  ORDER BY {h}, vec_id LIMIT {n_cells}),
+assign AS (
+  SELECT neighbor_id, cell FROM (
+    SELECT c.neighbor_id, cent.cell,
+           row_number() OVER (PARTITION BY c.neighbor_id
+                              ORDER BY {cos('cv', 'ev')} DESC,
+                                       cent.cell ASC) AS rn
+    FROM c, cent) WHERE rn = 1),
+qprobe AS (
+  SELECT query_id, cell FROM (
+    SELECT q.query_id, cent.cell,
+           row_number() OVER (PARTITION BY q.query_id
+                              ORDER BY {cos('qv', 'ev')} DESC,
+                                       cent.cell ASC) AS rn
+    FROM q, cent) WHERE rn <= {nprobe}),
+p AS (
+  SELECT qp.query_id, a.neighbor_id, {cos('qv', 'cv')} AS cosine
+  FROM qprobe qp JOIN assign a USING(cell)
+       JOIN q ON q.query_id = qp.query_id
+       JOIN c ON c.neighbor_id = a.neighbor_id
+  WHERE qp.query_id <> a.neighbor_id)
+SELECT query_id, neighbor_id, cosine,
+       row_number() OVER (PARTITION BY query_id
+                          ORDER BY cosine DESC, neighbor_id) AS rank
+FROM p QUALIFY rank <= {k}
+"""
+
+
 def _q_ann_scaled_topk(spark, sf_dir):
     """The ann_params-driven ANN path (VERDICT r2 #4): n_planes is sized
     from the corpus (ONE count at job setup — the operator itself runs
@@ -1309,6 +1377,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cosine_topk": _q_cosine_topk,
         "ann_lsh_topk": _q_ann_lsh_topk,
         "ann_scaled_topk": _q_ann_scaled_topk,
+        "ivf_ann_topk": _q_ivf_ann_topk,
         "ann_scaled_recall": _q_ann_scaled_recall,
     }
 
@@ -1401,4 +1470,5 @@ FROM documents GROUP BY md5(text)
             corpus_where="vec_id < 500"),
         # ann_scaled_recall: deliberately no oracle (measures the
         # approximate algorithm against the exact one Spark-side)
+        "ivf_ann_topk": _ivf_oracle(),
     }

@@ -11,6 +11,10 @@ Two paths, per the standard scale trade-off:
   (multi-probe over single-bit flips), then exact re-rank. The scale
   path: candidate generation is a bucket equi-join instead of a cross
   product.
+- ``ivf_ann_topk`` — inverted-file (IVF) index: deterministic
+  hash-sampled centroids, codegen literal-fold cell assignment, nprobe
+  nearest-cell probing, exact re-rank. The second scale path, with a
+  data-dependent partitioning where LSH's is data-oblivious.
 
 Dot products use ``F.zip_with`` + ``F.aggregate`` — whole-stage-codegen
 JVM arithmetic, no Python. The LSH plane matrix is derived
@@ -222,6 +226,143 @@ def lsh_ann_topk_scaled(
                         vec_col=vec_col, n_planes=n_planes,
                         n_tables=n_tables, seed=seed,
                         round_digits=round_digits, dim=dim)
+
+
+def ivf_params(corpus_size: int, target_cell_rows: int = 256,
+               ) -> tuple[int, int]:
+    """Size an IVF index from the corpus: ``(n_cells, nprobe)``.
+
+    ``n_cells = ceil(corpus_size / target_cell_rows)`` keeps expected
+    cell occupancy constant at any scale; ``nprobe = ceil(sqrt(n_cells))``
+    is the standard recall/cost starting point (probe cost grows with
+    the square root of the cell count, not the corpus).
+    """
+    import math
+    n_cells = max(4, math.ceil(max(corpus_size, 1)
+                               / max(target_cell_rows, 1)))
+    return n_cells, max(1, math.ceil(math.sqrt(n_cells)))
+
+
+def ivf_centroids(corpus: DataFrame, n_cells: int,
+                  id_col: str = "vec_id", vec_col: str = "embedding",
+                  ) -> list[list[float]]:
+    """Deterministic sampling-init centroids: the ``n_cells`` corpus
+    vectors with the smallest portable md5 hash of their id (ties by
+    id). A ONE-TIME bounded driver action at job setup — K rows, fetched
+    with TakeOrdered (map-side top-K per partition, no shuffle) — the
+    same contract as ``corpus_size`` for the LSH path; the query-time
+    operator itself runs no driver action. Hash-sampling init (instead
+    of k-means/Lloyd) keeps the index bit-reproducible in ANY engine:
+    a DuckDB oracle replays the same pick with ``ORDER BY md5 LIMIT K``.
+    Cell id = position in the returned list.
+    """
+    from cassandra_data_migrator_spark.functions.hashing import (
+        md5_int48_expr,
+    )
+    rows = (
+        corpus.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
+        .orderBy(md5_int48_expr("_id"), F.col("_id"))
+        .limit(n_cells)
+        .collect()
+    )
+    return [[float(x) for x in r["_v"]] for r in rows]
+
+
+def ivf_ranked_cells_expr(vec_col: str, centroids: list[list[float]],
+                          round_digits: int | None = 4) -> Column:
+    """Cells ranked nearest-first for one vector, as an ``array<int>``.
+
+    The centroid matrix is baked into the plan as literals (same
+    technique as the LSH planes): K codegen'd dot products + one
+    ``array_sort`` per row — NO shuffle, NO join, NO Python for the
+    assignment. The comparator orders by (rounded cosine desc, cell
+    asc); an explicit comparator rather than a packed negated-struct
+    sort so ±0.0 compare equal, matching SQL ORDER BY in every engine.
+    Suited to K up to a few thousand (plan-size bound); a billion-scale
+    corpus wants K ≈ sqrt(N) per *partition group* — shard the corpus
+    and union per-shard indexes rather than growing one literal matrix.
+    """
+    entries = []
+    for i, cv in enumerate(centroids):
+        lits = F.array(*[F.lit(float(x)) for x in cv])
+        cos = cosine_expr(F.col(vec_col), lits)
+        if round_digits is not None:
+            cos = F.round(cos, round_digits)
+        entries.append(F.struct(cos.alias("cos"),
+                                F.lit(i).alias("cell")))
+
+    def cmp(l, r):  # noqa: E741 - l/r mirror Spark's comparator docs
+        return (
+            F.when(l["cos"] > r["cos"], -1)
+            .when(l["cos"] < r["cos"], 1)
+            .when(l["cell"] < r["cell"], -1)
+            .when(l["cell"] > r["cell"], 1)
+            .otherwise(0)
+        )
+
+    ranked = F.array_sort(F.array(*entries), cmp)
+    return F.transform(ranked, lambda s: s["cell"])
+
+
+def ivf_ann_topk(
+    corpus: DataFrame, queries: DataFrame, centroids: list[list[float]],
+    k: int = 10, nprobe: int = 8,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+    round_digits: int | None = 4,
+) -> DataFrame:
+    """Approximate top-k via an IVF (inverted-file) index — the
+    second scale path next to :func:`lsh_ann_topk`, per the standard
+    ANN taxonomy (coarse quantizer + probed exact re-rank).
+
+    Each corpus vector is assigned to its nearest centroid cell (a
+    pure-codegen literal fold, :func:`ivf_ranked_cells_expr`); each
+    query probes its ``nprobe`` nearest cells; candidates are the cell
+    equi-join of the two (queries broadcast), then exact cosine re-rank.
+    Unlike LSH, a corpus vector lives in exactly ONE cell, so a
+    candidate pair arises at most once — no distinct needed before the
+    top-k window. Build cost is K dot products per corpus row with no
+    shuffle; probe cost is |queries| × nprobe cells of expected
+    occupancy N/K.
+    """
+    from pyspark.sql import Window
+
+    ranked = ivf_ranked_cells_expr(vec_col, centroids, round_digits)
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv"),
+        F.element_at(ranked, 1).alias("cell"),
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv"),
+        F.explode(F.slice(ranked, 1, nprobe)).alias("cell"),
+    )
+    cos = cosine_expr(F.col("_qv"), F.col("_cv"))
+    if round_digits is not None:
+        cos = F.round(cos, round_digits)
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc())
+    return (
+        c.join(F.broadcast(q), on="cell")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cosine", cos)
+        .select("query_id", "neighbor_id", "cosine")
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def ivf_ann_topk_scaled(
+    corpus: DataFrame, queries: DataFrame, corpus_size: int,
+    k: int = 10, id_col: str = "vec_id", vec_col: str = "embedding",
+    target_cell_rows: int = 256, round_digits: int | None = 4,
+) -> DataFrame:
+    """Production IVF entrypoint: :func:`ivf_params` sizes the index
+    from the corpus, :func:`ivf_centroids` picks the deterministic
+    centroids (one bounded setup action), then :func:`ivf_ann_topk`."""
+    n_cells, nprobe = ivf_params(corpus_size, target_cell_rows)
+    cents = ivf_centroids(corpus, n_cells, id_col, vec_col)
+    return ivf_ann_topk(corpus, queries, cents, k=k, nprobe=nprobe,
+                        id_col=id_col, vec_col=vec_col,
+                        round_digits=round_digits)
 
 
 def recall_at_k(approx: DataFrame, exact: DataFrame) -> DataFrame:

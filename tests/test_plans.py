@@ -88,3 +88,25 @@ def test_scan_prunes_columns(spark, tmpdir_path):
     df = _log(spark, tmpdir_path).select("url")
     plan = plans.explain_str(df, "formatted")
     assert "html" not in plan.split("ReadSchema:")[1].split("\n")[0]
+
+
+def test_ivf_candidate_join_is_broadcast_equi(spark):
+    """IVF candidates come from a broadcast equi-join on the cell key —
+    never a cartesian/nested-loop product, never Python, and the corpus
+    side carries no per-row driver interaction (the centroid matrix is
+    plan literals)."""
+    from pyspark.sql import functions as F
+
+    from cassandra_data_migrator_spark.operators import similarity as S
+
+    emb = spark.createDataFrame(
+        [(i, [float((i * 7 + d) % 5) for d in range(4)]) for i in range(40)],
+        "vec_id long, embedding array<float>")
+    cents = S.ivf_centroids(emb, 4)
+    out = S.ivf_ann_topk(emb, emb.filter(F.col("vec_id") < 3), cents,
+                         k=3, nprobe=2)
+    plan = plans.explain_str(out, "simple")
+    assert "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan and \
+        "BroadcastNestedLoopJoin" not in plan, plan
+    assert "Python" not in plan, plan

@@ -181,3 +181,63 @@ def test_ann_dim_is_required(spark, emb):
     import pytest as _pytest
     with _pytest.raises(ValueError, match="dim is required"):
         S.lsh_ann_topk(emb, emb.limit(1), k=5)
+
+
+def test_ivf_exhaustive_probe_equals_exact(spark, emb):
+    """nprobe == n_cells probes every cell, so IVF must reproduce the
+    exact brute-force top-k bit-for-bit (same rounding, same
+    tie-break) — the strongest equivalence the index admits."""
+    queries = emb.filter(F.col("vec_id") < 10)
+    cents = S.ivf_centroids(emb, n_cells=8)
+    assert len(cents) == 8
+    ivf = S.ivf_ann_topk(emb, queries, cents, k=5, nprobe=8)
+    exact = S.cosine_topk(emb, queries, k=5)
+    a = {(r["query_id"], r["neighbor_id"], r["cosine"], r["rank"])
+         for r in ivf.collect()}
+    e = {(r["query_id"], r["neighbor_id"], r["cosine"], r["rank"])
+         for r in exact.collect()}
+    assert a == e
+
+
+def test_ivf_cells_partition_corpus(spark, emb):
+    """Every corpus vector lands in exactly one cell (which is why the
+    candidate join needs no distinct), and the assignment is stable
+    across evaluations."""
+    cents = S.ivf_centroids(emb, n_cells=8)
+    ranked = S.ivf_ranked_cells_expr("embedding", cents)
+    cells = emb.select("vec_id", F.element_at(ranked, 1).alias("cell"))
+    n = emb.count()
+    assert cells.count() == n
+    assert cells.filter(F.col("cell").isNull()).count() == 0
+    assert cells.select("cell").distinct().count() <= 8
+    again = {r["vec_id"]: r["cell"] for r in cells.collect()}
+    assert len(again) == n
+
+
+def test_ivf_recall_at_reduced_nprobe(spark, emb):
+    """The approximate regime: probing a fraction of cells keeps useful
+    recall (and costs proportionally less)."""
+    queries = emb.filter(F.col("vec_id") < 10)
+    exact = S.cosine_topk(emb, queries, k=5)
+    cents = S.ivf_centroids(emb, n_cells=8)
+    approx = S.ivf_ann_topk(emb, queries, cents, k=5, nprobe=3)
+    rows = S.recall_at_k(approx, exact).collect()
+    avg = sum(r["recall"] for r in rows) / len(rows)
+    assert avg >= 0.4, f"IVF recall collapsed: {avg}"
+
+
+def test_ivf_scaled_path(spark):
+    """ivf_params-sized index on a 10k synthetic corpus: params engage
+    beyond toy sizes and recall holds against the exact baseline."""
+    n, dim = 10_000, 16
+    emb = _synth_emb(spark, n, dim).cache()
+    queries = emb.filter(F.col("vec_id") < 20)
+    n_cells, nprobe = S.ivf_params(n)
+    assert n_cells == 40 and nprobe == 7
+    approx = S.ivf_ann_topk_scaled(emb, queries, corpus_size=n, k=5)
+    exact = S.cosine_topk(emb, queries, k=5)
+    rows = S.recall_at_k(approx, exact).collect()
+    assert len(rows) == 20
+    avg = sum(r["recall"] for r in rows) / len(rows)
+    assert avg >= 0.4, f"scaled-IVF recall collapsed: {avg}"
+    emb.unpersist()
