@@ -354,6 +354,7 @@ class LakeTable:
         finalize: Any | None = None,
         probed: tuple[list[int], dict[int, dict]] | None = None,
         prereduce_max_events: int = 32_000_000,
+        prereduced: DataFrame | None = None,
     ) -> MergeResult:
         """Copy-on-write LWW MERGE of a change batch into the table.
 
@@ -440,12 +441,21 @@ class LakeTable:
             # dominant cost (UnsafeRow payload copies), and on a real
             # cluster it is the network shuffle itself.
             neg = F.lit(-(2 ** 63))
-            win = (
-                src.groupBy(F.col(self.key_col).alias("_k"))
-                .agg(F.max(F.struct(
-                    F.col(self.ts_col).alias("_t"),
-                    F.coalesce(F.col(_SEQ), neg).alias("_s"))).alias("_w"))
-            )
+            if prereduced is not None:
+                # the caller (pipeline combined path) already rolled the
+                # winner version per key out of ITS probe aggregation —
+                # reusing it saves this block's own thin source scan.
+                # Contract: (_k, _w struct<_t: ts, _s: long>) computed
+                # with the exact expression below over the same rows.
+                win = prereduced
+            else:
+                win = (
+                    src.groupBy(F.col(self.key_col).alias("_k"))
+                    .agg(F.max(F.struct(
+                        F.col(self.ts_col).alias("_t"),
+                        F.coalesce(F.col(_SEQ), neg).alias("_s")))
+                         .alias("_w"))
+                )
             # null-safe on key and ts: a null-ts (or even null-key) event
             # must survive exactly as the window path would keep it
             cond = (

@@ -227,14 +227,24 @@ class CdcPipeline:
 
     def _prepare_probed(
         self, events: DataFrame, epoch_id: int
-    ) -> tuple[DataFrame, tuple[list[int], dict[int, dict]], int, int]:
+    ) -> tuple[DataFrame, tuple[list[int], dict[int, dict]], int, int,
+               DataFrame | None]:
         """Single-job variant of :meth:`_prepare`: ONE aggregation over
-        the status-tagged batch yields the reject counts AND the merge's
-        per-bucket probe offsets together (3 driver jobs per epoch
-        instead of ~6 — the fixed per-epoch job-gap tail is the last
-        Amdahl term once row work is distributed). Reject ROWS are only
-        materialized when their counts are non-zero (the rare path).
-        Requires row-preserving config (no custom ``transform``)."""
+        the status-tagged batch yields the reject counts, the merge's
+        per-bucket probe offsets, AND the LWW winner version per key
+        (the merge's pre-reduction input) together — one thin scan of
+        the source where the probe agg and the winner-key agg used to
+        scan it separately, and 3 driver jobs per epoch instead of ~6
+        (the fixed per-epoch job-gap tail is the last Amdahl term once
+        row work is distributed). The per-key rollup is cached (tiny:
+        one ~40 B row per distinct (status, key)); the bucket-level
+        offsets re-aggregate it without touching the source, and the
+        merge's broadcast join-back reads the same cache. Reject ROWS
+        are only materialized when their counts are non-zero (the rare
+        path). Requires row-preserving config (no custom ``transform``).
+
+        Returns ``(batch, probed, n_skip, n_quar, perkey)`` — the
+        caller owns unpersisting ``perkey`` after the merge."""
         out, keep, valid_keys = split_predicates(events, self.config)
         tag = out.withColumn(
             "_status",
@@ -243,19 +253,32 @@ class CdcPipeline:
         seq = (F.col(self.config.seq_col).cast("long")
                if self.config.seq_col in tag.columns
                else F.lit(None).cast("long"))
-        stats = (
+        # winner version struct — MUST mirror merge_batch's internal
+        # pre-reduction exactly: (ts, coalesce(seq :: long, -2^63)) max
+        neg = F.lit(-(2 ** 63))
+        perkey = (
             tag.groupBy(
                 "_status",
+                F.col(self.config.key_col).alias("_k"),
                 bucket_expr(self.config.key_col,
                             self.table.n_buckets).alias("_b"))
-            .agg(F.min(seq).alias("mn"), F.max(seq).alias("mx"),
+            .agg(F.max(F.struct(
+                     F.col(self.config.ts_col).alias("_t"),
+                     F.coalesce(seq, neg).alias("_s"))).alias("_w"),
+                 F.min(seq).alias("mn"), F.max(seq).alias("mx"),
                  F.count("*").alias("n"))
+            .persist())
+        stats = (
+            perkey.groupBy("_status", "_b")
+            .agg(F.min("mn").alias("mn"), F.max("mx").alias("mx"),
+                 F.sum("n").alias("n"))
             .collect())
         offsets = {r["_b"]: {"min_seq": r["mn"], "max_seq": r["mx"],
-                             "events": r["n"]}
+                             "events": int(r["n"])}
                    for r in stats if r["_status"] == "valid"}
-        n_skip = sum(r["n"] for r in stats if r["_status"] == "skipped")
-        n_quar = sum(r["n"] for r in stats if r["_status"] == "quarantined")
+        n_skip = sum(int(r["n"]) for r in stats if r["_status"] == "skipped")
+        n_quar = sum(int(r["n"])
+                     for r in stats if r["_status"] == "quarantined")
         if n_skip:
             self._side_sink(tag.filter(F.col("_status") == "skipped")
                             .drop("_status"), self.skipped_path, epoch_id)
@@ -279,35 +302,53 @@ class CdcPipeline:
             if "lang" in batch.columns:
                 batch = batch.withColumn("lang",
                                          normalize_lang(F.col("lang")))
-        return batch, (sorted(offsets), offsets), n_skip, n_quar
+        return batch, (sorted(offsets), offsets), n_skip, n_quar, perkey
 
     def apply_batch(self, events: DataFrame, epoch_id: int) -> MergeResult:
         """One micro-batch: the foreachBatch body (also callable directly
         for batch replays)."""
         probed = None
+        perkey = None
+        prereduced = None
         if self.transform is None:
-            # combined path: probe + reject counts in one job
-            batch, probed, n_skip, n_quar = self._prepare_probed(
+            # combined path: probe + reject counts + winner versions in
+            # one job
+            batch, probed, n_skip, n_quar, perkey = self._prepare_probed(
                 events, epoch_id)
+            n_valid = sum(o["events"] or 0 for o in probed[1].values())
+            # hand the merge its pre-reduction input only when its own
+            # gate would engage (merge re-checks; this avoids caching a
+            # frame the merge would ignore)
+            if (self.config.lww_prereduce_max_events and not self.unset_nulls
+                    and 0 < n_valid
+                    <= self.config.lww_prereduce_max_events):
+                prereduced = (perkey
+                              .filter(F.col("_status") == "valid")
+                              .select("_k", "_w"))
         else:
             # a custom transform may drop/add rows, so the pre-computed
             # offsets would lie — fall back to the per-sink path
             batch, n_skip, n_quar = self._prepare(events, epoch_id)
-        # no persist: the merge traverses its source twice, but the probe
-        # pass prunes to (bucket, seq) so the Arrow UDF transform columns
-        # are computed exactly once — in the merge's write traversal.
-        # Caching the full transformed batch would materialize the whole
-        # payload (html+text) per epoch for no saved work.
-        result = self.table.merge_batch(
-            batch,
-            seq_col=self.config.seq_col,
-            stream_id=self.stream_id,
-            epoch_id=epoch_id,
-            unset_nulls=self.unset_nulls,
-            finalize=self._finalize if self.lazy_extract else None,
-            probed=probed,
-            prereduce_max_events=self.config.lww_prereduce_max_events,
-        )
+        # no persist of the batch itself: the probe pass prunes to thin
+        # columns, so the Arrow UDF transform columns are computed
+        # exactly once — in the merge's write traversal. Caching the
+        # full transformed batch would materialize the whole payload
+        # (html+text) per epoch for no saved work.
+        try:
+            result = self.table.merge_batch(
+                batch,
+                seq_col=self.config.seq_col,
+                stream_id=self.stream_id,
+                epoch_id=epoch_id,
+                unset_nulls=self.unset_nulls,
+                finalize=self._finalize if self.lazy_extract else None,
+                probed=probed,
+                prereduce_max_events=self.config.lww_prereduce_max_events,
+                prereduced=prereduced,
+            )
+        finally:
+            if perkey is not None:
+                perkey.unpersist()
         if not result.skipped:
             self._record(result, epoch_id, n_skip, n_quar)
         return result

@@ -225,7 +225,8 @@ def test_probed_path_applies_salted_repartition(spark, tmpdir_path):
     p = CdcPipeline(spark, t, stream_id="s",
                     lazy_extract=False, salt_transform_stage=True)
     ev = gen_change_events(spark, n_urls=20, n_events=50, seed=3)
-    batch, _probed, _s, _q = p._prepare_probed(ev, epoch_id=0)
+    batch, _probed, _s, _q, _pk = p._prepare_probed(ev, epoch_id=0)
+    _pk.unpersist()
     # the salt expr hashes (key, monotonically_increasing_id)
     plan = batch._jdf.queryExecution().analyzed().toString()
     assert "RepartitionByExpression" in plan
@@ -268,3 +269,60 @@ def test_counters_count_skipped_and_quarantined(spark, tmpdir_path):
     assert spark.read.parquet(p.quarantine_path).count() == 1
     # the lake table only holds the valid rows
     assert t.read().count() == 2
+
+
+def test_fused_probe_prereduce_equivalence(spark, tmpdir_path):
+    """The combined probe+winner aggregation (one thin scan feeding
+    offsets, reject counts AND the merge's pre-reduction) must be
+    invisible: same final state, same counters as the same pipeline
+    with pre-reduction disabled, on a batch with multi-event keys, a
+    delete, an exact duplicate, a null-seq event, a same-ts tie, plus
+    skipped and quarantined rows."""
+    import datetime as dt
+
+    ok = dt.datetime(2023, 11, 20)
+    hi = dt.datetime(2023, 11, 21)
+    old = dt.datetime(2023, 11, 1)
+    schema = T.StructType([
+        T.StructField("seq", T.LongType(), True),
+        T.StructField("op", T.StringType(), False),
+        T.StructField("url", T.StringType(), True),
+        T.StructField("warc_ts", T.TimestampType(), True),
+        T.StructField("html", T.BinaryType(), True),
+        T.StructField("lang", T.StringType(), True),
+    ])
+    rows = [
+        (1, "insert", "https://a/1", ok, b"<p>a1</p>", "en"),
+        (2, "update", "https://a/1", hi, b"<p>a2</p>", "en"),   # winner
+        (3, "update", "https://b/2", ok, b"<p>b1</p>", "en"),
+        (4, "delete", "https://b/2", hi, None, None),           # delete wins
+        (5, "insert", "https://c/3", ok, b"<p>c1</p>", "en"),
+        (5, "insert", "https://c/3", ok, b"<p>c1</p>", "en"),   # exact dup
+        (6, "insert", "https://d/4", ok, b"<p>d1</p>", "en"),
+        (7, "update", "https://d/4", ok, b"<p>d2</p>", "en"),   # seq tie-break
+        (None, "insert", "https://e/5", ok, b"<p>e1</p>", "en"),  # null seq
+        (8, "update", "https://f/6", old, b"<p>f</p>", "en"),   # skipped
+        (9, "update", None, ok, b"<p>g</p>", "en"),             # quarantined
+    ]
+    counters, states = {}, {}
+    for mode, max_ev in (("fused", 32_000_000), ("off", 0)):
+        t = mk_table(spark, tmpdir_path, f"fp_{mode}")
+        cfg = EngineConfig(
+            n_buckets=8,
+            writetime_min=dt.datetime(2023, 11, 15,
+                                      tzinfo=dt.timezone.utc),
+            lww_prereduce_max_events=max_ev,
+        )
+        p = CdcPipeline(spark, t, cfg, stream_id=f"s_{mode}")
+        p.apply_batch(spark.createDataFrame(rows, schema), epoch_id=0)
+        c = p.counters().collect()[0]
+        counters[mode] = (c["read"], c["valid"], c["skipped"],
+                          c["quarantined"], c["events_applied"])
+        states[mode] = {
+            r["url"]: (r["lang"], bool(r["text"]))
+            for r in t.read().collect()}
+    assert counters["fused"] == counters["off"] == (11, 9, 1, 1, 9)
+    assert states["fused"] == states["off"]
+    assert "https://b/2" not in states["fused"]
+    assert set(states["fused"]) == {
+        "https://a/1", "https://c/3", "https://d/4", "https://e/5"}
