@@ -242,6 +242,123 @@ def _q_streaming_cdc_replay(spark, sf_dir):
     return _final_state_df(table)
 
 
+def _q_streaming_checkpoint_resume(spark, sf_dir):
+    """Checkpoint resume across a process boundary (SURVEY §2.9;
+    reference trackRun resume, ``TargetUpsertRunDetailsStatement``):
+    stream the first half of the log to completion, then discard every
+    handle (the "crash"), append new log segments, and resume a FRESH
+    pipeline + table handle from the same checkpoint — the file source
+    must replay only the unseen segments and the final state must equal
+    the one-shot batch oracle."""
+    events = _change_events(spark, sf_dir)
+    half = _half_seq(spark, sf_dir)
+    log_path, ckpt = _tmpdir("resume_log"), _tmpdir("resume_ckpt")
+    cfg = EngineConfig(n_buckets=16, key_col="user_id", ts_col="ts")
+    write_event_log(events.filter(F.col("seq") <= half), log_path,
+                    n_chunks=4)
+    table = LakeTable.create(spark, _tmpdir("resume_tbl"), _STATE_SCHEMA,
+                             cfg)
+    pipe = CdcPipeline(spark, table, cfg, stream_id="q_resume",
+                       event_schema=events.schema,
+                       salt_transform_stage=False)
+    pipe.run_stream(log_path, ckpt, max_files_per_trigger=2,
+                    available_now=True).awaitTermination()
+    # crash boundary: nothing below reuses an object from above except
+    # the on-disk paths
+    write_event_log(events.filter(F.col("seq") > half), log_path,
+                    n_chunks=4, append=True)
+    pipe2 = CdcPipeline(spark, LakeTable(spark, table.path), cfg,
+                        stream_id="q_resume", event_schema=events.schema,
+                        salt_transform_stage=False)
+    pipe2.run_stream(log_path, ckpt, max_files_per_trigger=2,
+                     available_now=True).awaitTermination()
+    return _final_state_df(LakeTable(spark, table.path))
+
+
+def _q_unset_null_merge(spark, sf_dir):
+    """UNSET-null write semantics (T9, ``TargetInsertStatement.java:
+    82-85``): null data columns in a newer event leave the older value
+    in place, but values never resurrect across a delete tombstone.
+    Nulls are injected deterministically (value on seq%3==0, props on
+    seq%5==0) so the path is exercised regardless of the data's own
+    null profile."""
+    ev = _change_events(spark, sf_dir).withColumns({
+        "value": F.when(F.col("seq") % 3 == 0, F.lit(None).cast("double"))
+                  .otherwise(F.col("value")),
+        "props": F.when(F.col("seq") % 5 == 0, F.lit(None).cast("string"))
+                  .otherwise(F.col("props")),
+    })
+    table = LakeTable.create(
+        spark, _tmpdir("unset"), _STATE_SCHEMA,
+        EngineConfig(n_buckets=16, key_col="user_id", ts_col="ts"))
+    table.merge_batch(ev, stream_id="q_unset", epoch_id=0,
+                      unset_nulls=True)
+    return table.read().select(
+        F.col("user_id"), _ts_us("ts").alias("ts_us"),
+        F.col("event_type").alias("last_type"),
+        _cents("value").alias("value_cents"), F.col("props"))
+
+
+_UNSET_NULL_ORACLE = """
+WITH e AS (
+  SELECT user_id, ts, event_id, event_type,
+         CASE WHEN event_id % 3 = 0 THEN NULL ELSE value END AS value,
+         CASE WHEN event_id % 5 = 0 THEN NULL ELSE props END AS props,
+         (event_type = 'error') AS del
+  FROM events),
+g AS (
+  SELECT *, sum(CASE WHEN del THEN 1 ELSE 0 END) OVER (
+    PARTITION BY user_id ORDER BY ts, event_id
+    ROWS UNBOUNDED PRECEDING) AS gen
+  FROM e),
+f AS (
+  SELECT *,
+    last_value(value IGNORE NULLS) OVER (
+      PARTITION BY user_id, gen ORDER BY ts, event_id
+      ROWS UNBOUNDED PRECEDING) AS value_f,
+    last_value(props IGNORE NULLS) OVER (
+      PARTITION BY user_id, gen ORDER BY ts, event_id
+      ROWS UNBOUNDED PRECEDING) AS props_f,
+    row_number() OVER (
+      PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+  FROM g)
+SELECT user_id, epoch_us(ts) AS ts_us, event_type AS last_type,
+       CAST(round(value_f*100) AS BIGINT) AS value_cents, props_f AS props
+FROM f WHERE rn = 1 AND NOT del
+"""
+
+
+def _q_column_skip_list(spark, sf_dir):
+    """Column skip-list (F6, ``schema/CqlTable.java:479-483``): the
+    configured columns are dropped from every event before the write,
+    so the table's LWW winners carry NULL there while every other
+    column matches the plain replay — proven by selecting the skipped
+    column itself."""
+    cfg = EngineConfig(n_buckets=16, key_col="user_id", ts_col="ts",
+                       column_skip_list=("props",))
+    table = LakeTable.create(spark, _tmpdir("skiplist"), _STATE_SCHEMA,
+                             cfg)
+    pipe = CdcPipeline(spark, table, cfg, stream_id="q_skiplist",
+                       salt_transform_stage=False)
+    pipe.apply_batch(_change_events(spark, sf_dir), epoch_id=0)
+    return table.read().select(
+        F.col("user_id"), _ts_us("ts").alias("ts_us"),
+        F.col("event_type").alias("last_type"),
+        _cents("value").alias("value_cents"), F.col("props"))
+
+
+_COLUMN_SKIP_ORACLE = """
+WITH ranked AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events)
+SELECT user_id, epoch_us(ts) AS ts_us, event_type AS last_type,
+       CAST(round(value*100) AS BIGINT) AS value_cents,
+       CAST(NULL AS VARCHAR) AS props
+FROM ranked WHERE rn = 1 AND event_type <> 'error'
+"""
+
+
 def _q_validation_diff(spark, sf_dir):
     """Reference DiffData (J1/§3.2): full-outer-join row classifier —
     origin truth vs a stale target built from the first half of the
@@ -1331,6 +1448,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lww_latest_state": _q_lww_latest_state,
         "cdc_replay_final_state": _q_cdc_replay_final_state,
         "streaming_cdc_replay": _q_streaming_cdc_replay,
+        "streaming_checkpoint_resume": _q_streaming_checkpoint_resume,
+        "unset_null_merge": _q_unset_null_merge,
+        "column_skip_list": _q_column_skip_list,
         "validation_diff": _q_validation_diff,
         "diff_totals": _q_diff_totals,
         "autocorrect_replay": _q_autocorrect_replay,
@@ -1387,6 +1507,9 @@ def oracle_sql() -> dict[str, str]:
         "lww_latest_state": _lww_state_sql(),
         "cdc_replay_final_state": _FINAL_STATE_ORACLE,
         "streaming_cdc_replay": _FINAL_STATE_ORACLE,
+        "streaming_checkpoint_resume": _FINAL_STATE_ORACLE,
+        "unset_null_merge": _UNSET_NULL_ORACLE,
+        "column_skip_list": _COLUMN_SKIP_ORACLE,
         "validation_diff": _VALIDATION_DIFF_ORACLE,
         "diff_totals": f"""
 SELECT diff_status, count(*) AS n FROM ({_VALIDATION_DIFF_ORACLE})

@@ -33,16 +33,29 @@ EVENT_SCHEMA = T.StructType([
 
 
 def write_event_log(events: DataFrame, path: str, n_chunks: int = 8,
-                    seq_col: str = "seq") -> list[str]:
-    """Write the event log as ``n_chunks`` seq-range files in seq order."""
+                    seq_col: str = "seq", append: bool = False) -> list[str]:
+    """Write the event log as ``n_chunks`` seq-range files in seq order.
+
+    ``append=True`` adds the chunks as NEW segments after whatever the
+    log already holds (a binlog tail growing between checkpointed
+    stream runs): existing files keep their mtimes, the new ones get
+    strictly later ones, so the file source discovers them in arrival
+    order and a checkpoint-resumed stream processes only the new
+    segments."""
+    before = set(os.listdir(path)) if append and os.path.isdir(path) else set()
+    mode = "append" if append else "overwrite"
     (events.repartitionByRange(n_chunks, F.col(seq_col))
-           .write.mode("overwrite").parquet(path))
+           .write.mode(mode).parquet(path))
     files = sorted(
         fn for fn in os.listdir(path)
         if fn.startswith("part-") and fn.endswith(".parquet")
+        and fn not in before
     )
-    # monotone mtimes (file-source discovery order == seq order)
-    base = time.time() - len(files)
+    # monotone mtimes (file-source discovery order == seq order),
+    # strictly after any pre-existing segment
+    floor = max((os.path.getmtime(os.path.join(path, fn))
+                 for fn in before), default=0.0)
+    base = max(time.time() - len(files), floor + 1.0)
     for i, fn in enumerate(files):
         os.utime(os.path.join(path, fn), (base + i, base + i))
     return [os.path.join(path, fn) for fn in files]

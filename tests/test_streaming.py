@@ -326,3 +326,38 @@ def test_fused_probe_prereduce_equivalence(spark, tmpdir_path):
     assert "https://b/2" not in states["fused"]
     assert set(states["fused"]) == {
         "https://a/1", "https://c/3", "https://d/4", "https://e/5"}
+
+
+def test_checkpoint_resume_with_growing_log(spark, tmpdir_path):
+    """A binlog that GROWS between runs: drain the first half, discard
+    every handle (process boundary), append new segments, resume a
+    fresh pipeline + table handle from the same checkpoint — only the
+    new segments replay and the final state equals a one-shot replay."""
+    path = os.path.join(tmpdir_path, "growlog")
+    ckpt = os.path.join(tmpdir_path, "growckpt")
+    events = gen_change_events(spark, n_urls=N_URLS, n_events=N_EVENTS,
+                               seed=11)
+    half = N_EVENTS // 2
+    first = write_event_log(events.filter(F.col("seq") < half), path,
+                            n_chunks=3)
+    t = mk_table(spark, tmpdir_path, "grow")
+    CdcPipeline(spark, t, stream_id="g").run_stream(
+        path, ckpt, max_files_per_trigger=1).awaitTermination(300)
+    v1 = LakeTable(spark, t.path).version
+    assert v1 > 0
+
+    new = write_event_log(events.filter(F.col("seq") >= half), path,
+                          n_chunks=3, append=True)
+    # append preserved the old segments and mtime-ordered the new ones
+    assert set(first).isdisjoint(new) and len(new) == 3
+    assert min(os.path.getmtime(f) for f in new) > \
+        max(os.path.getmtime(f) for f in first)
+
+    t2 = LakeTable(spark, t.path)  # fresh handle — nothing shared
+    CdcPipeline(spark, t2, stream_id="g").run_stream(
+        path, ckpt, max_files_per_trigger=1).awaitTermination(300)
+
+    t_ref = mk_table(spark, tmpdir_path, "grow_ref")
+    CdcPipeline(spark, t_ref, stream_id="r").run_batch(
+        read_event_log(spark, path))
+    assert snapshot(LakeTable(spark, t.path)) == snapshot(t_ref)
