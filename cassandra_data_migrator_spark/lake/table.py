@@ -63,6 +63,11 @@ from cassandra_data_migrator_spark.lake.fs import get_fs
 _BUCKET = "_bucket"     # int   — hash bucket of the key
 _DELETED = "_deleted"   # bool  — tombstone marker (delete events persist)
 _SEQ = "_seq"           # long  — event seq of the winning writer (tie-break)
+# Above this many events in a batch the winner set may be too large to
+# force-broadcast (worst case one winner per event at ~40 B/row ≈ 64 MB
+# at 1.6M — around the configured autoBroadcastJoinThreshold); past it
+# the pre-reduction join-back is left unhinted for AQE to size.
+_PREREDUCE_FORCE_BROADCAST_MAX_EVENTS = 1_500_000
 _CK = "_ck"             # long  — row checksum, precomputed at write time so
                         #         the lineage pass reads 3 thin columns
                         #         instead of re-scanning payloads
@@ -463,7 +468,19 @@ class LakeTable:
                 & F.col(self.ts_col).eqNullSafe(F.col("_w._t"))
                 & (F.coalesce(F.col(_SEQ), neg) == F.col("_w._s"))
             )
-            src = src.join(F.broadcast(win), cond, "inner").drop("_k", "_w")
+            # Force the broadcast only when the winner set is provably
+            # small (its row count is bounded by the EVENT count). A
+            # mostly-unique-key epoch near the prereduce gate would
+            # have ~total_events winners — forcing F.broadcast there
+            # bypasses autoBroadcastJoinThreshold and builds a multi-GB
+            # hash relation on the driver and every executor. Past the
+            # bound, leave the join unhinted: AQE sees the aggregated
+            # side's ACTUAL runtime size and still broadcasts when it
+            # is genuinely small (few distinct keys), else sort-merges
+            # on the key — both strictly better than an OOM.
+            if total_events <= _PREREDUCE_FORCE_BROADCAST_MAX_EVENTS:
+                win = F.broadcast(win)
+            src = src.join(win, cond, "inner").drop("_k", "_w")
 
         target = self.read(buckets=touched, include_deleted=True,
                            include_internal=True)

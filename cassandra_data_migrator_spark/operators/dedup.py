@@ -110,12 +110,8 @@ def _drop_oversized_buckets(
     — no extra full shuffle of the melted frame. Use
     :func:`oversized_buckets` to audit what a given cap would drop.
     """
-    oversized = (
-        melted.groupBy(bucket_col)
-        .agg(F.count("*").alias("_bsz"))
-        .filter(F.col("_bsz") > max_bucket_size)
-        .select(bucket_col)
-    )
+    oversized = oversized_buckets(
+        melted, bucket_col, max_bucket_size).select(bucket_col)
     return melted.join(F.broadcast(oversized), bucket_col, "left_anti")
 
 

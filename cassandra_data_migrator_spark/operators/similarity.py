@@ -268,6 +268,37 @@ def ivf_centroids(corpus: DataFrame, n_cells: int,
     return [[float(x) for x in r["_v"]] for r in rows]
 
 
+def _ivf_cell_structs(vec_col: str, centroids: list[list[float]],
+                      round_digits: int | None) -> list[Column]:
+    """One ``struct(cos, cell)`` per centroid — the shared literal-fold
+    input of the ranked (query-side) and argmax (corpus-side) forms."""
+    entries = []
+    for i, cv in enumerate(centroids):
+        lits = F.array(*[F.lit(float(x)) for x in cv])
+        cos = cosine_expr(F.col(vec_col), lits)
+        if round_digits is not None:
+            cos = F.round(cos, round_digits)
+        entries.append(F.struct(cos.alias("cos"),
+                                F.lit(i).alias("cell")))
+    return entries
+
+
+def ivf_cell_expr(vec_col: str, centroids: list[list[float]],
+                  round_digits: int | None = 4) -> Column:
+    """The single nearest cell for one vector — an O(K) argmax fold
+    (``F.aggregate`` keeping the best struct), NOT a sort: the corpus
+    side of the index build runs this on every row, and sorting K
+    structs to take element 1 pays an O(K log K) comparator plus an
+    array rebuild for nothing. Tie-break matches the ranked form
+    exactly: strict ``>`` keeps the earlier (lower-id) cell on equal
+    rounded cosine, i.e. (cos desc, cell asc)."""
+    entries = _ivf_cell_structs(vec_col, centroids, round_digits)
+    best = F.aggregate(
+        F.array(*entries[1:]), entries[0],
+        lambda acc, s: F.when(s["cos"] > acc["cos"], s).otherwise(acc))
+    return best["cell"]
+
+
 def ivf_ranked_cells_expr(vec_col: str, centroids: list[list[float]],
                           round_digits: int | None = 4) -> Column:
     """Cells ranked nearest-first for one vector, as an ``array<int>``.
@@ -282,14 +313,7 @@ def ivf_ranked_cells_expr(vec_col: str, centroids: list[list[float]],
     corpus wants K ≈ sqrt(N) per *partition group* — shard the corpus
     and union per-shard indexes rather than growing one literal matrix.
     """
-    entries = []
-    for i, cv in enumerate(centroids):
-        lits = F.array(*[F.lit(float(x)) for x in cv])
-        cos = cosine_expr(F.col(vec_col), lits)
-        if round_digits is not None:
-            cos = F.round(cos, round_digits)
-        entries.append(F.struct(cos.alias("cos"),
-                                F.lit(i).alias("cell")))
+    entries = _ivf_cell_structs(vec_col, centroids, round_digits)
 
     def cmp(l, r):  # noqa: E741 - l/r mirror Spark's comparator docs
         return (
@@ -326,11 +350,13 @@ def ivf_ann_topk(
     """
     from pyspark.sql import Window
 
-    ranked = ivf_ranked_cells_expr(vec_col, centroids, round_digits)
+    # corpus side (the big one): O(K) argmax fold for its single cell;
+    # query side (small, broadcast): full ranking, sliced to nprobe
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv"),
-        F.element_at(ranked, 1).alias("cell"),
+        ivf_cell_expr(vec_col, centroids, round_digits).alias("cell"),
     )
+    ranked = ivf_ranked_cells_expr(vec_col, centroids, round_digits)
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv"),
         F.explode(F.slice(ranked, 1, nprobe)).alias("cell"),

@@ -80,12 +80,19 @@ def run_guardrail_check(
     ]
     per_bucket = None
     if key_col is not None:
-        per_bucket = (
+        row_iter = (
             checked
             .withColumn("bucket", bucket_expr(key_col, n_buckets))
             .groupBy("bucket").agg(*aggs)
+            .collect()  # ≤ n_buckets rows
         )
-        row_iter = per_bucket.collect()  # ≤ n_buckets rows
+        # rebuild the per-bucket frame from the ALREADY-collected rows:
+        # returning the lazy aggregation would re-scan the whole audited
+        # table the first time a caller touches report.per_bucket
+        spark = df.sparkSession
+        per_bucket = spark.createDataFrame(
+            [r.asDict() for r in row_iter],
+            "bucket int, read long, valid long, large long")
         totals = {
             "read": sum(r["read"] for r in row_iter),
             "valid": sum(r["valid"] for r in row_iter),

@@ -419,7 +419,16 @@ class CdcPipeline:
     # --------------------------------------------------------- queries
 
     def lineage(self) -> DataFrame:
-        return self.spark.read.schema(LINEAGE_SCHEMA).parquet(self.lineage_path)
+        return self._side_table(self.lineage_path, LINEAGE_SCHEMA)
 
     def counters(self) -> DataFrame:
-        return self.spark.read.schema(COUNTERS_SCHEMA).parquet(self.counters_path)
+        return self._side_table(self.counters_path, COUNTERS_SCHEMA)
+
+    def _side_table(self, path: str, schema) -> DataFrame:
+        """Side-table read that treats a never-written table as EMPTY
+        (schema-typed) instead of PATH_NOT_FOUND: a run over an empty /
+        already-drained log records zero epochs, and its rollup must
+        still produce a zero-total ENDED row."""
+        if not self.table.fs.isdir(path):
+            return self.spark.createDataFrame([], schema)
+        return self.spark.read.schema(schema).parquet(path)

@@ -72,6 +72,10 @@ class BatchRunTracker:
     # ------------------------------------------------------------- state
 
     def run_details(self) -> DataFrame:
+        # a run with no PASS row yet is an EMPTY details table, not a
+        # PATH_NOT_FOUND (rollups over fresh/empty runs must work)
+        if not self.table.fs.isdir(self.details_path):
+            return self.spark.createDataFrame([], RUN_DETAILS_SCHEMA)
         return self.spark.read.schema(RUN_DETAILS_SCHEMA).parquet(
             self.details_path)
 
@@ -115,21 +119,56 @@ class BatchRunTracker:
             else f"run:{run_id}:g{grp}.{sub}/{n_subs}"
         result = self.table.merge_batch(
             part, stream_id=stream, epoch_id=0, **merge_kw)
-        # Record PASS even when the epoch fence skipped the merge: a
-        # skip PROVES this exact (stream, epoch) already committed —
-        # i.e. a prior run crashed after the manifest commit but before
-        # its PASS row landed. Recording it makes resume converge
-        # instead of re-attempting a fenced no-op forever. The
-        # deterministic file_key keeps re-appends idempotent.
+        file_key = f"{run_id}-g{grp}-{sub}-{n_subs}"
+        if result.skipped:
+            # The fence proves this exact (stream, epoch) already
+            # committed. Two subcases:
+            # - the PASS row already exists (an at-least-once scheduler
+            #   re-ran a fully recorded group): LEAVE IT — rewriting
+            #   from this skip's empty counters would clobber the true
+            #   totals with zeros.
+            # - no PASS row (a prior run crashed after the manifest
+            #   commit but before the record landed): recover the true
+            #   totals from the committed manifest's lineage (matched
+            #   by epoch_key) and append the row now, so resume
+            #   converges with CORRECT totals instead of re-attempting
+            #   a fenced no-op forever.
+            pass_file = os.path.join(self.details_path,
+                                     f"part-{file_key}.parquet")
+            if self.table.fs.exists(pass_file):
+                return result
+            events_n, buckets_n, version = self._recover_commit(
+                f"{stream}/0")
+        else:
+            events_n = int(result.counters.get("events", 0))
+            buckets_n = len(result.touched_buckets)
+            version = result.version
+        # deterministic file_key keeps the append idempotent
         _append_parquet(
             self.table.fs, self.details_path,
             [{"run_id": run_id, "grp": grp, "sub": sub,
               "n_subs": n_subs, "status": "PASS",
-              "events": int(result.counters.get("events", 0)),
-              "buckets": len(result.touched_buckets),
-              "version": result.version}],
-            self._arrow, file_key=f"{run_id}-g{grp}-{sub}-{n_subs}")
+              "events": events_n, "buckets": buckets_n,
+              "version": version}],
+            self._arrow, file_key=file_key)
         return result
+
+    def _recover_commit(self, epoch_key: str) -> tuple[int, int, int | None]:
+        """True (events, buckets, version) of an already-committed group
+        merge, from the manifest whose ``epoch_key`` matches — newest
+        first, bounded driver-side JSON reads (the fenced-skip recovery
+        path only)."""
+        import json as _json
+
+        fs, path = self.table.fs, self.table.path
+        for v in sorted(self.table.history(), reverse=True):
+            m = _json.loads(fs.read_text(
+                os.path.join(path, "_manifests", f"v{v:012d}.json")))
+            if m.get("epoch_key") == epoch_key:
+                lineage = m.get("lineage") or []
+                return (int(sum(l.get("events") or 0 for l in lineage)),
+                        len(lineage), m.get("version"))
+        return 0, 0, None  # fence without a manifest: unreachable
 
     def run(self, events: DataFrame, run_id: str,
             groups: list[int] | None = None, **merge_kw) -> list[MergeResult]:

@@ -426,17 +426,37 @@ def test_lww_prereduce_equivalence(spark, tmpdir_path):
     assert st["https://e/5"][1] == "e1"
 
 
-def test_lww_prereduce_plan_is_broadcast(spark, tmpdir_path):
-    """The pre-reduction's join-back must be a broadcast hash join (no
-    extra payload shuffle) — assert on the physical plan of the merged
-    DataFrame the merge would write."""
-    t = LakeTable.create(spark, os.path.join(tmpdir_path, "t_plan"),
-                         WEB_SCHEMA, EngineConfig(n_buckets=8))
+def test_lww_prereduce_plan_is_broadcast(spark, tmpdir_path, monkeypatch):
+    """The pre-reduction's join-back must carry the broadcast hint when
+    the batch is under the force-broadcast bound, and must NOT when it
+    is over it (an unbounded winner set may not be force-broadcast; AQE
+    sizes it at runtime instead) — asserted on the REAL merge plan,
+    captured via the finalize hook just before the write."""
+    from cassandra_data_migrator_spark.lake import table as table_mod
+
+    def merge_plan(name, events):
+        t = LakeTable.create(spark, os.path.join(tmpdir_path, name),
+                             WEB_SCHEMA, EngineConfig(n_buckets=8))
+        captured = {}
+
+        def grab(df):
+            captured["df"] = df
+            return df
+
+        t.merge_batch(events, finalize=grab)
+        qe = captured["df"]._jdf.queryExecution()
+        return qe.optimizedPlan().toString(), qe.executedPlan().toString()
+
     ev = mk_events(spark, [
         (1, "insert", "https://a/1", 100, "a1"),
         (2, "update", "https://a/1", 300, "a3"),
     ])
-    t.merge_batch(ev)
-    files = [os.path.join(t.path, e["path"])
-             for es in t.manifest["files"].values() for e in es]
-    assert files  # something was written through the pre-reduced path
+    opt, phys = merge_plan("t_plan", ev)
+    assert "strategy=broadcast" in opt      # the hint reached the join
+    assert "BroadcastHashJoin" in phys      # and the planner honored it
+
+    # over the bound: no forced hint on the join-back
+    monkeypatch.setattr(table_mod,
+                        "_PREREDUCE_FORCE_BROADCAST_MAX_EVENTS", 1)
+    opt_big, _ = merge_plan("t_plan_big", ev)
+    assert "strategy=broadcast" not in opt_big

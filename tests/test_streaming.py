@@ -361,3 +361,22 @@ def test_checkpoint_resume_with_growing_log(spark, tmpdir_path):
     CdcPipeline(spark, t_ref, stream_id="r").run_batch(
         read_event_log(spark, path))
     assert snapshot(LakeTable(spark, t.path)) == snapshot(t_ref)
+
+
+def test_finalize_empty_run_records_zero_totals(spark, tmpdir_path):
+    """A stream over an empty/already-drained log executes zero
+    micro-batches; finalizing must record a zero-total ENDED row, not
+    crash on the never-created counters side table."""
+    from cassandra_data_migrator_spark.streaming import (
+        finalize_stream_run,
+        run_info,
+    )
+
+    t = mk_table(spark, tmpdir_path, "t")
+    p = CdcPipeline(spark, t, stream_id="empty")
+    totals = finalize_stream_run(p)
+    assert totals == {"epochs": 0, "read": 0, "valid": 0, "skipped": 0,
+                      "quarantined": 0, "events_applied": 0}
+    row = run_info(spark, t).collect()[0]
+    assert row["status"] == "ENDED" and row["events_applied"] == 0
+    assert p.lineage().count() == 0 and p.counters().count() == 0

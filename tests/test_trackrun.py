@@ -103,10 +103,45 @@ def test_crash_after_commit_before_pass_row_converges(spark, tmpdir_path):
     assert tracker.pending_groups("runc") == []
     assert tracker.resume(ev, "runc") == []
 
+    # the recovered PASS row carries the TRUE totals (recovered from
+    # the committed manifest's lineage), not zeros
+    g1 = (tracker.run_details()
+          .filter((F.col("run_id") == "runc") & (F.col("grp") == 1))
+          .collect())
+    assert len(g1) == 1 and g1[0]["events"] > 0 and g1[0]["buckets"] > 0
+
     # state equals a single-shot replay
     ref = LakeTable.create(spark, f"{tmpdir_path}/ref", SCHEMA, cfg)
     ref.merge_batch(ev)
     assert _state(t) == _state(ref)
+
+
+def test_full_rerun_does_not_clobber_pass_totals(spark, tmpdir_path):
+    """An at-least-once scheduler re-running an ALREADY-COMPLETE run:
+    every group merge is fence-skipped, and each group's recorded PASS
+    totals must survive untouched (a rewrite from the skip's empty
+    counters would zero them, making finalize report events_applied=0
+    for a fully applied run)."""
+    from cassandra_data_migrator_spark.streaming import (
+        finalize_tracked_run,
+    )
+
+    ev = _events(spark)
+    cfg = EngineConfig(n_buckets=16, key_col="url", ts_col="warc_ts")
+    t = LakeTable.create(spark, f"{tmpdir_path}/t", SCHEMA, cfg)
+    tracker = BatchRunTracker(spark, t, n_groups=4)
+    tracker.run(ev, "runr")
+    before = {(r["grp"]): (r["events"], r["buckets"], r["version"])
+              for r in tracker.run_details().collect()}
+    assert sum(e for e, _, _ in before.values()) == ev.count()
+
+    results = tracker.run(ev, "runr")           # the retry
+    assert all(r.skipped for r in results)
+    after = {(r["grp"]): (r["events"], r["buckets"], r["version"])
+             for r in tracker.run_details().collect()}
+    assert after == before
+    assert finalize_tracked_run(tracker, "runr")["events_applied"] \
+        == ev.count()
 
 
 def test_tracked_run_info_ended_only_when_complete(spark, tmpdir_path):
