@@ -111,16 +111,27 @@ def main() -> None:
     t_check_spark = time.time() - t0
 
     # ---- oracle side: DuckDB LWW replay of the same log files -------
+    # Free the JVM first (a grown 48g heap + DuckDB's working set is
+    # what the OOM killer sees), and hash the html BEFORE the window:
+    # carrying raw 10 KB blobs through a 16M-row window sort is ~150 GB
+    # of decoded payload; the 32-char digest is all the checksum needs.
+    spark.stop()
     import duckdb
+    con = duckdb.connect()
+    con.execute("SET memory_limit='24GB'")
     canon_sql = ("url || '|' || CAST(epoch_us(warc_ts) AS VARCHAR) || '|' "
                  "|| (CASE WHEN lang IS NULL OR lang = '' THEN '∅' "
-                 "ELSE lang END) || '|' || md5(CAST(html AS VARCHAR))")
+                 "ELSE lang END) || '|' || hh")
     t0 = time.time()
-    orc = duckdb.sql(f"""
-        WITH ranked AS (
+    orc = con.sql(f"""
+        WITH e AS (
+          SELECT url, warc_ts, seq, op, lang,
+                 md5(CAST(html AS VARCHAR)) AS hh
+          FROM read_parquet('{log}/part-*.parquet')),
+        ranked AS (
           SELECT *, row_number() OVER (
             PARTITION BY url ORDER BY warc_ts DESC, seq DESC) AS rn
-          FROM read_parquet('{log}/part-*.parquet'))
+          FROM e)
         SELECT count(*) AS n, bit_xor({md5_int48_sql(canon_sql)}) AS cs
         FROM ranked WHERE rn = 1 AND op <> 'delete'
     """).fetchall()[0]
