@@ -1,0 +1,386 @@
+"""spark-submit job entry points — the reference's three job classes as
+CLI subcommands over the lake engine, driven by the same ``spark.cdm.*``
+property surface.
+
+Reference analogs:
+
+- ``Migrate``        → ``migrate``   (``README.md:52-66``,
+  ``job/Migrate.scala``): event-log replay into the lake table, batch
+  or streaming, optionally as a tracked (resumable) run.
+- ``DiffData``       → ``validate``  (``README.md:96-116``,
+  ``job/DiffData.scala``): origin-truth vs target full-outer diff with
+  optional autocorrect (re-upsert of MISSING/MISMATCH; never deletes).
+- ``GuardrailCheck`` → ``guardrail`` (``README.md:139-147``,
+  ``job/GuardrailCheck.scala``): scan-only large-column audit.
+
+Launch exactly like the reference, swapping the JAR for this package::
+
+    spark-submit --py-files cdm_spark.zip \\
+      --conf spark.cdm.perfops.numParts=64 \\
+      -m cassandra_data_migrator_spark migrate \\
+      --log /data/event_log --table /lake/web_pages \\
+      --properties-file cdm.properties
+
+Properties: every supported ``spark.cdm.*`` key
+(``properties/KnownProperties.java``) is read from ``--properties-file``
+lines and ``--conf K=V`` args and mapped onto :class:`EngineConfig`.
+Connection/driver keys that configure Cassandra clusters
+(``spark.cdm.connect.*``, keyspaceTable names, rate limiters,
+consistency levels) have no analog here — the origin is an event-log
+path and the target a lake-table path — so an existing reference
+properties file can be passed AS-IS: those keys produce a warning, not
+an error. Unknown ``spark.cdm.*`` keys fail loudly, same contract as
+the reference's property validation (``PropertyHelper.java``).
+
+Every job prints ONE JSON line of totals (the ``cdm-assert.sh``
+contract, ``SIT/cdm-assert.sh:25-33``) and exits non-zero on failure.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+from dataclasses import replace
+from datetime import datetime, timezone
+from typing import Any
+
+from pyspark.sql import SparkSession
+
+from cassandra_data_migrator_spark.config import EngineConfig
+
+# ---------------------------------------------------------------------------
+# spark.cdm.* property surface
+# ---------------------------------------------------------------------------
+
+def _us(v: str) -> datetime:
+    # Cassandra writetimes are epoch MICROseconds
+    # (KnownProperties.java:239-240)
+    return datetime.fromtimestamp(int(v) / 1e6, tz=timezone.utc)
+
+
+def _ms(v: str) -> datetime:
+    # missing-ts replacement is epoch MILLIseconds
+    # (CqlTable.java:385-386: Instant.ofEpochMilli)
+    return datetime.fromtimestamp(int(v) / 1e3, tz=timezone.utc)
+
+
+def _bool(v: str) -> bool:
+    return v.strip().lower() in ("true", "1", "yes")
+
+
+def _csv(v: str) -> tuple[str, ...]:
+    return tuple(x.strip() for x in v.split(",") if x.strip())
+
+
+# spark.cdm key → EngineConfig field + parser (KnownProperties.java)
+_CONFIG_KEYS: dict[str, tuple[str, Any]] = {
+    "spark.cdm.perfops.numParts": ("n_buckets", int),
+    "spark.cdm.filter.java.writetime.min": ("writetime_min", _us),
+    "spark.cdm.filter.java.writetime.max": ("writetime_max", _us),
+    "spark.cdm.filter.java.column.name": ("skip_column", str),
+    "spark.cdm.filter.java.column.value": ("skip_value", str),
+    "spark.cdm.filter.java.token.percent": ("sample_percent", float),
+    "spark.cdm.filter.cassandra.whereCondition":
+        ("origin_filter_condition", str),
+    "spark.cdm.schema.origin.column.skip": ("column_skip_list", _csv),
+    "spark.cdm.feature.guardrail.colSizeInKB": ("guardrail_kb", int),
+    "spark.cdm.transform.missing.key.ts.replace.value":
+        ("null_ts_default", _ms),
+}
+
+# spark.cdm keys that drive job behavior, not EngineConfig
+_JOB_KEYS: dict[str, tuple[str, Any]] = {
+    "spark.cdm.trackRun": ("track_run", _bool),
+    "spark.cdm.trackRun.runId": ("run_id", str),
+    "spark.cdm.trackRun.previousRunId": ("previous_run_id", str),
+    "spark.cdm.trackRun.autoRerun": ("auto_rerun", _bool),
+    "spark.cdm.trackRun.rerunMultiplier": ("rerun_multiplier", int),
+    "spark.cdm.autocorrect.missing": ("autocorrect_missing", _bool),
+    "spark.cdm.autocorrect.mismatch": ("autocorrect_mismatch", _bool),
+}
+
+# reference keys with NO analog in this engine (Cassandra cluster
+# connectivity / driver tuning) — accepted with a warning so a
+# reference cdm.properties file works unchanged
+_INAPPLICABLE_PREFIXES = (
+    "spark.cdm.connect.",
+    "spark.cdm.perfops.ratelimit",
+    "spark.cdm.perfops.batchSize",
+    "spark.cdm.perfops.fetchSizeInRows",
+    "spark.cdm.perfops.consistency.",
+    "spark.cdm.schema.origin.keyspaceTable",
+    "spark.cdm.schema.target.keyspaceTable",
+    "spark.cdm.schema.origin.column.writetime",
+    "spark.cdm.schema.origin.column.ttl",
+    "spark.cdm.schema.origin.column.names.to.target",
+    "spark.cdm.schema.ttlwritetime.calc",
+    "spark.cdm.feature.",        # featureset transforms are library calls
+    "spark.cdm.transform.",      # (except missing-ts, matched above)
+)
+
+
+def parse_properties(conf: list[str], properties_file: str | None
+                     ) -> dict[str, str]:
+    """Java-properties lines + ``--conf K=V`` pairs (later wins)."""
+    props: dict[str, str] = {}
+    if properties_file:
+        with open(properties_file) as f:
+            for line in f:
+                line = line.strip()
+                if not line or line.startswith(("#", "!")):
+                    continue
+                k, _, v = line.partition("=")
+                props[k.strip()] = v.strip()
+    for pair in conf or []:
+        k, _, v = pair.partition("=")
+        props[k.strip()] = v.strip()
+    return props
+
+
+def apply_properties(base: EngineConfig, props: dict[str, str]
+                     ) -> tuple[EngineConfig, dict[str, Any], list[str]]:
+    """Map ``spark.cdm.*`` keys onto (EngineConfig, job options,
+    warnings). Unknown spark.cdm keys raise (reference property
+    validation contract); non-cdm keys are ignored (they belong to
+    Spark itself)."""
+    overrides: dict[str, Any] = {}
+    job: dict[str, Any] = {}
+    warnings: list[str] = []
+    for k, v in props.items():
+        if not k.startswith("spark.cdm."):
+            continue
+        if k in _CONFIG_KEYS:
+            field_name, parse = _CONFIG_KEYS[k]
+            overrides[field_name] = parse(v)
+        elif k in _JOB_KEYS:
+            name, parse = _JOB_KEYS[k]
+            job[name] = parse(v)
+        elif k == "spark.cdm.transform.missing.key.ts.replace.value":
+            pass  # matched in _CONFIG_KEYS
+        elif any(k.startswith(p) for p in _INAPPLICABLE_PREFIXES):
+            warnings.append(
+                f"ignoring {k} (configures a Cassandra cluster / driver "
+                "feature; this engine reads an event-log path and writes "
+                "a lake-table path)")
+        else:
+            raise ValueError(f"unknown spark.cdm property: {k}")
+    return replace(base, **overrides), job, warnings
+
+
+# ---------------------------------------------------------------------------
+# jobs
+# ---------------------------------------------------------------------------
+
+_WEB_DDL = ("url string, warc_ts timestamp, html binary, "
+            "text string, lang string")
+
+
+def _session(args) -> SparkSession:
+    active = SparkSession.getActiveSession()
+    if active is not None:
+        return active
+    from cassandra_data_migrator_spark.session import get_spark
+    return get_spark("cdm_job", master=args.master,
+                     shuffle_partitions=args.shuffle_partitions)
+
+
+def _open_or_create(spark, args, cfg):
+    import os
+
+    from pyspark.sql import types as T
+
+    from cassandra_data_migrator_spark.lake import LakeTable
+    if os.path.exists(os.path.join(args.table, "_manifests")):
+        return LakeTable(spark, args.table)
+    return LakeTable.create(spark, args.table,
+                            T.StructType.fromDDL(args.schema), cfg)
+
+
+def _cfg(args) -> tuple[EngineConfig, dict[str, Any], list[str]]:
+    base = EngineConfig(key_col=args.key_col, ts_col=args.ts_col,
+                        seq_col=args.seq_col)
+    props = parse_properties(args.conf, args.properties_file)
+    return apply_properties(base, props)
+
+
+def cmd_migrate(args, spark) -> dict[str, Any]:
+    from cassandra_data_migrator_spark.sources import read_event_log
+    from cassandra_data_migrator_spark.streaming import (
+        CdcPipeline,
+        finalize_stream_run,
+        finalize_tracked_run,
+    )
+    from cassandra_data_migrator_spark.streaming.trackrun import (
+        BatchRunTracker,
+    )
+
+    cfg, job, warnings = _cfg(args)
+    for w in warnings:
+        print(f"WARN: {w}", file=sys.stderr)
+    table = _open_or_create(spark, args, cfg)
+
+    if args.streaming:
+        pipe = CdcPipeline(spark, table, cfg, stream_id=args.stream_id)
+        pipe.run_stream(args.log, args.checkpoint,
+                        available_now=not args.continuous,
+                        ).awaitTermination()
+        return {"job": "migrate", "mode": "stream",
+                **finalize_stream_run(pipe)}
+
+    events = read_event_log(spark, args.log)
+    if job.get("track_run") or job.get("previous_run_id") \
+            or job.get("auto_rerun"):
+        run_id = job.get("previous_run_id") or job.get("run_id") or "run1"
+        tracker = BatchRunTracker(spark, table, n_groups=args.n_groups)
+        # same winner-side transforms the streaming pipeline applies
+        # (text extraction + lang normalization), so tracked and
+        # streaming migrations of the same log converge to one state
+        fin = CdcPipeline(spark, table, cfg,
+                          stream_id=args.stream_id)._finalize
+        if job.get("previous_run_id") or job.get("auto_rerun"):
+            tracker.resume(events, run_id, finalize=fin,
+                           rerun_multiplier=job.get("rerun_multiplier", 1))
+        else:
+            tracker.run(events, run_id, finalize=fin)
+        return {"job": "migrate", "mode": "tracked", "run_id": run_id,
+                **finalize_tracked_run(tracker, run_id)}
+
+    pipe = CdcPipeline(spark, table, cfg, stream_id=args.stream_id)
+    pipe.run_batch(events)
+    return {"job": "migrate", "mode": "batch", **finalize_stream_run(pipe)}
+
+
+def cmd_validate(args, spark) -> dict[str, Any]:
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from cassandra_data_migrator_spark.operators import diff as DIFF
+    from cassandra_data_migrator_spark.sources import read_event_log
+
+    cfg, job, warnings = _cfg(args)
+    for w in warnings:
+        print(f"WARN: {w}", file=sys.stderr)
+    from cassandra_data_migrator_spark.lake import LakeTable
+    table = LakeTable(spark, args.table)
+
+    # origin truth: LWW state of the event log (the reference's origin
+    # read, OriginSelectByPartitionRangeStatement) — deletes excluded
+    ev = read_event_log(spark, args.log)
+    w = Window.partitionBy(cfg.key_col).orderBy(
+        F.col(cfg.ts_col).desc(), F.col(cfg.seq_col).desc())
+    origin = (ev.withColumn("_rn", F.row_number().over(w))
+              .filter((F.col("_rn") == 1) & (F.col("op") != "delete"))
+              .drop("_rn", "op", cfg.seq_col))
+    if "lang" in origin.columns:
+        # the migrate pipeline normalizes lang on write; the diff must
+        # apply the same transform origin-side (the reference runs its
+        # featureset on both legs of the comparison)
+        from cassandra_data_migrator_spark.functions.udfs import (
+            normalize_lang,
+        )
+        origin = origin.withColumn("lang", normalize_lang(F.col("lang")))
+
+    target = table.read()
+    compare = [c for c in target.columns
+               if c in origin.columns and c != cfg.key_col]
+    d = DIFF.diff_tables(origin.select(cfg.key_col, *compare), target,
+                         key_cols=(cfg.key_col,), compare_cols=compare)
+    totals = DIFF.diff_counters(d)
+
+    out = {"job": "validate", **totals}
+    allowed = []
+    if job.get("autocorrect_missing"):
+        allowed.append("missing_target")
+    if job.get("autocorrect_mismatch"):
+        allowed.append("mismatch")
+    if allowed:
+        picked = d.filter(F.col(DIFF.DIFF_STATUS).isin(allowed))
+        _, corrected = DIFF.autocorrect(
+            table, origin.select(cfg.key_col, *compare), picked,
+            key_cols=(cfg.key_col,))
+        out.update(corrected)
+    return out
+
+
+def cmd_guardrail(args, spark) -> dict[str, Any]:
+    from cassandra_data_migrator_spark.lake import LakeTable
+    from cassandra_data_migrator_spark.streaming.guardjob import (
+        run_guardrail_check,
+    )
+
+    cfg, _job, warnings = _cfg(args)
+    for w in warnings:
+        print(f"WARN: {w}", file=sys.stderr)
+    table = LakeTable(spark, args.table)
+    kb = cfg.guardrail_kb or args.col_size_kb
+    report = run_guardrail_check(
+        table.read(), col_size_kb=kb, key_col=cfg.key_col,
+        n_buckets=cfg.n_buckets, table=table, run_id=args.run_id)
+    return {"job": "guardrail", "col_size_kb": kb, **report.totals}
+
+
+# ---------------------------------------------------------------------------
+# CLI
+# ---------------------------------------------------------------------------
+
+def _add_common(p: argparse.ArgumentParser) -> None:
+    p.add_argument("--table", required=True, help="lake table path")
+    p.add_argument("--key-col", default="url")
+    p.add_argument("--ts-col", default="warc_ts")
+    p.add_argument("--seq-col", default="seq")
+    p.add_argument("--conf", action="append", default=[],
+                   metavar="spark.cdm.K=V")
+    p.add_argument("--properties-file", default=None)
+    p.add_argument("--master", default="local[*]")
+    p.add_argument("--shuffle-partitions", type=int, default=32)
+
+
+def build_parser() -> argparse.ArgumentParser:
+    ap = argparse.ArgumentParser(prog="cassandra_data_migrator_spark")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    m = sub.add_parser("migrate", help="event-log replay (ref Migrate)")
+    _add_common(m)
+    m.add_argument("--log", required=True, help="event-log path")
+    m.add_argument("--schema", default=_WEB_DDL,
+                   help="DDL to create the table if absent")
+    m.add_argument("--streaming", action="store_true")
+    m.add_argument("--continuous", action="store_true",
+                   help="keep tailing (default: drain and stop)")
+    m.add_argument("--checkpoint", default=None)
+    m.add_argument("--stream-id", default="migrate")
+    m.add_argument("--n-groups", type=int, default=8,
+                   help="tracked-run group count")
+    m.set_defaults(fn=cmd_migrate)
+
+    v = sub.add_parser("validate", help="diff origin vs target "
+                                        "(ref DiffData)")
+    _add_common(v)
+    v.add_argument("--log", required=True, help="event-log path (origin)")
+    v.set_defaults(fn=cmd_validate)
+
+    g = sub.add_parser("guardrail", help="large-column audit "
+                                         "(ref GuardrailCheck)")
+    _add_common(g)
+    g.add_argument("--col-size-kb", type=float, default=10.0)
+    g.add_argument("--run-id", default=None,
+                   help="record totals as a run_info row")
+    g.set_defaults(fn=cmd_guardrail)
+    return ap
+
+
+def main(argv: list[str] | None = None,
+         spark: SparkSession | None = None) -> int:
+    args = build_parser().parse_args(argv)
+    if args.cmd == "migrate" and args.streaming and not args.checkpoint:
+        print("error: --streaming requires --checkpoint", file=sys.stderr)
+        return 2
+    spark = spark or _session(args)
+    out = args.fn(args, spark)
+    print(json.dumps(out))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

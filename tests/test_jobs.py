@@ -1,0 +1,154 @@
+"""spark-submit job CLI: the reference's Migrate / DiffData /
+GuardrailCheck as subcommands, driven by the spark.cdm.* property
+surface (README.md:52-147; properties/KnownProperties.java)."""
+
+from __future__ import annotations
+
+import json
+import os
+from datetime import datetime, timezone
+
+import pytest
+from pyspark.sql import functions as F
+
+from cassandra_data_migrator_spark.config import EngineConfig
+from cassandra_data_migrator_spark.jobs import apply_properties, main
+from cassandra_data_migrator_spark.lake import LakeTable
+from cassandra_data_migrator_spark.sources import (
+    gen_change_events,
+    read_event_log,
+    write_event_log,
+)
+
+
+def test_property_mapping_units_and_unknowns(tmpdir_path):
+    cfg, job, warnings = apply_properties(EngineConfig(), {
+        "spark.cdm.perfops.numParts": "64",
+        # Cassandra writetime = epoch MICROS (KnownProperties.java:239)
+        "spark.cdm.filter.java.writetime.min": "1700000000000000",
+        # missing-ts replacement = epoch MILLIS (CqlTable.java:385)
+        "spark.cdm.transform.missing.key.ts.replace.value": "1700000000000",
+        "spark.cdm.schema.origin.column.skip": "lang, html",
+        "spark.cdm.filter.cassandra.whereCondition": "lang = 'en'",
+        "spark.cdm.trackRun": "true",
+        "spark.cdm.trackRun.rerunMultiplier": "3",
+        "spark.cdm.autocorrect.missing": "true",
+        # a reference cdm.properties file passes through with warnings
+        "spark.cdm.connect.origin.host": "cass1",
+        "spark.cdm.perfops.ratelimit.origin": "20000",
+        # non-cdm spark confs are not ours to validate
+        "spark.executor.memory": "16g",
+    })
+    want = datetime(2023, 11, 14, 22, 13, 20, tzinfo=timezone.utc)
+    assert cfg.n_buckets == 64
+    assert cfg.writetime_min == want
+    assert cfg.null_ts_default == want       # micros and millis agree here
+    assert cfg.column_skip_list == ("lang", "html")
+    assert cfg.origin_filter_condition == "lang = 'en'"
+    assert job == {"track_run": True, "rerun_multiplier": 3,
+                   "autocorrect_missing": True}
+    assert len(warnings) == 2
+
+    with pytest.raises(ValueError, match="unknown spark.cdm"):
+        apply_properties(EngineConfig(), {"spark.cdm.bogus.key": "1"})
+
+
+@pytest.fixture()
+def job_log(spark, tmpdir_path):
+    path = os.path.join(tmpdir_path, "job_log")
+    write_event_log(gen_change_events(spark, n_urls=120, n_events=600,
+                                      seed=17), path, n_chunks=4)
+    return path
+
+
+def _run(spark, capsys, argv):
+    assert main(argv, spark=spark) == 0
+    return json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+
+
+def test_migrate_batch_then_validate_clean(spark, tmpdir_path, capsys,
+                                           job_log):
+    table = os.path.join(tmpdir_path, "t")
+    out = _run(spark, capsys, ["migrate", "--log", job_log,
+                               "--table", table])
+    assert out["job"] == "migrate" and out["mode"] == "batch"
+    assert out["read"] == 600 and out["events_applied"] == 600
+
+    t = LakeTable(spark, table)
+    n = t.read().count()
+    assert 0 < n <= 120
+    # text was extracted on write (pipeline parity)
+    assert t.read().filter(F.col("text").isNull()).count() == 0
+
+    out = _run(spark, capsys, ["validate", "--log", job_log,
+                               "--table", table])
+    assert out["job"] == "validate"
+    assert out["valid"] == n and out["mismatch"] == 0
+    assert out["missing"] == 0 and out["extra_target"] == 0
+
+
+def test_migrate_tracked_resume_via_properties(spark, tmpdir_path, capsys,
+                                               job_log):
+    table = os.path.join(tmpdir_path, "t")
+    out = _run(spark, capsys, [
+        "migrate", "--log", job_log, "--table", table, "--n-groups", "4",
+        "--conf", "spark.cdm.trackRun=true",
+        "--conf", "spark.cdm.trackRun.runId=job1"])
+    assert out["mode"] == "tracked" and out["events_applied"] == 600
+
+    # reference previousRunId resume: everything already PASSed → no-op
+    out = _run(spark, capsys, [
+        "migrate", "--log", job_log, "--table", table, "--n-groups", "4",
+        "--conf", "spark.cdm.trackRun.previousRunId=job1"])
+    assert out["events_applied"] == 600      # totals survive the rerun
+
+    # tracked result equals a plain batch replay
+    ref = os.path.join(tmpdir_path, "ref")
+    _run(spark, capsys, ["migrate", "--log", job_log, "--table", ref])
+    a = {r["url"]: (r["warc_ts"], r["text"], r["lang"])
+         for r in LakeTable(spark, table).read().collect()}
+    b = {r["url"]: (r["warc_ts"], r["text"], r["lang"])
+         for r in LakeTable(spark, ref).read().collect()}
+    assert a == b
+
+
+def test_validate_autocorrect_flags(spark, tmpdir_path, capsys, job_log):
+    # target = first half of the stream only → missing + mismatched rows
+    table = os.path.join(tmpdir_path, "t")
+    half = os.path.join(tmpdir_path, "half_log")
+    ev = read_event_log(spark, job_log)
+    write_event_log(ev.filter(F.col("seq") < 300), half, n_chunks=2)
+    _run(spark, capsys, ["migrate", "--log", half, "--table", table])
+
+    before = _run(spark, capsys, ["validate", "--log", job_log,
+                                  "--table", table])
+    assert before["missing"] + before["mismatch"] > 0
+
+    out = _run(spark, capsys, [
+        "validate", "--log", job_log, "--table", table,
+        "--conf", "spark.cdm.autocorrect.missing=true",
+        "--conf", "spark.cdm.autocorrect.mismatch=true"])
+    assert out["corrected_missing"] == before["missing"]
+    assert out["corrected_mismatch"] == before["mismatch"]
+
+    after = _run(spark, capsys, ["validate", "--log", job_log,
+                                 "--table", table])
+    assert after["mismatch"] == 0 and after["missing"] == 0
+    # validation never deletes: stale extras (deleted urls) may remain
+    assert after["extra_target"] >= 0
+
+
+def test_guardrail_job_cli(spark, tmpdir_path, capsys, job_log):
+    table = os.path.join(tmpdir_path, "t")
+    _run(spark, capsys, ["migrate", "--log", job_log, "--table", table])
+    n = LakeTable(spark, table).read().count()
+    out = _run(spark, capsys, [
+        "guardrail", "--table", table, "--run-id", "g1",
+        "--conf", "spark.cdm.feature.guardrail.colSizeInKB=5"])
+    assert out["job"] == "guardrail" and out["col_size_kb"] == 5
+    assert out["read"] == n and out["valid"] + out["large"] == n
+
+    from cassandra_data_migrator_spark.streaming import run_info
+    rows = run_info(spark, LakeTable(spark, table)).collect()
+    assert any(r["kind"] == "guardrail" and r["run_id"] == "g1"
+               for r in rows)
