@@ -125,7 +125,10 @@ def parse_properties(conf: list[str], properties_file: str | None
     """Java-properties lines + ``--conf K=V`` pairs (later wins)."""
     props: dict[str, str] = {}
     if properties_file:
-        with open(properties_file) as f:
+        # a --properties-file is a spark-submit DRIVER-LOCAL input (the
+        # reference reads its cdm.properties the same way) — not lake
+        # metadata, so it does not go through the FS seam
+        with open(properties_file) as f:  # noqa: seam-exempt (CLI input)
             for line in f:
                 line = line.strip()
                 if not line or line.startswith(("#", "!")):
@@ -186,12 +189,15 @@ def _session(args) -> SparkSession:
 
 
 def _open_or_create(spark, args, cfg):
-    import os
+    import posixpath
 
     from pyspark.sql import types as T
 
     from cassandra_data_migrator_spark.lake import LakeTable
-    if os.path.exists(os.path.join(args.table, "_manifests")):
+    from cassandra_data_migrator_spark.lake.fs import get_fs
+    # existence probe through the FS seam — the table may live on an
+    # object store, not the driver's local disk
+    if get_fs(args.table).isdir(posixpath.join(args.table, "_manifests")):
         return LakeTable(spark, args.table)
     return LakeTable.create(spark, args.table,
                             T.StructType.fromDDL(args.schema), cfg)
