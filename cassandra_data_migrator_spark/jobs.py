@@ -309,6 +309,24 @@ def cmd_validate(args, spark) -> dict[str, Any]:
     return out
 
 
+def cmd_maintain(args, spark) -> dict[str, Any]:
+    """Table maintenance: compaction then snapshot expiry — the
+    operational pair a long-lived CoW table needs (Cassandra compacts
+    for itself; this engine owns its lake format, so it owns this).
+    Compact first so expiry can reclaim the pre-compaction files."""
+    from cassandra_data_migrator_spark.lake import LakeTable
+
+    table = LakeTable(spark, args.table)
+    out: dict[str, Any] = {"job": "maintain", "version": table.version}
+    if args.compact:
+        res = table.compact(min_files=args.min_files)
+        out["compacted"] = bool(res is not None and not res.skipped)
+        table = LakeTable(spark, args.table)   # re-read post-commit
+    out.update(table.expire_versions(keep_last=args.keep_last))
+    out["version"] = table.version
+    return out
+
+
 def cmd_guardrail(args, spark) -> dict[str, Any]:
     from cassandra_data_migrator_spark.lake import LakeTable
     from cassandra_data_migrator_spark.streaming.guardjob import (
@@ -365,6 +383,17 @@ def build_parser() -> argparse.ArgumentParser:
     _add_common(v)
     v.add_argument("--log", required=True, help="event-log path (origin)")
     v.set_defaults(fn=cmd_validate)
+
+    mt = sub.add_parser("maintain",
+                        help="compact fragmented buckets + expire old "
+                             "snapshots (vacuum)")
+    _add_common(mt)
+    mt.add_argument("--keep-last", type=int, default=3,
+                    help="retained snapshot count")
+    mt.add_argument("--compact", action="store_true")
+    mt.add_argument("--min-files", type=int, default=2,
+                    help="compact buckets holding at least this many files")
+    mt.set_defaults(fn=cmd_maintain)
 
     g = sub.add_parser("guardrail", help="large-column audit "
                                          "(ref GuardrailCheck)")
