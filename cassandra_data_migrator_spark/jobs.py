@@ -221,40 +221,83 @@ def cmd_migrate(args, spark) -> dict[str, Any]:
         BatchRunTracker,
     )
 
+    import uuid
+
     cfg, job, warnings = _cfg(args)
     for w in warnings:
         print(f"WARN: {w}", file=sys.stderr)
     table = _open_or_create(spark, args, cfg)
 
     if args.streaming:
+        if any(k.startswith(("track_run", "previous_run_id", "auto_rerun",
+                             "rerun_multiplier", "run_id")) for k in job):
+            # known keys, but tracked runs are a BATCH mode — say so
+            # instead of silently running untracked
+            print("WARN: spark.cdm.trackRun* properties are ignored in "
+                  "--streaming mode (checkpoint + epoch fence provide "
+                  "the resume semantics there)", file=sys.stderr)
         pipe = CdcPipeline(spark, table, cfg, stream_id=args.stream_id)
         pipe.run_stream(args.log, args.checkpoint,
                         available_now=not args.continuous,
                         ).awaitTermination()
         return {"job": "migrate", "mode": "stream",
-                **finalize_stream_run(pipe)}
+                "stream_id": args.stream_id, **finalize_stream_run(pipe)}
 
     events = read_event_log(spark, args.log)
     if job.get("track_run") or job.get("previous_run_id") \
             or job.get("auto_rerun"):
-        run_id = job.get("previous_run_id") or job.get("run_id") or "run1"
+        # a NEW tracked run gets a unique id (the reference generates
+        # one per run, TargetUpsertRunDetailsStatement) — a constant
+        # default would make a second migration into the same table a
+        # fenced no-op that reports the FIRST run's totals as success
+        if job.get("previous_run_id") and job.get("run_id") \
+                and job["previous_run_id"] != job["run_id"]:
+            print("WARN: resuming records progress under "
+                  "trackRun.previousRunId (PASS rows and the fence are "
+                  f"keyed by the run being resumed); runId "
+                  f"{job['run_id']!r} is ignored", file=sys.stderr)
+        run_id = job.get("previous_run_id") or job.get("run_id") \
+            or f"run-{uuid.uuid4().hex[:12]}"
         tracker = BatchRunTracker(spark, table, n_groups=args.n_groups)
-        # same winner-side transforms the streaming pipeline applies
-        # (text extraction + lang normalization), so tracked and
-        # streaming migrations of the same log converge to one state
+        # parity with the pipeline path: the SAME filter/quarantine
+        # stage (writetime window, skip-column, WHERE, sampling,
+        # null-ts default, null-key quarantine) runs before the merges,
+        # and the same winner-side transforms (text extraction, lang
+        # normalization) run after — so batch, streaming, and tracked
+        # migrations of one log converge to one state
+        from cassandra_data_migrator_spark.operators.filters import (
+            split_predicates,
+        )
+        out, keep, valid_keys = split_predicates(events, cfg)
+        events = out.filter(keep & valid_keys)
         fin = CdcPipeline(spark, table, cfg,
                           stream_id=args.stream_id)._finalize
+        merge_kw = {"finalize": fin, "seq_col": cfg.seq_col}
         if job.get("previous_run_id") or job.get("auto_rerun"):
-            tracker.resume(events, run_id, finalize=fin,
-                           rerun_multiplier=job.get("rerun_multiplier", 1))
+            tracker.resume(events, run_id,
+                           rerun_multiplier=job.get("rerun_multiplier", 1),
+                           **merge_kw)
         else:
-            tracker.run(events, run_id, finalize=fin)
+            tracker.run(events, run_id, **merge_kw)
         return {"job": "migrate", "mode": "tracked", "run_id": run_id,
                 **finalize_tracked_run(tracker, run_id)}
 
-    pipe = CdcPipeline(spark, table, cfg, stream_id=args.stream_id)
-    pipe.run_batch(events)
-    return {"job": "migrate", "mode": "batch", **finalize_stream_run(pipe)}
+    # one stream id per INVOCATION by default: re-running the CLI on a
+    # grown log must apply the new events, not hit the previous
+    # invocation's epoch fence and report ITS totals as success. The
+    # LWW merge is idempotent, so replaying already-applied events
+    # converges. Pass --stream-id to opt into cross-invocation fencing
+    # (e.g. an at-least-once scheduler re-launching the same job).
+    stream_id = args.stream_id or f"migrate-{uuid.uuid4().hex[:12]}"
+    pipe = CdcPipeline(spark, table, cfg, stream_id=stream_id)
+    result = pipe.run_batch(events)
+    out = {"job": "migrate", "mode": "batch", "stream_id": stream_id,
+           **finalize_stream_run(pipe)}
+    if result.skipped:
+        # explicit --stream-id replay hit the fence: nothing applied
+        # THIS invocation; the totals below are the stream's history
+        out["fenced"] = True
+    return out
 
 
 def cmd_validate(args, spark) -> dict[str, Any]:

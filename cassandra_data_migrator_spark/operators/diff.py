@@ -160,13 +160,17 @@ def autocorrect(
     origin: DataFrame,
     diff_df: DataFrame,
     key_cols: Sequence[str] = ("url",),
+    **merge_kw,
 ) -> tuple[MergeResult, dict[str, int]]:
     """Repair MISSING/MISMATCH rows by merging the origin truth back in.
 
     Never touches ``extra_target`` rows (validation never deletes,
     ``README.md:114-115``). Returns the merge result plus corrected
     counters (reference CORRECTED_MISSING / CORRECTED_MISMATCH,
-    ``job/JobCounter.java:43-44``).
+    ``job/JobCounter.java:43-44``). Extra keyword args pass through to
+    :meth:`LakeTable.merge_batch` — e.g. ``finalize=`` so corrected
+    rows get the same winner-side derivations (text extraction) the
+    migration applied.
     """
     keys = list(key_cols)
     bad = diff_df.filter(
@@ -176,7 +180,7 @@ def autocorrect(
     fix = origin.join(bad.select(*keys), on=keys, how="left_semi") \
         .withColumn("op", F.lit("update")) \
         .withColumn("seq", F.lit(_AUTOCORRECT_SEQ))
-    result = table.merge_batch(fix, force_overwrite=True)
+    result = table.merge_batch(fix, force_overwrite=True, **merge_kw)
 
     counts = {r[DIFF_STATUS]: r["n"] for r in
               bad.groupBy(DIFF_STATUS).agg(F.count("*").alias("n")).collect()}
