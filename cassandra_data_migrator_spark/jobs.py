@@ -102,22 +102,48 @@ _JOB_KEYS: dict[str, tuple[str, Any]] = {
 
 # reference keys with NO analog in this engine (Cassandra cluster
 # connectivity / driver tuning) — accepted with a warning so a
-# reference cdm.properties file works unchanged
+# reference cdm.properties file works unchanged. Feature keys
+# (constantColumns / explodeMap / extractJson / rename map) are NOT
+# here: they wire through operators/features.py.
 _INAPPLICABLE_PREFIXES = (
     "spark.cdm.connect.",
     "spark.cdm.perfops.ratelimit",
     "spark.cdm.perfops.batchSize",
     "spark.cdm.perfops.fetchSizeInRows",
     "spark.cdm.perfops.consistency.",
+    "spark.cdm.perfops.printStatsAfter",
+    "spark.cdm.perfops.printStatsPerPart",
     "spark.cdm.schema.origin.keyspaceTable",
     "spark.cdm.schema.target.keyspaceTable",
     "spark.cdm.schema.origin.column.writetime",
     "spark.cdm.schema.origin.column.ttl",
-    "spark.cdm.schema.origin.column.names.to.target",
     "spark.cdm.schema.ttlwritetime.calc",
-    "spark.cdm.feature.",        # featureset transforms are library calls
+    "spark.cdm.feature.",        # remaining feature keys (WritetimeTTL
+                                 # custom names) are Cassandra-metadata
+                                 # driven; guardrail + the four wired
+                                 # features are matched above
     "spark.cdm.transform.",      # (except missing-ts, matched above)
+    "spark.cdm.tokenrange",
+    "spark.cdm.filter.cassandra.partition",
 )
+
+
+def _parse_property_line(line: str) -> tuple[str, str] | None:
+    """One java-properties line → (key, value).
+
+    The reference's shipped files use BOTH separators —
+    ``key=value`` and ``key    value`` (java.util.Properties allows
+    either; every ``SIT/*/migrate.properties`` uses whitespace) — so a
+    reference file must parse AS-IS with both.
+    """
+    line = line.strip()
+    if not line or line.startswith(("#", "!")):
+        return None
+    k, sep, v = line.partition("=")
+    if sep and " " not in k.strip() and "\t" not in k.strip():
+        return k.strip(), v.strip()
+    parts = line.split(None, 1)
+    return parts[0], (parts[1].strip() if len(parts) > 1 else "")
 
 
 def parse_properties(conf: list[str], properties_file: str | None
@@ -130,11 +156,9 @@ def parse_properties(conf: list[str], properties_file: str | None
         # metadata, so it does not go through the FS seam
         with open(properties_file) as f:  # noqa: seam-exempt (CLI input)
             for line in f:
-                line = line.strip()
-                if not line or line.startswith(("#", "!")):
-                    continue
-                k, _, v = line.partition("=")
-                props[k.strip()] = v.strip()
+                kv = _parse_property_line(line)
+                if kv is not None:
+                    props[kv[0]] = kv[1]
     for pair in conf or []:
         k, _, v = pair.partition("=")
         props[k.strip()] = v.strip()
@@ -147,6 +171,10 @@ def apply_properties(base: EngineConfig, props: dict[str, str]
     warnings). Unknown spark.cdm keys raise (reference property
     validation contract); non-cdm keys are ignored (they belong to
     Spark itself)."""
+    from cassandra_data_migrator_spark.operators.features import (
+        FEATURE_PROPERTY_KEYS,
+    )
+
     overrides: dict[str, Any] = {}
     job: dict[str, Any] = {}
     warnings: list[str] = []
@@ -159,6 +187,11 @@ def apply_properties(base: EngineConfig, props: dict[str, str]
         elif k in _JOB_KEYS:
             name, parse = _JOB_KEYS[k]
             job[name] = parse(v)
+        elif k in FEATURE_PROPERTY_KEYS:
+            # rename / constantColumns / explodeMap / extractJson —
+            # compiled into one Catalyst transform chain by
+            # operators.features.build_featureset
+            job.setdefault("features", {})[k] = v
         elif k == "spark.cdm.transform.missing.key.ts.replace.value":
             pass  # matched in _CONFIG_KEYS
         elif any(k.startswith(p) for p in _INAPPLICABLE_PREFIXES):
@@ -188,7 +221,7 @@ def _session(args) -> SparkSession:
                      shuffle_partitions=args.shuffle_partitions)
 
 
-def _open_or_create(spark, args, cfg):
+def _open_or_create(spark, args, cfg, schema=None):
     import posixpath
 
     from pyspark.sql import types as T
@@ -199,8 +232,9 @@ def _open_or_create(spark, args, cfg):
     # object store, not the driver's local disk
     if get_fs(args.table).isdir(posixpath.join(args.table, "_manifests")):
         return LakeTable(spark, args.table)
-    return LakeTable.create(spark, args.table,
-                            T.StructType.fromDDL(args.schema), cfg)
+    schema = schema if schema is not None \
+        else T.StructType.fromDDL(args.schema)
+    return LakeTable.create(spark, args.table, schema, cfg)
 
 
 def _cfg(args) -> tuple[EngineConfig, dict[str, Any], list[str]]:
@@ -210,8 +244,31 @@ def _cfg(args) -> tuple[EngineConfig, dict[str, Any], list[str]]:
     return apply_properties(base, props)
 
 
+def _featureset(args, job):
+    """Compile the feature properties (if any) plus the event-schema
+    choice for this invocation."""
+    from pyspark.sql import types as T
+
+    from cassandra_data_migrator_spark.operators.features import (
+        build_featureset,
+    )
+    feat = build_featureset(job.get("features", {}))
+    ev_schema: Any = "default"
+    if getattr(args, "event_schema", None):
+        ev_schema = None if args.event_schema == "infer" \
+            else T.StructType.fromDDL(args.event_schema)
+    elif feat:
+        # a feature migration's origin shape is scenario-specific
+        # (map columns to explode, json columns to extract) — infer it
+        ev_schema = None
+    return feat, ev_schema
+
+
 def cmd_migrate(args, spark) -> dict[str, Any]:
+    from pyspark.sql import types as T
+
     from cassandra_data_migrator_spark.sources import read_event_log
+    from cassandra_data_migrator_spark.sources.event_log import EVENT_SCHEMA
     from cassandra_data_migrator_spark.streaming import (
         CdcPipeline,
         finalize_stream_run,
@@ -226,7 +283,31 @@ def cmd_migrate(args, spark) -> dict[str, Any]:
     cfg, job, warnings = _cfg(args)
     for w in warnings:
         print(f"WARN: {w}", file=sys.stderr)
-    table = _open_or_create(spark, args, cfg)
+    feat, ev_schema = _featureset(args, job)
+    transform = None
+    table_cfg = cfg
+    schema_override = None
+    if feat:
+        transform = lambda df: feat.transform(df, origin_key=cfg.key_col)  # noqa: E731
+        # the TARGET is keyed on the feature chain's output key (the
+        # renamed key column, or the explode-widened surrogate)
+        table_cfg = replace(cfg, key_col=feat.target_key_col(cfg.key_col))
+    if args.schema == "infer":
+        # target schema = the transformed event shape minus the
+        # engine's op/seq bookkeeping columns (the reference derives
+        # the target shape from the target table's own DDL; with no
+        # DDL given, the feature chain IS the shape)
+        sample = read_event_log(
+            spark, args.log,
+            schema=None if ev_schema is None else (
+                ev_schema if isinstance(ev_schema, T.StructType)
+                else EVENT_SCHEMA))
+        if transform is not None:
+            sample = transform(sample)
+        drop = {"op", cfg.seq_col}
+        schema_override = T.StructType(
+            [f for f in sample.schema.fields if f.name not in drop])
+    table = _open_or_create(spark, args, table_cfg, schema=schema_override)
 
     if args.streaming:
         if any(k.startswith(("track_run", "previous_run_id", "auto_rerun",
@@ -236,14 +317,25 @@ def cmd_migrate(args, spark) -> dict[str, Any]:
             print("WARN: spark.cdm.trackRun* properties are ignored in "
                   "--streaming mode (checkpoint + epoch fence provide "
                   "the resume semantics there)", file=sys.stderr)
-        pipe = CdcPipeline(spark, table, cfg, stream_id=args.stream_id)
+        if ev_schema is None:
+            # the file stream source needs a declared schema upfront
+            print("error: --streaming with feature properties requires "
+                  "an explicit --event-schema DDL (file streams cannot "
+                  "infer)", file=sys.stderr)
+            raise SystemExit(2)
+        stream_id = args.stream_id or "migrate"
+        pipe = CdcPipeline(
+            spark, table, cfg, stream_id=stream_id, transform=transform,
+            event_schema=None if ev_schema == "default" else ev_schema)
         pipe.run_stream(args.log, args.checkpoint,
                         available_now=not args.continuous,
                         ).awaitTermination()
         return {"job": "migrate", "mode": "stream",
-                "stream_id": args.stream_id, **finalize_stream_run(pipe)}
+                "stream_id": stream_id, **finalize_stream_run(pipe)}
 
-    events = read_event_log(spark, args.log)
+    events = read_event_log(
+        spark, args.log,
+        schema=(EVENT_SCHEMA if ev_schema == "default" else ev_schema))
     if job.get("track_run") or job.get("previous_run_id") \
             or job.get("auto_rerun"):
         # a NEW tracked run gets a unique id (the reference generates
@@ -265,13 +357,25 @@ def cmd_migrate(args, spark) -> dict[str, Any]:
         # and the same winner-side transforms (text extraction, lang
         # normalization) run after — so batch, streaming, and tracked
         # migrations of one log converge to one state
+        from pyspark.sql import functions as F
+
         from cassandra_data_migrator_spark.operators.filters import (
             split_predicates,
         )
         out, keep, valid_keys = split_predicates(events, cfg)
+        # the pipeline path counts its rejects per epoch; the tracked
+        # path must too (reference SKIPPED counter parity,
+        # job/JobCounter.java:36) — one thin agg over the predicates
+        rej = out.agg(
+            F.sum(F.when(valid_keys & ~keep, 1).otherwise(0)).alias("s"),
+            F.sum(F.when(~valid_keys, 1).otherwise(0)).alias("q"),
+        ).collect()[0]
+        n_skip, n_quar = int(rej["s"] or 0), int(rej["q"] or 0)
         events = out.filter(keep & valid_keys)
+        if transform is not None:
+            events = transform(events)
         fin = CdcPipeline(spark, table, cfg,
-                          stream_id=args.stream_id)._finalize
+                          stream_id=args.stream_id or "migrate")._finalize
         merge_kw = {"finalize": fin, "seq_col": cfg.seq_col}
         if job.get("previous_run_id") or job.get("auto_rerun"):
             tracker.resume(events, run_id,
@@ -280,7 +384,8 @@ def cmd_migrate(args, spark) -> dict[str, Any]:
         else:
             tracker.run(events, run_id, **merge_kw)
         return {"job": "migrate", "mode": "tracked", "run_id": run_id,
-                **finalize_tracked_run(tracker, run_id)}
+                **finalize_tracked_run(tracker, run_id, skipped=n_skip,
+                                       quarantined=n_quar)}
 
     # one stream id per INVOCATION by default: re-running the CLI on a
     # grown log must apply the new events, not hit the previous
@@ -289,7 +394,8 @@ def cmd_migrate(args, spark) -> dict[str, Any]:
     # converges. Pass --stream-id to opt into cross-invocation fencing
     # (e.g. an at-least-once scheduler re-launching the same job).
     stream_id = args.stream_id or f"migrate-{uuid.uuid4().hex[:12]}"
-    pipe = CdcPipeline(spark, table, cfg, stream_id=stream_id)
+    pipe = CdcPipeline(spark, table, cfg, stream_id=stream_id,
+                       transform=transform)
     result = pipe.run_batch(events)
     out = {"job": "migrate", "mode": "batch", "stream_id": stream_id,
            **finalize_stream_run(pipe)}
@@ -307,24 +413,46 @@ def cmd_validate(args, spark) -> dict[str, Any]:
     from cassandra_data_migrator_spark.operators import diff as DIFF
     from cassandra_data_migrator_spark.sources import read_event_log
 
+    from cassandra_data_migrator_spark.operators.filters import (
+        split_predicates,
+    )
+    from cassandra_data_migrator_spark.sources.event_log import EVENT_SCHEMA
+
     cfg, job, warnings = _cfg(args)
     for w in warnings:
         print(f"WARN: {w}", file=sys.stderr)
+    feat, ev_schema = _featureset(args, job)
     from cassandra_data_migrator_spark.lake import LakeTable
     table = LakeTable(spark, args.table)
 
     # origin truth: LWW state of the event log (the reference's origin
-    # read, OriginSelectByPartitionRangeStatement) — deletes excluded
-    ev = read_event_log(spark, args.log)
+    # read, OriginSelectByPartitionRangeStatement). The SAME configured
+    # filters the migration applied run on this leg too — the
+    # reference's DiffData origin select carries the writetime/WHERE
+    # filters (OriginSelectByPartitionRangeStatement.java:61), so a
+    # filtered migration validates against equally-filtered truth
+    # instead of reporting the excluded rows as MISSING (and, with
+    # autocorrect, re-inserting them).
+    ev = read_event_log(
+        spark, args.log,
+        schema=(EVENT_SCHEMA if ev_schema == "default" else ev_schema))
+    ev, keep, valid_keys = split_predicates(ev, cfg)
+    ev = ev.filter(keep & valid_keys)
     w = Window.partitionBy(cfg.key_col).orderBy(
         F.col(cfg.ts_col).desc(), F.col(cfg.seq_col).desc())
     origin = (ev.withColumn("_rn", F.row_number().over(w))
               .filter((F.col("_rn") == 1) & (F.col("op") != "delete"))
               .drop("_rn", "op", cfg.seq_col))
+    key_col = cfg.key_col
+    if feat:
+        # the reference runs its featureset on both legs of the compare
+        # (DiffJobSession.java:243-330); same here, including the
+        # explode-widened key
+        origin = feat.transform(origin, origin_key=cfg.key_col)
+        key_col = feat.target_key_col(cfg.key_col)
     if "lang" in origin.columns:
         # the migrate pipeline normalizes lang on write; the diff must
-        # apply the same transform origin-side (the reference runs its
-        # featureset on both legs of the comparison)
+        # apply the same transform origin-side
         from cassandra_data_migrator_spark.functions.udfs import (
             normalize_lang,
         )
@@ -332,9 +460,9 @@ def cmd_validate(args, spark) -> dict[str, Any]:
 
     target = table.read()
     compare = [c for c in target.columns
-               if c in origin.columns and c != cfg.key_col]
-    d = DIFF.diff_tables(origin.select(cfg.key_col, *compare), target,
-                         key_cols=(cfg.key_col,), compare_cols=compare)
+               if c in origin.columns and c != key_col]
+    d = DIFF.diff_tables(origin.select(key_col, *compare), target,
+                         key_cols=(key_col,), compare_cols=compare)
     totals = DIFF.diff_counters(d)
 
     out = {"job": "validate", **totals}
@@ -344,10 +472,17 @@ def cmd_validate(args, spark) -> dict[str, Any]:
     if job.get("autocorrect_mismatch"):
         allowed.append("mismatch")
     if allowed:
+        from cassandra_data_migrator_spark.streaming import CdcPipeline
         picked = d.filter(F.col(DIFF.DIFF_STATUS).isin(allowed))
+        # corrected rows take the SAME winner-side derivations the
+        # migration applied (text extraction, lang normalization) —
+        # without the finalize, a force_overwrite re-upsert of origin
+        # rows (which carry no text column) would null out the
+        # extracted text the migration wrote
+        fin = CdcPipeline(spark, table, cfg)._finalize
         _, corrected = DIFF.autocorrect(
-            table, origin.select(cfg.key_col, *compare), picked,
-            key_cols=(cfg.key_col,))
+            table, origin.select(key_col, *compare), picked,
+            key_cols=(key_col,), finalize=fin)
         out.update(corrected)
     return out
 
@@ -416,7 +551,15 @@ def build_parser() -> argparse.ArgumentParser:
     m.add_argument("--continuous", action="store_true",
                    help="keep tailing (default: drain and stop)")
     m.add_argument("--checkpoint", default=None)
-    m.add_argument("--stream-id", default="migrate")
+    # None → streaming uses the stable "migrate" id (the checkpoint
+    # already scopes the fence); batch gets a FRESH id per invocation
+    # so re-running on a grown log applies the new events instead of
+    # hitting the previous invocation's epoch fence
+    m.add_argument("--stream-id", default=None)
+    m.add_argument("--event-schema", default=None, metavar="DDL|infer",
+                   help="origin event-log schema (default: the web "
+                        "event shape; 'infer' reads the parquet footers;"
+                        " feature migrations infer automatically)")
     m.add_argument("--n-groups", type=int, default=8,
                    help="tracked-run group count")
     m.set_defaults(fn=cmd_migrate)

@@ -61,8 +61,15 @@ def write_event_log(events: DataFrame, path: str, n_chunks: int = 8,
     return [os.path.join(path, fn) for fn in files]
 
 
-def read_event_log(spark: SparkSession, path: str) -> DataFrame:
-    return spark.read.schema(EVENT_SCHEMA).parquet(path)
+def read_event_log(spark: SparkSession, path: str,
+                   schema: T.StructType | None = EVENT_SCHEMA) -> DataFrame:
+    """Batch read of the whole log. ``schema=None`` infers from the
+    parquet footers — the path feature-driven migrations take, where the
+    origin shape is the scenario's own (e.g. a map column to explode),
+    not the web-event schema."""
+    if schema is None:
+        return spark.read.parquet(path)
+    return spark.read.schema(schema).parquet(path)
 
 
 def read_event_stream(spark: SparkSession, path: str,

@@ -55,9 +55,14 @@ def _write_row(table, row: dict[str, Any]) -> None:
 
 
 def run_info(spark: SparkSession, table) -> DataFrame:
-    """All run-level rows recorded for this table."""
-    return spark.read.schema(RUN_INFO_SCHEMA).parquet(
-        os.path.join(table.path, "_run", "run_info"))
+    """All run-level rows recorded for this table. A table with no
+    finalized run yet reads as typed-EMPTY, not PATH_NOT_FOUND — this
+    is the frame a dashboard polls, and it may poll before (or without)
+    any run finishing."""
+    path = os.path.join(table.path, "_run", "run_info")
+    if not table.fs.isdir(path):
+        return spark.createDataFrame([], RUN_INFO_SCHEMA)
+    return spark.read.schema(RUN_INFO_SCHEMA).parquet(path)
 
 
 def finalize_stream_run(pipeline: CdcPipeline,
@@ -81,25 +86,32 @@ def finalize_stream_run(pipeline: CdcPipeline,
 
 
 def finalize_tracked_run(tracker: BatchRunTracker, run_id: str,
-                         status: str | None = None) -> dict[str, int]:
+                         status: str | None = None, skipped: int = 0,
+                         quarantined: int = 0) -> dict[str, int]:
     """Roll a tracked batch run's per-group PASS rows up into one
     run-level row. ``status`` defaults to ENDED when every group
     passed, else STARTED (the reference only writes ENDED on a complete
     run — a pending run keeps its in-flight marker,
-    ``TargetUpsertRunDetailsStatement.java:180-216``)."""
+    ``TargetUpsertRunDetailsStatement.java:180-216``). ``skipped`` /
+    ``quarantined`` carry the run's filter-reject counts (the tracked
+    path counts them once up front, not per group)."""
     if status is None:
         status = "ENDED" if not tracker.pending_groups(run_id) else "STARTED"
     agg = (
         tracker.run_details()
-        .filter((F.col("run_id") == run_id) & (F.col("status") == "PASS"))
+        # PASS_UNKNOWN_TOTALS (fenced-skip recovery after manifest
+        # expiry) counts as complete but contributes zero events
+        .filter((F.col("run_id") == run_id)
+                & F.col("status").startswith("PASS"))
         .agg(F.count("*").alias("epochs"),
              F.sum("events").alias("events_applied"))
         .collect()[0].asDict()
     )
     applied = int(agg["events_applied"] or 0)
-    totals = {"epochs": int(agg["epochs"] or 0), "read": applied,
-              "valid": applied, "skipped": 0, "quarantined": 0,
-              "events_applied": applied}
+    totals = {"epochs": int(agg["epochs"] or 0),
+              "read": applied + skipped + quarantined,
+              "valid": applied, "skipped": skipped,
+              "quarantined": quarantined, "events_applied": applied}
     row = {"run_id": run_id, "kind": "tracked", "status": status,
            **totals, "final_version": tracker.table.version}
     _write_row(tracker.table, row)

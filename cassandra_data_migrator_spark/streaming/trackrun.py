@@ -33,6 +33,7 @@ the reference, ``schema/CqlTable.java:202-209``).
 from __future__ import annotations
 
 import os
+import sys
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -86,7 +87,9 @@ class BatchRunTracker:
             return set()
         rows = (
             self.run_details()
-            .filter((F.col("run_id") == run_id) & (F.col("status") == "PASS"))
+            # PASS or PASS_UNKNOWN_TOTALS — both mean "committed"
+            .filter((F.col("run_id") == run_id)
+                    & F.col("status").startswith("PASS"))
             .select("grp", "sub", "n_subs").collect())
         subs_seen: dict[tuple[int, int], set[int]] = {}
         for r in rows:
@@ -137,9 +140,25 @@ class BatchRunTracker:
                                      f"part-{file_key}.parquet")
             if self.table.fs.exists(pass_file):
                 return result
-            events_n, buckets_n, version = self._recover_commit(
-                f"{stream}/0")
+            recovered = self._recover_commit(f"{stream}/0")
+            if recovered is None:
+                # fence without a surviving manifest: expire_versions
+                # (vacuum) removed the manifest this fence came from,
+                # so the TRUE totals are gone. Record the completion
+                # with an explicit sentinel instead of silently
+                # under-reporting zeros as a normal PASS.
+                print(f"WARN: run {run_id} group {grp}: commit fence "
+                      "found but its manifest was expired (maintain/"
+                      "expire_versions ran since); recording "
+                      "PASS_UNKNOWN_TOTALS with events=0",
+                      file=sys.stderr)
+                status, events_n, buckets_n, version = \
+                    "PASS_UNKNOWN_TOTALS", 0, 0, None
+            else:
+                status = "PASS"
+                events_n, buckets_n, version = recovered
         else:
+            status = "PASS"
             events_n = int(result.counters.get("events", 0))
             buckets_n = len(result.touched_buckets)
             version = result.version
@@ -147,17 +166,21 @@ class BatchRunTracker:
         _append_parquet(
             self.table.fs, self.details_path,
             [{"run_id": run_id, "grp": grp, "sub": sub,
-              "n_subs": n_subs, "status": "PASS",
+              "n_subs": n_subs, "status": status,
               "events": events_n, "buckets": buckets_n,
               "version": version}],
             self._arrow, file_key=file_key)
         return result
 
-    def _recover_commit(self, epoch_key: str) -> tuple[int, int, int | None]:
+    def _recover_commit(self, epoch_key: str
+                        ) -> tuple[int, int, int | None] | None:
         """True (events, buckets, version) of an already-committed group
         merge, from the manifest whose ``epoch_key`` matches — newest
         first, bounded driver-side JSON reads (the fenced-skip recovery
-        path only)."""
+        path only). Returns ``None`` when no surviving manifest matches:
+        the fence outlives its manifest once ``expire_versions`` has
+        vacuumed old snapshots, and the caller must then record the
+        completion as totals-unknown rather than zeros."""
         import json as _json
 
         fs, path = self.table.fs, self.table.path
@@ -168,7 +191,7 @@ class BatchRunTracker:
                 lineage = m.get("lineage") or []
                 return (int(sum(l.get("events") or 0 for l in lineage)),
                         len(lineage), m.get("version"))
-        return 0, 0, None  # fence without a manifest: unreachable
+        return None
 
     def run(self, events: DataFrame, run_id: str,
             groups: list[int] | None = None, **merge_kw) -> list[MergeResult]:

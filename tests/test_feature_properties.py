@@ -1,0 +1,316 @@
+"""Feature properties wired through the job CLI — full parity with the
+reference regression scenario
+``SIT/regression/02_ColumnRenameWithConstantsAndExplode``: a reference
+``cdm.properties`` (whitespace separators, quoted identifiers, connect
+keys and all) drives rename + explodeMap + constantColumns through
+``migrate`` → ``validate`` → break → autocorrect ``fix`` → clean, ending
+at the exact table state in the scenario's ``expected.out``."""
+
+from __future__ import annotations
+
+import datetime as dt
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from cassandra_data_migrator_spark.jobs import main, parse_properties
+from cassandra_data_migrator_spark.lake import LakeTable
+from cassandra_data_migrator_spark.operators.features import (
+    SURROGATE_KEY_COL,
+    build_featureset,
+    parse_cql_literal,
+    parse_constants,
+    parse_rename_map,
+)
+from cassandra_data_migrator_spark.sources import write_event_log
+
+TS = dt.datetime(2024, 3, 1, tzinfo=dt.timezone.utc)
+_US = "\x1f"
+
+# the scenario's origin rows (setup.cql)
+FRUIT = {
+    "key1": {"apples": 3, "oranges": 5, "bananas": 2, "grapes": 11},
+    "key2": {"apples": 4, "oranges": 6, "bananas": 3, "pears": 7},
+    "key3": {"apples": 5, "oranges": 7, "bananas": 4, "kiwi": 42},
+}
+
+# expected.out: 12 target rows
+EXPECTED = sorted(
+    ("CUSTOMER", 2023, k, fruit, qty)
+    for k, fruits in FRUIT.items() for fruit, qty in fruits.items()
+)
+
+# the scenario's migrate.properties AS-IS (whitespace separators,
+# quoted identifiers, cluster keys that must warn-pass)
+MIGRATE_PROPS = """\
+# reference-style properties file
+spark.cdm.connect.origin.host                     cdm-sit-cass
+spark.cdm.connect.target.host                     cdm-sit-cass
+
+spark.cdm.schema.origin.keyspaceTable             origin."ColumnRenameWithConstantsAndExplode"
+spark.cdm.schema.target.keyspaceTable             target.column_rename_with_constants_and_explode
+spark.cdm.perfops.numParts                        4
+
+spark.cdm.schema.origin.column.names.to.target    "key-name":key_name
+
+spark.cdm.feature.explodeMap.origin.name          "fruit-map"
+spark.cdm.feature.explodeMap.target.name.key      fruit
+spark.cdm.feature.explodeMap.target.name.value    fruit_qty
+
+spark.cdm.feature.constantColumns.names           customer,year
+spark.cdm.feature.constantColumns.values          'CUSTOMER',2023
+"""
+
+FIX_PROPS = MIGRATE_PROPS + """\
+spark.cdm.autocorrect.missing                     true
+spark.cdm.autocorrect.mismatch                    true
+"""
+
+
+# --------------------------------------------------------------- parsing
+
+def test_parse_properties_whitespace_separator(tmpdir_path):
+    pf = os.path.join(tmpdir_path, "m.properties")
+    with open(pf, "w") as f:
+        f.write(MIGRATE_PROPS)
+    props = parse_properties([], pf)
+    assert props["spark.cdm.connect.origin.host"] == "cdm-sit-cass"
+    assert props["spark.cdm.perfops.numParts"] == "4"
+    assert props["spark.cdm.schema.origin.column.names.to.target"] \
+        == '"key-name":key_name'
+    assert props["spark.cdm.feature.constantColumns.values"] \
+        == "'CUSTOMER',2023"
+    # '=' separator still works, including '=' inside the value
+    with open(pf, "w") as f:
+        f.write("spark.cdm.filter.cassandra.whereCondition=lang = 'en'\n")
+    assert parse_properties([], pf) == {
+        "spark.cdm.filter.cassandra.whereCondition": "lang = 'en'"}
+
+
+def test_parse_cql_literals():
+    assert parse_cql_literal("'CUSTOMER'") == ("CUSTOMER", "string")
+    assert parse_cql_literal("'it''s'") == ("it's", "string")
+    assert parse_cql_literal("2023") == (2023, "int")
+    assert parse_cql_literal(str(2**40)) == (2**40, "bigint")
+    assert parse_cql_literal("2.5") == (2.5, "double")
+    assert parse_cql_literal("true") == (True, "boolean")
+    with pytest.raises(ValueError):
+        parse_cql_literal("unquoted")
+
+
+def test_parse_rename_and_constants():
+    assert parse_rename_map('"key-name":key_name, a:b') == {
+        "key-name": "key_name", "a": "b"}
+    assert parse_constants("customer,year", "'CUSTOMER',2023") == {
+        "customer": ("CUSTOMER", "string"), "year": (2023, "int")}
+    with pytest.raises(ValueError, match="split into"):
+        parse_constants("a,b", "'x'")
+
+
+def test_build_featureset_extract_json():
+    fs = build_featureset({
+        "spark.cdm.feature.extractJson.originColumn": "props",
+        "spark.cdm.feature.extractJson.propertyMapping": "age:personAge",
+        "spark.cdm.feature.extractJson.overwrite": "true",
+    })
+    assert fs.extract_json == ("props", "age", "personAge", True, False)
+    assert fs.target_key_col("url") == "url"
+    # explode widens the key to the surrogate
+    fs2 = build_featureset({
+        "spark.cdm.feature.explodeMap.origin.name": '"fruit-map"',
+        "spark.cdm.feature.explodeMap.target.name.key": "fruit",
+        "spark.cdm.feature.explodeMap.target.name.value": "fruit_qty",
+    })
+    assert fs2.target_key_col("key") == SURROGATE_KEY_COL
+
+
+# ------------------------------------------------------ regression/02 SIT
+
+def _origin_log(spark, tmpdir_path):
+    rows = [(k, FRUIT[k], TS, "insert", i + 1)
+            for i, k in enumerate(sorted(FRUIT))]
+    df = spark.createDataFrame(
+        rows, "`key-name` string, `fruit-map` map<string,int>, "
+              "warc_ts timestamp, op string, seq long")
+    path = os.path.join(tmpdir_path, "origin_log")
+    write_event_log(df, path, n_chunks=2)
+    return path
+
+
+def _run(spark, capsys, argv):
+    assert main(argv, spark=spark) == 0
+    return json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+
+
+def _props_file(tmpdir_path, name, content):
+    pf = os.path.join(tmpdir_path, name)
+    with open(pf, "w") as f:
+        f.write(content)
+    return pf
+
+
+def _target_state(spark, table):
+    t = LakeTable(spark, table)
+    return sorted(
+        (r["customer"], r["year"], r["key_name"], r["fruit"],
+         r["fruit_qty"])
+        for r in t.read().collect())
+
+
+def test_regression02_full_cycle(spark, tmpdir_path, capsys):
+    log = _origin_log(spark, tmpdir_path)
+    table = os.path.join(tmpdir_path, "t")
+    mig = _props_file(tmpdir_path, "migrate.properties", MIGRATE_PROPS)
+    fix = _props_file(tmpdir_path, "fix.properties", FIX_PROPS)
+    base = ["--table", table, "--key-col", "key-name",
+            "--properties-file"]
+
+    # migrate: 3 origin rows × 4 map entries → 12 target rows
+    out = _run(spark, capsys, ["migrate", "--log", log,
+                               "--schema", "infer", *base, mig])
+    assert out["mode"] == "batch"
+    assert _target_state(spark, table) == EXPECTED
+    t = LakeTable(spark, table)
+    assert t.key_col == SURROGATE_KEY_COL
+    assert t.n_buckets == 4                 # numParts flowed through
+
+    # validate clean (cdm.validateData.assert: 12 valid)
+    out = _run(spark, capsys, ["validate", "--log", log, *base, mig])
+    assert out == {"job": "validate", "read": 12, "valid": 12,
+                   "mismatch": 0, "missing": 0, "extra_target": 0,
+                   "error": 0}
+
+    # breakData.cql: delete all key2 rows + key3/kiwi, set
+    # key3/oranges qty to 999
+    later = TS + dt.timedelta(seconds=60)
+    breaks = [(f"key2{_US}{f}", later, "delete", 100 + i, None, None,
+               None, None, None)
+              for i, f in enumerate(FRUIT["key2"])]
+    breaks.append((f"key3{_US}kiwi", later, "delete", 110, None, None,
+                   None, None, None))
+    breaks.append((f"key3{_US}oranges", later, "update", 111, "key3",
+                   "oranges", 999, "CUSTOMER", 2023))
+    bdf = spark.createDataFrame(
+        breaks, f"{SURROGATE_KEY_COL} string, warc_ts timestamp, "
+                "op string, seq long, key_name string, fruit string, "
+                "fruit_qty int, customer string, year int")
+    t.merge_batch(bdf)
+    broken = _target_state(spark, table)
+    assert len(broken) == 7 and ("CUSTOMER", 2023, "key3", "oranges",
+                                 999) in broken
+
+    # validate reports the damage (cdm.validateData.assert after break)
+    out = _run(spark, capsys, ["validate", "--log", log, *base, mig])
+    assert out["missing"] == 5 and out["mismatch"] == 1
+
+    # fix.properties: autocorrect (cdm.fixData.assert: 5 missing +
+    # 1 mismatch corrected) → table back at expected.out
+    out = _run(spark, capsys, ["validate", "--log", log, *base, fix])
+    assert out["corrected_missing"] == 5
+    assert out["corrected_mismatch"] == 1
+    assert _target_state(spark, table) == EXPECTED
+
+    out = _run(spark, capsys, ["validate", "--log", log, *base, mig])
+    assert out["valid"] == 12 and out["missing"] == 0
+    assert out["mismatch"] == 0
+
+
+def test_extract_json_via_properties(spark, tmpdir_path, capsys):
+    """ExtractJson end-to-end through the CLI (SIT/features analog:
+    pluck one JSON property into its own target column)."""
+    rows = [(f"u{i}", TS, json.dumps({"age": 20 + i, "city": "x"}),
+             "insert", i) for i in range(6)]
+    df = spark.createDataFrame(
+        rows, "url string, warc_ts timestamp, props string, "
+              "op string, seq long")
+    log = os.path.join(tmpdir_path, "jlog")
+    write_event_log(df, log, n_chunks=2)
+    table = os.path.join(tmpdir_path, "jt")
+    pf = _props_file(tmpdir_path, "j.properties", (
+        "spark.cdm.feature.extractJson.originColumn       props\n"
+        "spark.cdm.feature.extractJson.propertyMapping    age:person_age\n"
+    ))
+    out = _run(spark, capsys, [
+        "migrate", "--log", log, "--table", table, "--schema", "infer",
+        "--properties-file", pf])
+    assert out["events_applied"] == 6
+    got = {r["url"]: r["person_age"]
+           for r in LakeTable(spark, table).read().collect()}
+    assert got == {f"u{i}": str(20 + i) for i in range(6)}
+
+
+def test_streaming_with_features_and_event_schema(spark, tmpdir_path,
+                                                  capsys):
+    """Feature chain through the STREAMING path: explicit
+    --event-schema DDL (file streams can't infer), rename + constants
+    applied per micro-batch."""
+    rows = [(f"k{i}", TS + dt.timedelta(seconds=i), f"v{i}",
+             "insert", i) for i in range(8)]
+    df = spark.createDataFrame(
+        rows, "`key-name` string, warc_ts timestamp, val string, "
+              "op string, seq long")
+    log = os.path.join(tmpdir_path, "slog")
+    write_event_log(df, log, n_chunks=4)
+    table = os.path.join(tmpdir_path, "st")
+    pf = _props_file(tmpdir_path, "s.properties", (
+        'spark.cdm.schema.origin.column.names.to.target  "key-name":key_name\n'
+        "spark.cdm.feature.constantColumns.names         source\n"
+        "spark.cdm.feature.constantColumns.values        'cdm'\n"
+    ))
+    ddl = ("`key-name` string, warc_ts timestamp, val string, "
+           "op string, seq long")
+    out = _run(spark, capsys, [
+        "migrate", "--log", log, "--table", table, "--streaming",
+        "--checkpoint", os.path.join(tmpdir_path, "ckpt"),
+        "--key-col", "key-name", "--schema", "infer",
+        "--event-schema", ddl, "--properties-file", pf])
+    assert out["mode"] == "stream" and out["events_applied"] == 8
+    got = sorted((r["key_name"], r["val"], r["source"])
+                 for r in LakeTable(spark, table).read().collect())
+    assert got == [(f"k{i}", f"v{i}", "cdm") for i in range(8)]
+
+
+def test_migrate_rerun_applies_new_events_by_default(spark, tmpdir_path,
+                                                     capsys):
+    """The batch-migrate re-invocation contract: a second DEFAULT
+    invocation on a grown log applies the new events instead of hitting
+    the first invocation's epoch fence (fresh stream id per run)."""
+    from cassandra_data_migrator_spark.sources import (
+        gen_change_events,
+        read_event_log,
+    )
+    ev = gen_change_events(spark, n_urls=60, n_events=300, seed=5)
+    log = os.path.join(tmpdir_path, "grow_log")
+    write_event_log(ev.filter(F.col("seq") < 150), log, n_chunks=2)
+    table = os.path.join(tmpdir_path, "t")
+
+    out1 = _run(spark, capsys, ["migrate", "--log", log,
+                                "--table", table])
+    assert out1["events_applied"] == 150 and "fenced" not in out1
+
+    # the log grows; a second default invocation must apply the rest
+    write_event_log(ev.filter(F.col("seq") >= 150), log, n_chunks=2,
+                    append=True)
+    out2 = _run(spark, capsys, ["migrate", "--log", log,
+                                "--table", table])
+    assert "fenced" not in out2
+    assert out2["events_applied"] == 300    # full log re-applied (LWW
+                                            # idempotent), new rows in
+
+    # explicit --stream-id opts back into cross-invocation fencing
+    out3 = _run(spark, capsys, ["migrate", "--log", log,
+                                "--table", table, "--stream-id", "fix"])
+    out4 = _run(spark, capsys, ["migrate", "--log", log,
+                                "--table", table, "--stream-id", "fix"])
+    assert "fenced" not in out3 and out4.get("fenced") is True
+
+    # final state equals a one-shot replay of the full log
+    ref_dir = os.path.join(tmpdir_path, "ref")
+    _run(spark, capsys, ["migrate", "--log", log, "--table", ref_dir])
+    a = {r["url"]: (r["warc_ts"], r["text"])
+         for r in LakeTable(spark, table).read().collect()}
+    b = {r["url"]: (r["warc_ts"], r["text"])
+         for r in LakeTable(spark, ref_dir).read().collect()}
+    assert a == b

@@ -137,6 +137,16 @@ def test_validate_autocorrect_flags(spark, tmpdir_path, capsys, job_log):
     # validation never deletes: stale extras (deleted urls) may remain
     assert after["extra_target"] >= 0
 
+    # autocorrect applied the migration's winner-side derivations: every
+    # corrected row's text is the extraction of its html, not null (the
+    # engine invariant text == extract_text(html) survives repair)
+    from cassandra_data_migrator_spark.functions.udfs import extract_text
+    t = LakeTable(spark, table).read()
+    assert t.filter(F.col("text").isNull()).count() == 0
+    assert t.filter(
+        ~F.col("text").eqNullSafe(extract_text(F.col("html")))
+    ).count() == 0
+
 
 def test_guardrail_job_cli(spark, tmpdir_path, capsys, job_log):
     table = os.path.join(tmpdir_path, "t")
@@ -163,8 +173,9 @@ def test_maintain_cli_compact_and_expire(spark, tmpdir_path, capsys,
     _run(spark, capsys, ["migrate", "--log", half, "--table", table])
     rest = os.path.join(tmpdir_path, "m_rest")
     write_event_log(ev.filter(F.col("seq") >= 300), rest, n_chunks=2)
-    _run(spark, capsys, ["migrate", "--log", rest, "--table", table,
-                         "--stream-id", "migrate2"])
+    # no --stream-id needed: each default invocation gets a fresh one
+    out = _run(spark, capsys, ["migrate", "--log", rest, "--table", table])
+    assert out["events_applied"] == 300 and "fenced" not in out
 
     before = {r["url"]: (r["warc_ts"], r["text"], r["lang"])
               for r in LakeTable(spark, table).read().collect()}
