@@ -3,8 +3,17 @@
 
 Prints ONE JSON line:
   {"metric": "headline_total", "value": <sec>, "unit": "sec",
-   "queries": {<name>: <sec>, ...}, "sf": <sf>,
-   "cdc_events_per_sec": <rate>, "cpus": <n>}
+   "queries": {<name>: <sec>, ...}, "runs": {<name>: [sec, ...]},
+   "sf": <sf>, "cdc_events_per_sec": <rate>, "cpus": <n>}
+
+Each query runs ``$SPARK_GRAFT_BENCH_REPS`` times (default 3),
+INTERLEAVED — the whole headline set completes round r before round
+r+1 starts — and the recorded per-query number is the MEDIAN across
+rounds, with every raw run disclosed in ``runs``. On this shared
+sandbox identical runs vary up to 3× with host weather
+(BENCH/BASELINE.md); a single-pass artifact rides that weather, a
+per-query median over interleaved rounds mostly cancels it (the same
+window hits all queries of a round, not one query's only sample).
 
 The headline set exercises every hot path: the engine CDC replay
 (batch + streaming merge with tombstones/lineage), validation diff +
@@ -20,6 +29,7 @@ from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
 
@@ -68,16 +78,18 @@ def main() -> None:
     n_events = spark.read.parquet(
         os.path.join(sf_dir, "events.parquet")).count()
 
-    timings: dict[str, float] = {}
-    replay_sec = None
-    for name in HEADLINE:
-        t0 = time.time()
-        df = qs[name](spark, sf_dir)
-        df.count()  # force full execution without driver-side collect
-        dt = round(time.time() - t0, 3)
-        timings[name] = dt
-        if name == "cdc_replay_final_state":
-            replay_sec = dt
+    reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
+    runs: dict[str, list[float]] = {name: [] for name in HEADLINE}
+    for _ in range(reps):
+        for name in HEADLINE:
+            t0 = time.time()
+            df = qs[name](spark, sf_dir)
+            df.count()  # force full execution, no driver-side collect
+            runs[name].append(round(time.time() - t0, 3))
+
+    timings = {name: round(statistics.median(ts), 3)
+               for name, ts in runs.items()}
+    replay_sec = timings.get("cdc_replay_final_state")
 
     total = round(sum(timings.values()), 3)
     out = {
@@ -85,6 +97,8 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "runs": runs,
+        "repeats": reps,
         "sf": sf,
         "cpus": cpus,
         "n_change_events": n_events,
