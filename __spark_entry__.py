@@ -650,6 +650,49 @@ SELECT event_id, 'k' AS key, json_extract_string(props, '$.k') AS val FROM event
 """
 
 
+def _q_feature_chain(spark, sf_dir):
+    """The job CLI's property-driven feature surface end-to-end: a
+    reference-style property map (KnownProperties.java:112,255-271)
+    compiled by ``operators.features.build_featureset`` into the
+    rename → explodeMap → constantColumns → surrogate-key chain
+    (DataUtility.java:71-140; ExplodeMap.java:181-201;
+    ConstantColumns.java:32-148; PKFactory.java:235-248) — one
+    whole-stage-codegen projection, oracled literal-for-literal."""
+    from cassandra_data_migrator_spark.operators.features import (
+        build_featureset,
+    )
+    feat = build_featureset({
+        "spark.cdm.schema.origin.column.names.to.target":
+            '"event-kind":event_kind',
+        "spark.cdm.feature.explodeMap.origin.name": "m",
+        "spark.cdm.feature.explodeMap.target.name.key": "mk",
+        "spark.cdm.feature.explodeMap.target.name.value": "mv",
+        "spark.cdm.feature.constantColumns.names": "customer,year",
+        "spark.cdm.feature.constantColumns.values": "'CUSTOMER',2023",
+    })
+    ev = _tbl(spark, sf_dir, "events").select(
+        "event_id",
+        F.col("event_type").alias("event-kind"),
+        F.create_map(F.lit("value"), F.col("value"),
+                     F.lit("half"), F.col("value") / 2).alias("m"))
+    out = feat.transform(ev, origin_key="event_id")
+    return out.select("event_id", "event_kind", "mk", "mv", "customer",
+                      "year", F.col("_cdm_pk").alias("cdm_pk"))
+
+
+_FEATURE_CHAIN_ORACLE = """
+SELECT event_id, event_type AS event_kind, mk, mv,
+       'CUSTOMER' AS customer, 2023 AS year,
+       CAST(event_id AS VARCHAR) || chr(31) || mk AS cdm_pk
+FROM (
+  SELECT event_id, event_type,
+         unnest(['value', 'half']) AS mk,
+         unnest([value, value / 2]) AS mv
+  FROM events
+)
+"""
+
+
 def _q_constant_rename_cast(spark, sf_dir):
     """T1 column rename + T2 cast codec + T3 constant columns
     (DataUtility.java:71-140; CqlConversion.java; ConstantColumns.java)."""
@@ -1470,6 +1513,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # transforms (§2.4) + metrics (§2.6)
         "extract_json": _q_extract_json,
         "explode_map": _q_explode_map,
+        "feature_chain": _q_feature_chain,
         "constant_rename_cast": _q_constant_rename_cast,
         "row_writetime": _q_row_writetime,
         "map_null_scrub": _q_map_null_scrub,
@@ -1550,6 +1594,7 @@ SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
 FROM events
 """,
         "explode_map": _EXPLODE_MAP_ORACLE,
+        "feature_chain": _FEATURE_CHAIN_ORACLE,
         "constant_rename_cast": """
 SELECT doc_id AS document_id, 'r1' AS run_id,
        CAST(n_chars AS VARCHAR) AS n_chars_str, lang
