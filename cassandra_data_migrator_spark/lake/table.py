@@ -949,3 +949,36 @@ def _write_manifest(path: str, manifest: dict, expect_new_table: bool = False,
             f"manifest v{manifest['version']} already exists at {path}"
         ) from e
     fs.replace(os.path.join(mdir, "LATEST"), str(manifest["version"]))
+
+
+def merge_with_retry(
+    spark: SparkSession,
+    path: str,
+    source: DataFrame,
+    attempts: int = 3,
+    fs: Any | None = None,
+    **merge_kw: Any,
+) -> MergeResult:
+    """Optimistic-concurrency merge: open the table at its latest
+    version, merge, and on :class:`CommitConflict` reopen and retry.
+
+    This is the documented recipe for the rare multi-writer case (the
+    engine's normal shape is one writer per stream, serialized by the
+    epoch fence): the conditional PUT of the versioned manifest is the
+    conflict detector, the loser's data files are orphans (reclaimed by
+    ``expire_versions``), and re-applying the batch against the
+    winner's state is safe because the LWW merge is idempotent — the
+    same reason the reference can re-run a migration over already-
+    copied ranges (``README.md:117-126``). The epoch fence carries
+    across the retry: if the CONFLICTING commit was this very
+    (stream_id, epoch_id) from a twin job, the reopened merge sees the
+    fence and skips instead of double-applying.
+    """
+    last: CommitConflict | None = None
+    for _ in range(max(1, attempts)):
+        table = LakeTable(spark, path, fs=fs)
+        try:
+            return table.merge_batch(source, **merge_kw)
+        except CommitConflict as e:
+            last = e
+    raise last  # type: ignore[misc]  # attempts >= 1 ⇒ last is set

@@ -190,3 +190,66 @@ def test_streaming_live_tail_soak(spark, tmpdir_path):
     want = {r["url"]: (r["warc_ts"], r["text"])
             for r in ref.read().collect()}
     assert got == want
+
+
+class _RacingFS(ObjectStoreEmulatorFS):
+    """Injects a rival writer's commit exactly between the victim's
+    manifest build and its conditional PUT — the narrowest possible
+    race window, made deterministic."""
+
+    def __init__(self, spark, path):
+        super().__init__()
+        self._spark = spark
+        self._path = path
+        self.rival_batch = None
+        self.raced = False
+
+    def create_exclusive(self, p, data):
+        if (not self.raced and self.rival_batch is not None
+                and "_manifests" in p and "LATEST" not in p):
+            self.raced = True
+            rival = LakeTable(self._spark, self._path,
+                              fs=ObjectStoreEmulatorFS())
+            rival.merge_batch(self.rival_batch, stream_id="rival",
+                              epoch_id=0)
+        return super().create_exclusive(p, data)
+
+
+def test_merge_with_retry_converges_after_lost_race(spark, tmpdir_path):
+    """merge_with_retry: lose the conditional PUT to a rival committed
+    INSIDE the race window, then reopen-and-retry to convergence — the
+    documented optimistic-concurrency recipe as an API."""
+    from cassandra_data_migrator_spark.lake import merge_with_retry
+
+    log = os.path.join(tmpdir_path, "log")
+    ev = gen_change_events(spark, n_urls=60, n_events=300, seed=41)
+    write_event_log(ev, log, n_chunks=2)
+    events = read_event_log(spark, log)
+    first = events.filter(F.col("seq") < 150)
+    second = events.filter(F.col("seq") >= 150)
+
+    path = os.path.join(tmpdir_path, "t")
+    LakeTable.create(spark, path, WEB_SCHEMA, EngineConfig(n_buckets=4),
+                     fs=ObjectStoreEmulatorFS())
+    fs = _RacingFS(spark, path)
+    fs.rival_batch = first
+
+    res = merge_with_retry(spark, path, second, fs=fs,
+                           stream_id="victim", epoch_id=0)
+    assert fs.raced and not res.skipped
+
+    # both writers' batches landed; state == a single-writer full replay
+    ref = LakeTable.create(spark, os.path.join(tmpdir_path, "ref"),
+                           WEB_SCHEMA, EngineConfig(n_buckets=4))
+    ref.merge_batch(events, stream_id="r", epoch_id=0)
+    t = LakeTable(spark, path)
+    got = {r["url"]: (r["warc_ts"], r["html"]) for r in t.read().collect()}
+    want = {r["url"]: (r["warc_ts"], r["html"])
+            for r in ref.read().collect()}
+    assert got == want
+
+    # a twin job replaying the victim's OWN (stream, epoch) is fenced,
+    # not double-applied
+    twin = merge_with_retry(spark, path, second, fs=ObjectStoreEmulatorFS(),
+                            stream_id="victim", epoch_id=0)
+    assert twin.skipped
