@@ -1302,6 +1302,77 @@ FROM p QUALIFY rank <= {k}
 """
 
 
+def _q_cosine_near_dup(spark, sf_dir):
+    """Embedding-cosine NEAR-DUP pairs (the vector-space dedup family
+    member): LSH self-join candidates → exact cosine ≥ 0.9 verify. The
+    synthetic embeddings have no natural near-dups (max pairwise cosine
+    ≈ 0.51), so the query PLANTS them deterministically — a +0.002
+    double-shifted copy of every vec_id < 200, offset into a disjoint
+    id space — and the chain must find exactly those pairs. Plane
+    matrices are md5-seeded, so the DuckDB oracle replays the entire
+    approximate pipeline bit-for-bit."""
+    emb = _tbl(spark, sf_dir, "embeddings")
+    base = emb.select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double"))
+         .alias("embedding"))
+    planted = base.filter(F.col("vec_id") < 200).select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"),
+        F.transform("embedding", lambda x: x + F.lit(0.002))
+         .alias("embedding"))
+    corpus = base.unionByName(planted)
+    return SIM.cosine_near_dup(corpus, threshold=0.9, dim=64,
+                               n_planes=6, n_tables=2)
+
+
+def _near_dup_oracle(threshold: float = 0.9, n_planes: int = 6,
+                     n_tables: int = 2, seed: int = 42,
+                     dim: int = 64) -> str:
+    """DuckDB replay of :func:`_q_cosine_near_dup`: same planted
+    copies, same md5-derived plane literals, same sign-pattern buckets
+    per table, same a<b self-join candidates, same round(cosine, 4)
+    verify."""
+    rows = []
+    for t in range(n_tables):
+        for j, plane in enumerate(SIM._plane_matrix(n_planes, dim,
+                                                    seed + 1000 * t)):
+            vec = "[" + ", ".join(repr(x) for x in plane) + "]"
+            rows.append(f"({t}, {j}, CAST({vec} AS DOUBLE[]))")
+    values = ",\n".join(rows)
+    dot = ("list_sum(list_transform(range(1, len(v)+1), "
+           "i -> v[i] * pv[i]))")
+    return f"""
+WITH pl AS (SELECT * FROM (VALUES {values}) AS t(tbl, j, pv)),
+base AS (SELECT vec_id AS id,
+                list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+         FROM embeddings),
+c AS (SELECT * FROM base
+      UNION ALL
+      SELECT id + 1000000 AS id, list_transform(v, x -> x + 0.002) AS v
+      FROM base WHERE id < 200),
+bits AS (
+  SELECT id, tbl,
+         CAST(sum(CASE WHEN {dot} >= 0
+                       THEN CAST(1 AS BIGINT) << j ELSE 0 END) AS BIGINT)
+           AS bits
+  FROM c, pl GROUP BY id, tbl),
+cand AS (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+  FROM bits a JOIN bits b ON a.tbl = b.tbl AND a.bits = b.bits
+  WHERE a.id < b.id),
+p AS (
+  SELECT id_a, id_b,
+    round(
+      list_sum(list_transform(range(1, len(ca.v)+1),
+               i -> ca.v[i] * cb.v[i]))
+      / (sqrt(list_sum(list_transform(ca.v, x -> x*x)))
+       * sqrt(list_sum(list_transform(cb.v, x -> x*x)))),
+      4) AS cosine
+  FROM cand JOIN c ca ON ca.id = cand.id_a JOIN c cb ON cb.id = cand.id_b)
+SELECT id_a, id_b, cosine FROM p WHERE cosine >= {threshold}
+"""
+
+
 def _q_ivf_ann_topk(spark, sf_dir):
     """IVF ANN (the second scale path next to LSH): deterministic
     hash-sampled centroids → literal-fold cell assignment → nprobe
@@ -1539,6 +1610,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_quality": _q_token_quality,
         "doc_fingerprint": _q_doc_fingerprint,
         "cosine_topk": _q_cosine_topk,
+        "cosine_near_dup": _q_cosine_near_dup,
         "ann_lsh_topk": _q_ann_lsh_topk,
         "ann_scaled_topk": _q_ann_scaled_topk,
         "ivf_ann_topk": _q_ivf_ann_topk,
@@ -1630,6 +1702,7 @@ FROM documents GROUP BY md5(text)
         "token_quality": _TOKEN_QUALITY_ORACLE,
         "doc_fingerprint": _DOC_FINGERPRINT_ORACLE,
         "cosine_topk": _COSINE_TOPK_ORACLE,
+        "cosine_near_dup": _near_dup_oracle(),
         "ann_lsh_topk": _ann_lsh_oracle(),
         # scaled params over the pinned 500-vector slice (sf-stable):
         # same derivation the Spark side runs (ann_params(500) == (4, 4))

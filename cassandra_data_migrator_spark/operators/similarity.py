@@ -391,6 +391,84 @@ def ivf_ann_topk_scaled(
                         round_digits=round_digits)
 
 
+def cosine_near_dup(
+    corpus: DataFrame,
+    threshold: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    *,
+    dim: int,
+    n_planes: int | None = None,
+    n_tables: int = 2,
+    corpus_size: int | None = None,
+    seed: int = 42,
+    round_digits: int | None = 4,
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate PAIRS at corpus scale — the
+    vector-space member of the dedup family (exact hash / MinHash-LSH /
+    SimHash / n-gram Jaccard are its text-space siblings in
+    ``operators.dedup``).
+
+    Candidate generation is a multi-table hyperplane-LSH SELF-join:
+    near-identical vectors agree on almost every sign bit, so a pair
+    with cosine ≥ a high threshold lands in the same bucket of at least
+    one table with high probability, and the join is a per-bucket
+    equi-join — never the O(n²) cross product. Exact cosine then
+    verifies each candidate once (``dropDuplicates`` across tables
+    first). Returns ``(id_a, id_b, cosine)`` with ``id_a < id_b``.
+
+    Sizing mirrors :func:`lsh_ann_topk_scaled`: pass ``n_planes``
+    explicitly or ``corpus_size`` to let :func:`ann_params` hold the
+    expected bucket occupancy constant at any scale. ``max_bucket_size``
+    drops degenerate buckets (e.g. a spam cluster of one repeated
+    embedding) before the quadratic-within-bucket join, same guard
+    rationale as ``dedup.lsh_candidates``.
+    """
+    if n_planes is None:
+        if corpus_size is None:
+            raise ValueError(
+                "pass n_planes explicitly or corpus_size so ann_params "
+                "can size the bucket space (a fixed default would "
+                "degenerate at scale)")
+        n_planes, _ = ann_params(corpus_size)
+    plane_sets = [_plane_matrix(n_planes, dim, seed + 1000 * t)
+                  for t in range(n_tables)]
+    entries = F.array(*[
+        F.struct(F.lit(t).alias("t"),
+                 lsh_bucket_expr(vec_col, plane_sets[t]).alias("b"))
+        for t in range(n_tables)
+    ])
+    tagged = (
+        corpus.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"),
+                      F.explode(entries).alias("tb"))
+        .select("id", "v", F.col("tb.t").alias("t"), F.col("tb.b").alias("b"))
+    )
+    if max_bucket_size is not None:
+        ok = (tagged.groupBy("t", "b").count()
+              .filter(F.col("count") <= max_bucket_size)
+              .select("t", "b"))
+        tagged = tagged.join(F.broadcast(ok), ["t", "b"], "left_semi")
+    left = tagged.select("t", "b", F.col("id").alias("id_a"),
+                         F.col("v").alias("va"))
+    right = tagged.select("t", "b", F.col("id").alias("id_b"),
+                          F.col("v").alias("vb"))
+    pairs = (
+        left.join(right, ["t", "b"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "va", "vb")
+        .dropDuplicates(["id_a", "id_b"])      # verify once across tables
+    )
+    cos = cosine_expr(F.col("va"), F.col("vb"))
+    if round_digits is not None:
+        cos = F.round(cos, round_digits)
+    return (
+        pairs.withColumn("cosine", cos)
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+    )
+
+
 def recall_at_k(approx: DataFrame, exact: DataFrame) -> DataFrame:
     """Per-query recall@k of an approximate top-k against the exact
     baseline: ``(query_id, hits, total, recall)`` with recall =

@@ -241,3 +241,46 @@ def test_ivf_scaled_path(spark):
     avg = sum(r["recall"] for r in rows) / len(rows)
     assert avg >= 0.4, f"scaled-IVF recall collapsed: {avg}"
     emb.unpersist()
+
+
+def test_cosine_near_dup_finds_planted_pairs(spark, emb):
+    """Vector-space dedup: planted +0.002-shifted copies are the ONLY
+    pairs above a high threshold, and the LSH self-join chain finds
+    them without the O(n²) cross product."""
+    base = emb.select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double"))
+         .alias("embedding"))
+    planted = base.filter(F.col("vec_id") < 30).select(
+        (F.col("vec_id") + 10_000).alias("vec_id"),
+        F.transform("embedding", lambda x: x + F.lit(0.002))
+         .alias("embedding"))
+    corpus = base.unionByName(planted)
+    out = S.cosine_near_dup(corpus, threshold=0.9, dim=64,
+                            n_planes=5, n_tables=2).collect()
+    got = {(r["id_a"], r["id_b"]) for r in out}
+    assert got == {(i, i + 10_000) for i in range(30)}
+    assert all(r["cosine"] >= 0.999 for r in out)
+
+
+def test_cosine_near_dup_sizing_and_guard(spark, emb):
+    base = emb.select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double"))
+         .alias("embedding"))
+    # sizing contract: explicit n_planes or corpus_size, never a
+    # silent toy default
+    with pytest.raises(ValueError, match="corpus_size"):
+        S.cosine_near_dup(base, dim=64)
+    assert S.cosine_near_dup(base, dim=64, corpus_size=100_000,
+                             n_tables=1).count() >= 0
+
+    # degenerate corpus: one embedding repeated N times would make a
+    # single quadratic bucket; the guard drops it instead
+    one = base.filter(F.col("vec_id") == 0).select("embedding")
+    clones = (spark.range(200).withColumnRenamed("id", "vec_id")
+              .crossJoin(one))
+    guarded = S.cosine_near_dup(clones, threshold=0.9, dim=64,
+                                n_planes=5, n_tables=1,
+                                max_bucket_size=50)
+    assert guarded.count() == 0              # bucket dropped, no blowup
