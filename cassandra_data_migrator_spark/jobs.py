@@ -292,6 +292,11 @@ def cmd_migrate(args, spark) -> dict[str, Any]:
         # the TARGET is keyed on the feature chain's output key (the
         # renamed key column, or the explode-widened surrogate)
         table_cfg = replace(cfg, key_col=feat.target_key_col(cfg.key_col))
+        if args.schema == _WEB_DDL:
+            # features reshape the target; an untouched default web DDL
+            # cannot be what the user meant (its key column may not
+            # even survive the rename) — infer from the feature chain
+            args.schema = "infer"
     if args.schema == "infer":
         # target schema = the transformed event shape minus the
         # engine's op/seq bookkeeping columns (the reference derives
