@@ -91,6 +91,15 @@ def get_spark(
         # non-interactive runs
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # local-mode heap: the JVM default (1 GB) holds the driver AND
+        # all local[] executors — one fat shuffle ends in
+        # blockDoesNotExist/OOM churn long before the machine is
+        # actually short of memory. Sized for this 128 GiB sandbox,
+        # env-overridable; on a real cluster spark-submit owns driver/
+        # executor sizing and a builder-set driver.memory is ignored
+        # (JVM already launched), so this is local-only in effect.
+        .config("spark.driver.memory",
+                os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
     )
     # Shuffle/spill scratch: in this sandbox every local[] run shares ONE
     # virtio disk, so scratch I/O serializes across task threads and a
