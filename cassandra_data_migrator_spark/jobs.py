@@ -287,6 +287,10 @@ def cmd_migrate(args, spark) -> dict[str, Any]:
     transform = None
     table_cfg = cfg
     schema_override = None
+    if args.counter and args.schema == _WEB_DDL:
+        # the web DDL's html/text columns are not counters — a counter
+        # table's shape must come from the events themselves
+        args.schema = "infer"
     if feat:
         transform = lambda df: feat.transform(df, origin_key=cfg.key_col)  # noqa: E731
         # the TARGET is keyed on the feature chain's output key (the
@@ -334,6 +338,7 @@ def cmd_migrate(args, spark) -> dict[str, Any]:
             event_schema=None if ev_schema == "default" else ev_schema)
         pipe.run_stream(args.log, args.checkpoint,
                         available_now=not args.continuous,
+                        processing_time=args.trigger_interval,
                         ).awaitTermination()
         return {"job": "migrate", "mode": "stream",
                 "stream_id": stream_id, **finalize_stream_run(pipe)}
@@ -341,6 +346,43 @@ def cmd_migrate(args, spark) -> dict[str, Any]:
     events = read_event_log(
         spark, args.log,
         schema=(EVENT_SCHEMA if ev_schema == "default" else ev_schema))
+
+    if args.counter:
+        # counter-table migration (reference S5: UPDATE SET c = c + ?,
+        # TargetUpdateStatement.java:42-144). Increments are NOT
+        # idempotent, so unlike the regular batch mode the stream id
+        # defaults to a STABLE value: a re-invocation must hit the
+        # fence and no-op rather than silently double-add (the same
+        # reason the reference forces batchSize=1 and warns against
+        # counter re-runs, schema/CqlTable.java:202-209).
+        from pyspark.sql import functions as F
+
+        from cassandra_data_migrator_spark.operators.filters import (
+            split_predicates,
+        )
+        if job.get("track_run") or job.get("previous_run_id") \
+                or job.get("auto_rerun"):
+            print("WARN: spark.cdm.trackRun* properties are ignored for "
+                  "counter tables — per-group re-merges would double-"
+                  "apply increments (same caveat as the reference, "
+                  "schema/CqlTable.java:202-209)", file=sys.stderr)
+        out, keep, valid_keys = split_predicates(events, cfg)
+        ev = out.filter(keep & valid_keys)
+        if transform is not None:
+            ev = transform(ev)
+        stream_id = args.stream_id or "migrate-counter"
+        result = table.merge_counter_batch(
+            ev, seq_col=cfg.seq_col, stream_id=stream_id, epoch_id=0)
+        out_json = {"job": "migrate", "mode": "counter",
+                    "stream_id": stream_id,
+                    "events_applied": int((result.counters or {})
+                                          .get("events", 0)),
+                    "buckets": int((result.counters or {})
+                                   .get("buckets", 0))}
+        if result.skipped:
+            out_json["fenced"] = True
+        return out_json
+
     if job.get("track_run") or job.get("previous_run_id") \
             or job.get("auto_rerun"):
         # a NEW tracked run gets a unique id (the reference generates
@@ -551,10 +593,22 @@ def build_parser() -> argparse.ArgumentParser:
     _add_common(m)
     m.add_argument("--log", required=True, help="event-log path")
     m.add_argument("--schema", default=_WEB_DDL,
-                   help="DDL to create the table if absent")
+                   help="DDL to create the table if absent, or 'infer' "
+                        "to derive it from the (feature-transformed) "
+                        "event shape; feature migrations infer by "
+                        "default")
     m.add_argument("--streaming", action="store_true")
+    m.add_argument("--counter", action="store_true",
+                   help="counter-table migration: additive merge "
+                        "(stored = stored + sum(deltas)); stable fence "
+                        "id by default because increments are not "
+                        "idempotent")
     m.add_argument("--continuous", action="store_true",
                    help="keep tailing (default: drain and stop)")
+    m.add_argument("--trigger-interval", default=None,
+                   metavar="'30 seconds'",
+                   help="paced micro-batches for --continuous tails "
+                        "(default: as fast as batches arrive)")
     m.add_argument("--checkpoint", default=None)
     # None → streaming uses the stable "migrate" id (the checkpoint
     # already scopes the fence); batch gets a FRESH id per invocation
@@ -601,6 +655,13 @@ def main(argv: list[str] | None = None,
     args = build_parser().parse_args(argv)
     if args.cmd == "migrate" and args.streaming and not args.checkpoint:
         print("error: --streaming requires --checkpoint", file=sys.stderr)
+        return 2
+    if args.cmd == "migrate" and args.counter and args.streaming:
+        # one epoch-fenced batch is the supported counter path (same
+        # non-idempotence caveat as the reference's batchSize=1 rule)
+        print("error: --counter is a batch mode (use repeated batch "
+              "invocations with distinct --stream-id for incremental "
+              "counter loads)", file=sys.stderr)
         return 2
     spark = spark or _session(args)
     out = args.fn(args, spark)

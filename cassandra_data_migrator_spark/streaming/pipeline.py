@@ -397,11 +397,16 @@ class CdcPipeline:
         checkpoint_dir: str,
         max_files_per_trigger: int | None = None,
         available_now: bool = True,
+        processing_time: str | None = None,
     ) -> StreamingQuery:
         """Tail the event log; exactly-once via checkpoint + epoch fence.
 
         ``available_now=True`` drains everything currently in the log and
-        stops (deterministic for tests/bench); ``False`` keeps tailing.
+        stops (deterministic for tests/bench); ``False`` keeps tailing —
+        as fast as batches arrive by default, or on a fixed cadence with
+        ``processing_time`` (e.g. ``"30 seconds"``; the paced analog of
+        the reference's rate limiter for a long-lived tail, amortizing
+        per-epoch commit overhead when the log grows slowly).
         """
         mft = max_files_per_trigger or self.config.max_files_per_trigger
         stream = read_event_stream(self.spark, log_path, mft,
@@ -414,6 +419,8 @@ class CdcPipeline:
         )
         if available_now:
             writer = writer.trigger(availableNow=True)
+        elif processing_time:
+            writer = writer.trigger(processingTime=processing_time)
         return writer.start()
 
     # --------------------------------------------------------- queries

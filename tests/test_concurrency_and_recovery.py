@@ -142,11 +142,14 @@ def test_fence_outliving_manifest_records_unknown_totals(spark,
     assert totals["events_applied"] == rows[1]["events"] + rows[2]["events"]
 
 
-def test_streaming_live_tail_soak(spark, tmpdir_path):
+@pytest.mark.parametrize("processing_time", [None, "1 seconds"])
+def test_streaming_live_tail_soak(spark, tmpdir_path, processing_time):
     """run_stream(available_now=False): a LIVE micro-batch tail over a
     log that grows WHILE the query runs — events appended after start
     are discovered, applied, and fenced exactly-once; final state
-    equals a one-shot batch replay of the full log."""
+    equals a one-shot batch replay of the full log. Run both unpaced
+    (as-fast-as-batches-arrive) and on a fixed processingTime cadence
+    (the paced long-lived-tail mode)."""
     log = os.path.join(tmpdir_path, "log")
     ev = gen_change_events(spark, n_urls=80, n_events=400, seed=31)
     write_event_log(ev.filter(F.col("seq") < 200), log, n_chunks=2)
@@ -155,7 +158,8 @@ def test_streaming_live_tail_soak(spark, tmpdir_path):
                          WEB_SCHEMA, EngineConfig(n_buckets=8))
     p = CdcPipeline(spark, t, stream_id="tail")
     q = p.run_stream(log, os.path.join(tmpdir_path, "ckpt"),
-                     max_files_per_trigger=1, available_now=False)
+                     max_files_per_trigger=1, available_now=False,
+                     processing_time=processing_time)
     try:
         def applied() -> int:
             rows = (p.counters().agg(F.sum("events_applied").alias("n"))

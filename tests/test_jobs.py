@@ -211,3 +211,50 @@ def test_properties_file_parsing(tmpdir_path):
         ["spark.cdm.perfops.numParts=128"], pf)   # --conf wins over file
     assert props == {"spark.cdm.perfops.numParts": "128",
                      "spark.cdm.filter.java.column.name": "lang"}
+
+
+def test_migrate_counter_cli(spark, tmpdir_path, capsys):
+    """--counter: additive merge through the CLI with a STABLE fence id
+    — a re-invocation must fence (no double-add), and an explicit
+    second stream id applies a second increment batch exactly once."""
+    import datetime as dt
+
+    rows = [(f"u{i % 4}", dt.datetime(2024, 1, 1, 0, 0, i), 10 + i,
+             "update", i) for i in range(12)]
+    df = spark.createDataFrame(
+        rows, "user string, ts timestamp, cents long, op string, seq long")
+    log = os.path.join(tmpdir_path, "clog")
+    write_event_log(df, log, n_chunks=2)
+    table = os.path.join(tmpdir_path, "ct")
+    ddl = "user string, ts timestamp, cents long"
+    base = ["migrate", "--counter", "--log", log, "--table", table,
+            "--key-col", "user", "--ts-col", "ts",
+            "--event-schema", ddl + ", op string, seq long"]
+
+    out = _run(spark, capsys, base)
+    assert out["mode"] == "counter" and out["events_applied"] == 12
+    want = {}
+    for i in range(12):
+        want[f"u{i % 4}"] = want.get(f"u{i % 4}", 0) + 10 + i
+    got = {r["user"]: r["cents"]
+           for r in LakeTable(spark, table).read().collect()}
+    assert got == want
+
+    # default re-invocation fences: counters must NOT double-add
+    out2 = _run(spark, capsys, base)
+    assert out2.get("fenced") is True
+    got2 = {r["user"]: r["cents"]
+            for r in LakeTable(spark, table).read().collect()}
+    assert got2 == want
+
+    # a second DELIBERATE increment load under its own stream id adds
+    out3 = _run(spark, capsys, base + ["--stream-id", "load2"])
+    assert "fenced" not in out3
+    got3 = {r["user"]: r["cents"]
+            for r in LakeTable(spark, table).read().collect()}
+    assert got3 == {k: 2 * v for k, v in want.items()}
+
+    # streaming + counter is rejected up front
+    assert main(base + ["--streaming", "--checkpoint",
+                        os.path.join(tmpdir_path, "ck")],
+                spark=spark) == 2
