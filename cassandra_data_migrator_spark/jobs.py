@@ -292,7 +292,9 @@ def cmd_migrate(args, spark) -> dict[str, Any]:
         # table's shape must come from the events themselves
         args.schema = "infer"
     if feat:
-        transform = lambda df: feat.transform(df, origin_key=cfg.key_col)  # noqa: E731
+        transform = lambda df: feat.transform(  # noqa: E731
+            df, origin_key=cfg.key_col,
+            keep_cols=("op", cfg.seq_col, cfg.ts_col))
         # the TARGET is keyed on the feature chain's output key (the
         # renamed key column, or the explode-widened surrogate)
         table_cfg = replace(cfg, key_col=feat.target_key_col(cfg.key_col))
@@ -495,7 +497,8 @@ def cmd_validate(args, spark) -> dict[str, Any]:
         # the reference runs its featureset on both legs of the compare
         # (DiffJobSession.java:243-330); same here, including the
         # explode-widened key
-        origin = feat.transform(origin, origin_key=cfg.key_col)
+        origin = feat.transform(origin, origin_key=cfg.key_col,
+                                keep_cols=(cfg.ts_col,))
         key_col = feat.target_key_col(cfg.key_col)
     if "lang" in origin.columns:
         # the migrate pipeline normalizes lang on write; the diff must

@@ -157,10 +157,14 @@ class FeatureSet:
 
     # ------------------------------------------------------- transform
 
-    def transform(self, df: DataFrame, origin_key: str | None = None
+    def transform(self, df: DataFrame, origin_key: str | None = None,
+                  keep_cols: tuple[str, ...] = ("op", "seq", "warc_ts"),
                   ) -> DataFrame:
         """Apply the whole chain; pass ``origin_key`` to also add the
-        surrogate key column when exploding."""
+        surrogate key column when exploding. ``keep_cols`` names engine
+        bookkeeping columns (op / seq / event-time) an ``exclusive``
+        extract-json projection must ride along — callers with
+        non-default column names pass their own."""
         out = df
         if self.rename:
             out = TR.rename_columns(
@@ -183,8 +187,7 @@ class FeatureSet:
                 if origin_key is not None:
                     keep.add(self.rename.get(origin_key, origin_key))
                 # engine bookkeeping columns ride along
-                keep |= {c for c in ("op", "seq", "warc_ts")
-                         if c in out.columns}
+                keep |= {c for c in keep_cols if c in out.columns}
                 out = out.select(*[c for c in out.columns if c in keep])
         if self.constants:
             out = TR.constant_columns(out, self.constants)

@@ -314,3 +314,24 @@ def test_migrate_rerun_applies_new_events_by_default(spark, tmpdir_path,
     b = {r["url"]: (r["warc_ts"], r["text"])
          for r in LakeTable(spark, ref_dir).read().collect()}
     assert a == b
+
+
+def test_extract_json_exclusive_projection(spark):
+    """extractJson.exclusive=true: the target receives only the key,
+    the extracted column, and the engine bookkeeping columns
+    (cdm-detailed.properties:447-449) — with keep_cols honoring custom
+    ts/seq names."""
+    fs = build_featureset({
+        "spark.cdm.feature.extractJson.originColumn": "props",
+        "spark.cdm.feature.extractJson.propertyMapping": "age:person_age",
+        "spark.cdm.feature.extractJson.exclusive": "true",
+    })
+    df = spark.createDataFrame(
+        [("k1", TS, '{"age": 7}', "x", "insert", 1)],
+        "k string, event_ts timestamp, props string, other string, "
+        "op string, sq long")
+    out = fs.transform(df, origin_key="k",
+                       keep_cols=("op", "sq", "event_ts"))
+    assert sorted(out.columns) == ["event_ts", "k", "op", "person_age",
+                                   "sq"]
+    assert out.first()["person_age"] == "7"
