@@ -341,13 +341,15 @@ def cmd_migrate(args, spark) -> dict[str, Any]:
         pipe.run_stream(args.log, args.checkpoint,
                         available_now=not args.continuous,
                         processing_time=args.trigger_interval,
+                        log_format=args.log_format,
                         ).awaitTermination()
         return {"job": "migrate", "mode": "stream",
                 "stream_id": stream_id, **finalize_stream_run(pipe)}
 
     events = read_event_log(
         spark, args.log,
-        schema=(EVENT_SCHEMA if ev_schema == "default" else ev_schema))
+        schema=(EVENT_SCHEMA if ev_schema == "default" else ev_schema),
+        fmt=args.log_format)
 
     if args.counter:
         # counter-table migration (reference S5: UPDATE SET c = c + ?,
@@ -484,7 +486,8 @@ def cmd_validate(args, spark) -> dict[str, Any]:
     # autocorrect, re-inserting them).
     ev = read_event_log(
         spark, args.log,
-        schema=(EVENT_SCHEMA if ev_schema == "default" else ev_schema))
+        schema=(EVENT_SCHEMA if ev_schema == "default" else ev_schema),
+        fmt=args.log_format)
     ev, keep, valid_keys = split_predicates(ev, cfg)
     ev = ev.filter(keep & valid_keys)
     w = Window.partitionBy(cfg.key_col).orderBy(
@@ -515,6 +518,13 @@ def cmd_validate(args, spark) -> dict[str, Any]:
                          key_cols=(key_col,), compare_cols=compare)
     totals = DIFF.diff_counters(d)
 
+    if args.report:
+        # persist the non-valid rows (the reference logs each MISSING/
+        # MISMATCH row, DiffJobSession.java:166-180; a parquet report
+        # is the lake-native equivalent a repair pipeline can consume)
+        (d.filter(F.col(DIFF.DIFF_STATUS) != "valid")
+         .write.mode("overwrite").parquet(args.report))
+
     out = {"job": "validate", **totals}
     allowed = []
     if job.get("autocorrect_missing"):
@@ -534,6 +544,34 @@ def cmd_validate(args, spark) -> dict[str, Any]:
             table, origin.select(key_col, *compare), picked,
             key_cols=(key_col,), finalize=fin)
         out.update(corrected)
+    return out
+
+
+def cmd_runs(args, spark) -> dict[str, Any]:
+    """Operational read of the run-state side tables — the engine's
+    ``SELECT * FROM cdm_run_info / cdm_run_details`` equivalent
+    (``TargetUpsertRunDetailsStatement.java:63-84``): run-level rollups,
+    per-group PASS rows, and per-epoch counters as one JSON document a
+    dashboard or assert script can consume."""
+    from cassandra_data_migrator_spark.lake import LakeTable
+    from cassandra_data_migrator_spark.streaming import CdcPipeline, run_info
+    from cassandra_data_migrator_spark.streaming.trackrun import (
+        BatchRunTracker,
+    )
+
+    table = LakeTable(spark, args.table)
+    out: dict[str, Any] = {"job": "runs", "version": table.version}
+    out["run_info"] = [r.asDict() for r in
+                       run_info(spark, table).orderBy("run_id").collect()]
+    tracker = BatchRunTracker(spark, table)
+    out["run_details"] = [
+        r.asDict() for r in
+        tracker.run_details().orderBy("run_id", "grp", "sub").collect()]
+    pipe = CdcPipeline(spark, table)
+    out["epochs"] = [r.asDict() for r in
+                     pipe.counters().orderBy("stream_id", "epoch_id")
+                     .collect()]
+    # timestamps/None are already JSON-safe here (all-long schemas)
     return out
 
 
@@ -584,6 +622,10 @@ def _add_common(p: argparse.ArgumentParser) -> None:
     p.add_argument("--conf", action="append", default=[],
                    metavar="spark.cdm.K=V")
     p.add_argument("--properties-file", default=None)
+    p.add_argument("--log-format", default="parquet",
+                   choices=("parquet", "json"),
+                   help="event-log encoding (json = JSON-lines tail, "
+                        "binary columns as base64)")
     p.add_argument("--master", default="local[*]")
     p.add_argument("--shuffle-partitions", type=int, default=32)
 
@@ -630,7 +672,15 @@ def build_parser() -> argparse.ArgumentParser:
                                         "(ref DiffData)")
     _add_common(v)
     v.add_argument("--log", required=True, help="event-log path (origin)")
+    v.add_argument("--event-schema", default=None, metavar="DDL|infer")
+    v.add_argument("--report", default=None, metavar="PATH",
+                   help="write non-valid diff rows as parquet")
     v.set_defaults(fn=cmd_validate)
+
+    r = sub.add_parser("runs", help="dump run_info / run_details / "
+                                    "per-epoch counters as JSON")
+    _add_common(r)
+    r.set_defaults(fn=cmd_runs)
 
     mt = sub.add_parser("maintain",
                         help="compact fragmented buckets + expire old "

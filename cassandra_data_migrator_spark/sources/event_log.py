@@ -33,7 +33,8 @@ EVENT_SCHEMA = T.StructType([
 
 
 def write_event_log(events: DataFrame, path: str, n_chunks: int = 8,
-                    seq_col: str = "seq", append: bool = False) -> list[str]:
+                    seq_col: str = "seq", append: bool = False,
+                    fmt: str = "parquet") -> list[str]:
     """Write the event log as ``n_chunks`` seq-range files in seq order.
 
     ``append=True`` adds the chunks as NEW segments after whatever the
@@ -41,14 +42,21 @@ def write_event_log(events: DataFrame, path: str, n_chunks: int = 8,
     stream runs): existing files keep their mtimes, the new ones get
     strictly later ones, so the file source discovers them in arrival
     order and a checkpoint-resumed stream processes only the new
-    segments."""
+    segments.
+
+    ``fmt``: ``parquet`` (default) or ``json`` — real CDC tails are
+    often JSON-lines (Debezium/Maxwell-style); Spark maps ``binary``
+    columns to base64 in JSON, round-tripping the html payload intact.
+    """
     before = set(os.listdir(path)) if append and os.path.isdir(path) else set()
     mode = "append" if append else "overwrite"
-    (events.repartitionByRange(n_chunks, F.col(seq_col))
-           .write.mode(mode).parquet(path))
+    writer = (events.repartitionByRange(n_chunks, F.col(seq_col))
+              .write.mode(mode))
+    writer.parquet(path) if fmt == "parquet" else writer.json(path)
+    ext = f".{fmt}"
     files = sorted(
         fn for fn in os.listdir(path)
-        if fn.startswith("part-") and fn.endswith(".parquet")
+        if fn.startswith("part-") and fn.endswith(ext)
         and fn not in before
     )
     # monotone mtimes (file-source discovery order == seq order),
@@ -62,11 +70,15 @@ def write_event_log(events: DataFrame, path: str, n_chunks: int = 8,
 
 
 def read_event_log(spark: SparkSession, path: str,
-                   schema: T.StructType | None = EVENT_SCHEMA) -> DataFrame:
+                   schema: T.StructType | None = EVENT_SCHEMA,
+                   fmt: str = "parquet") -> DataFrame:
     """Batch read of the whole log. ``schema=None`` infers from the
     parquet footers — the path feature-driven migrations take, where the
     origin shape is the scenario's own (e.g. a map column to explode),
-    not the web-event schema."""
+    not the web-event schema. JSON logs require a schema (inference
+    would read every file twice and guess binary columns wrong)."""
+    if fmt == "json":
+        return spark.read.schema(schema or EVENT_SCHEMA).json(path)
     if schema is None:
         return spark.read.parquet(path)
     return spark.read.schema(schema).parquet(path)
@@ -74,9 +86,10 @@ def read_event_log(spark: SparkSession, path: str,
 
 def read_event_stream(spark: SparkSession, path: str,
                       max_files_per_trigger: int = 2,
-                      schema: T.StructType | None = None) -> DataFrame:
-    return (
+                      schema: T.StructType | None = None,
+                      fmt: str = "parquet") -> DataFrame:
+    reader = (
         spark.readStream.schema(schema or EVENT_SCHEMA)
         .option("maxFilesPerTrigger", max_files_per_trigger)
-        .parquet(path)
     )
+    return reader.json(path) if fmt == "json" else reader.parquet(path)

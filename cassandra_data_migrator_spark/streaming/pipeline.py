@@ -398,6 +398,7 @@ class CdcPipeline:
         max_files_per_trigger: int | None = None,
         available_now: bool = True,
         processing_time: str | None = None,
+        log_format: str = "parquet",
     ) -> StreamingQuery:
         """Tail the event log; exactly-once via checkpoint + epoch fence.
 
@@ -410,7 +411,8 @@ class CdcPipeline:
         """
         mft = max_files_per_trigger or self.config.max_files_per_trigger
         stream = read_event_stream(self.spark, log_path, mft,
-                                   schema=self.event_schema)
+                                   schema=self.event_schema,
+                                   fmt=log_format)
         writer = (
             stream.writeStream
             .foreachBatch(lambda df, eid: self.apply_batch(df, eid))

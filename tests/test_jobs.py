@@ -258,3 +258,70 @@ def test_migrate_counter_cli(spark, tmpdir_path, capsys):
     assert main(base + ["--streaming", "--checkpoint",
                         os.path.join(tmpdir_path, "ck")],
                 spark=spark) == 2
+
+
+def test_json_event_log_roundtrip(spark, tmpdir_path, capsys):
+    """JSON-lines event log (Debezium/Maxwell-style tail): binary html
+    round-trips via base64; batch CLI replay over the json log equals
+    the parquet replay; validate reads the same json origin clean."""
+    ev = gen_change_events(spark, n_urls=50, n_events=250, seed=13)
+    jlog = os.path.join(tmpdir_path, "jlog")
+    write_event_log(ev, jlog, n_chunks=3, fmt="json")
+    plog = os.path.join(tmpdir_path, "plog")
+    write_event_log(ev, plog, n_chunks=3)
+
+    jt = os.path.join(tmpdir_path, "jt")
+    out = _run(spark, capsys, ["migrate", "--log", jlog, "--table", jt,
+                               "--log-format", "json"])
+    assert out["events_applied"] == 250
+    pt = os.path.join(tmpdir_path, "pt")
+    _run(spark, capsys, ["migrate", "--log", plog, "--table", pt])
+
+    a = {r["url"]: (r["warc_ts"], r["html"], r["text"])
+         for r in LakeTable(spark, jt).read().collect()}
+    b = {r["url"]: (r["warc_ts"], r["html"], r["text"])
+         for r in LakeTable(spark, pt).read().collect()}
+    assert a == b                     # base64 round-trip byte-identical
+
+    out = _run(spark, capsys, ["validate", "--log", jlog, "--table", jt,
+                               "--log-format", "json"])
+    assert out["mismatch"] == 0 and out["missing"] == 0
+
+    # the streaming tail reads the same json segments
+    st = os.path.join(tmpdir_path, "st")
+    out = _run(spark, capsys, [
+        "migrate", "--log", jlog, "--table", st, "--streaming",
+        "--checkpoint", os.path.join(tmpdir_path, "jck"),
+        "--log-format", "json"])
+    assert out["mode"] == "stream" and out["events_applied"] == 250
+    c = {r["url"]: (r["warc_ts"], r["html"], r["text"])
+         for r in LakeTable(spark, st).read().collect()}
+    assert c == b
+
+
+def test_runs_subcommand_and_validate_report(spark, tmpdir_path, capsys,
+                                             job_log):
+    table = os.path.join(tmpdir_path, "t")
+    _run(spark, capsys, ["migrate", "--log", job_log, "--table", table,
+                         "--conf", "spark.cdm.trackRun=true",
+                         "--conf", "spark.cdm.trackRun.runId=r9"])
+
+    out = _run(spark, capsys, ["runs", "--table", table])
+    assert out["job"] == "runs"
+    assert any(r["run_id"] == "r9" and r["status"] == "ENDED"
+               for r in out["run_info"])
+    assert sum(r["events"] for r in out["run_details"]) == 600
+
+    # break one row, then validate --report persists the bad rows
+    half = os.path.join(tmpdir_path, "rep_half")
+    ev = read_event_log(spark, job_log)
+    write_event_log(ev.filter(F.col("seq") < 300), half, n_chunks=2)
+    t2 = os.path.join(tmpdir_path, "t2")
+    _run(spark, capsys, ["migrate", "--log", half, "--table", t2])
+    report = os.path.join(tmpdir_path, "report")
+    out = _run(spark, capsys, ["validate", "--log", job_log,
+                               "--table", t2, "--report", report])
+    bad = spark.read.parquet(report)
+    assert bad.count() == out["missing"] + out["mismatch"] \
+        + out["extra_target"]
+    assert "diff_status" in bad.columns
