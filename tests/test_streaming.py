@@ -380,3 +380,72 @@ def test_finalize_empty_run_records_zero_totals(spark, tmpdir_path):
     row = run_info(spark, t).collect()[0]
     assert row["status"] == "ENDED" and row["events_applied"] == 0
     assert p.lineage().count() == 0 and p.counters().count() == 0
+
+
+def test_hot_domain_skew_salted_correctness(spark, tmpdir_path):
+    """P2 salting, correctness-tested (was plan-tested only): a log
+    where ONE url carries 60% of all events runs through BOTH eager
+    paths that engage the salted repartition — the per-sink path
+    (custom transform) and the fused probed path — and each converges
+    to the same LWW state as the unsalted lazy path and the plain
+    window oracle. Salting must level the Arrow stage without
+    changing a single winner."""
+    import os
+
+    from pyspark.sql import Window
+    from pyspark.sql import types as T
+
+    from cassandra_data_migrator_spark.config import EngineConfig
+    from cassandra_data_migrator_spark.functions.udfs import (
+        extract_text,
+        normalize_lang,
+    )
+    from cassandra_data_migrator_spark.lake import LakeTable
+    from cassandra_data_migrator_spark.sources import gen_change_events
+    from cassandra_data_migrator_spark.streaming import CdcPipeline
+
+    base = gen_change_events(spark, n_urls=50, n_events=500, seed=77)
+    # hot-domain skew: 60% of events hammer one url
+    ev = base.withColumn(
+        "url", F.when(F.col("seq") % 5 < 3, F.lit("https://hot.example/"))
+                .otherwise(F.col("url")))
+
+    schema = T.StructType.fromDDL(
+        "url string, warc_ts timestamp, html binary, text string, "
+        "lang string")
+    cfg = EngineConfig(n_buckets=8, salt_buckets=4)
+
+    def replay(tag, **pipe_kw):
+        t = LakeTable.create(spark, os.path.join(tmpdir_path, tag),
+                             schema, cfg)
+        CdcPipeline(spark, t, cfg, stream_id=tag, **pipe_kw).run_batch(ev)
+        return {r["url"]: (r["warc_ts"], r["text"], r["lang"])
+                for r in t.read().collect()}
+
+    # eager + probed (fused rollup path, salted at pipeline.py mirror)
+    probed = replay("probed", lazy_extract=False)
+    # eager + custom transform (per-sink path, salted in _prepare)
+    sink = replay("sink", lazy_extract=False, transform=lambda df: df)
+    # lazy winner-side extraction (no salt stage — skew-free by
+    # construction)
+    lazy = replay("lazy", lazy_extract=True)
+    assert probed == sink == lazy
+
+    # plain window-LWW oracle over the same events
+    w = Window.partitionBy("url").orderBy(
+        F.col("warc_ts").desc(), F.col("seq").desc())
+    want = {
+        r["url"]: (r["warc_ts"], r["text"], r["lang"])
+        for r in (
+            ev.withColumn("_rn", F.row_number().over(w))
+            .filter((F.col("_rn") == 1) & (F.col("op") != "delete"))
+            .withColumn("text", extract_text(F.col("html")))
+            .withColumn("lang", normalize_lang(F.col("lang")))
+            .select("url", "warc_ts", "text", "lang").collect())
+    }
+    assert probed == want
+    # the input really was skewed: one key carried ~60% of all events
+    # (its LWW winner may legitimately be a delete — the agreement
+    # asserts above are the correctness claim)
+    hot_n = ev.filter(F.col("url") == "https://hot.example/").count()
+    assert hot_n >= int(0.55 * ev.count())
