@@ -312,7 +312,8 @@ def cmd_migrate(args, spark) -> dict[str, Any]:
             spark, args.log,
             schema=None if ev_schema is None else (
                 ev_schema if isinstance(ev_schema, T.StructType)
-                else EVENT_SCHEMA))
+                else EVENT_SCHEMA),
+            fmt=args.log_format)
         if transform is not None:
             sample = transform(sample)
         drop = {"op", cfg.seq_col}

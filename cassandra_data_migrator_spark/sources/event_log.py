@@ -78,7 +78,12 @@ def read_event_log(spark: SparkSession, path: str,
     not the web-event schema. JSON logs require a schema (inference
     would read every file twice and guess binary columns wrong)."""
     if fmt == "json":
-        return spark.read.schema(schema or EVENT_SCHEMA).json(path)
+        if schema is None:
+            raise ValueError(
+                "JSON event logs need an explicit schema (inference "
+                "would scan every file and mistype base64 binary "
+                "columns as strings) — pass --event-schema DDL")
+        return spark.read.schema(schema).json(path)
     if schema is None:
         return spark.read.parquet(path)
     return spark.read.schema(schema).parquet(path)
