@@ -205,6 +205,44 @@ def _q_lww_latest_state(spark, sf_dir):
     return _lww_state(spark, sf_dir)
 
 
+_TOKEN_LO, _TOKEN_HI = 0, (1 << 47) - 1     # lower half of the hash ring
+
+
+def _q_token_range_slice(spark, sf_dir):
+    """Partial-range processing (reference partition.min/max token
+    bounds, KnownProperties.java:226-227 — the rerun-a-failed-slice
+    workflow): the LWW state over only the keys whose portable 48-bit
+    hash falls inside the configured slice. Scan restriction, not a
+    counted filter; migrate and validate slice identically because the
+    predicate is a pure function of the key."""
+    from cassandra_data_migrator_spark.operators.filters import (
+        token_slice_predicate,
+    )
+    ev = _tbl(spark, sf_dir, "events").filter(
+        token_slice_predicate("user_id", _TOKEN_LO, _TOKEN_HI))
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc())
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            F.col("user_id"),
+            F.col("event_id").alias("last_event_id"),
+            _ts_us("ts").alias("ts_us"),
+            F.col("event_type").alias("last_type"),
+            _cents("value").alias("value_cents"),
+        )
+    )
+
+
+def _token_slice_oracle() -> str:
+    from cassandra_data_migrator_spark.operators.filters import (
+        token_slice_sql,
+    )
+    return _lww_state_sql(
+        where=token_slice_sql("user_id", _TOKEN_LO, _TOKEN_HI))
+
+
 def _q_cdc_replay_final_state(spark, sf_dir):
     """Flagship: batch CDC replay through the real engine — change
     events → LakeTable.merge_batch (bucketed CoW LWW MERGE with
@@ -1560,6 +1598,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # CDC / migrator core (SURVEY §2.1-2.7, §2.9)
         "lww_latest_state": _q_lww_latest_state,
+        "token_range_slice": _q_token_range_slice,
         "cdc_replay_final_state": _q_cdc_replay_final_state,
         "streaming_cdc_replay": _q_streaming_cdc_replay,
         "streaming_checkpoint_resume": _q_streaming_checkpoint_resume,
@@ -1621,6 +1660,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def oracle_sql() -> dict[str, str]:
     return {
         "lww_latest_state": _lww_state_sql(),
+        "token_range_slice": _token_slice_oracle(),
         "cdc_replay_final_state": _FINAL_STATE_ORACLE,
         "streaming_cdc_replay": _FINAL_STATE_ORACLE,
         "streaming_checkpoint_resume": _FINAL_STATE_ORACLE,

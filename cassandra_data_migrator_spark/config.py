@@ -67,6 +67,12 @@ class EngineConfig:
     # coveragePercent): keep ~percent% of keys by portable key-hash —
     # reproducible across engines/runs, unlike rand()-based sampling
     sample_percent: float | None = None
+    # partial-range slice (ref partition.min/max token bounds,
+    # KnownProperties.java:226-227): process only keys whose portable
+    # 48-bit hash lies in [token_min, token_max] — the rerun-a-failed-
+    # slice workflow; a scan restriction, not a counted filter
+    token_min: int | None = None
+    token_max: int | None = None
 
     # --- TTL propagation (ref feature/WritetimeTTL.java:104-177) ---------
     expires_col: str | None = None    # column read() treats as row expiry

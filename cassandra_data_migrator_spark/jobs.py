@@ -83,6 +83,8 @@ _CONFIG_KEYS: dict[str, tuple[str, Any]] = {
     "spark.cdm.filter.java.token.percent": ("sample_percent", float),
     "spark.cdm.filter.cassandra.whereCondition":
         ("origin_filter_condition", str),
+    "spark.cdm.filter.cassandra.partition.min": ("token_min", int),
+    "spark.cdm.filter.cassandra.partition.max": ("token_max", int),
     "spark.cdm.schema.origin.column.skip": ("column_skip_list", _csv),
     "spark.cdm.feature.guardrail.colSizeInKB": ("guardrail_kb", int),
     "spark.cdm.transform.missing.key.ts.replace.value":
@@ -123,8 +125,6 @@ _INAPPLICABLE_PREFIXES = (
                                  # driven; guardrail + the four wired
                                  # features are matched above
     "spark.cdm.transform.",      # (except missing-ts, matched above)
-    "spark.cdm.tokenrange",
-    "spark.cdm.filter.cassandra.partition",
 )
 
 

@@ -44,6 +44,39 @@ def sample_predicate_sql(key_expr: str, percent: float,
     return f"(({h}) % 10000 < {int(round(percent * 100))})"
 
 
+def token_slice_predicate(key_col: str, lo: int | None,
+                          hi: int | None) -> Column:
+    """Partial-range slice: keep keys whose PORTABLE 48-bit hash lies in
+    ``[lo, hi]`` — the analog of the reference's
+    ``spark.cdm.filter.cassandra.partition.min/max`` token bounds
+    (``KnownProperties.java:226-227``; partial/rerun migrations scan
+    only that slice of the ring). The Murmur3 token ring becomes the
+    md5-int48 key-hash space here (0..2^48-1): deterministic, uniform,
+    identical in every engine (DuckDB-replayable), and — like the
+    reference's — a pure function of the key, so migrate and validate
+    slice identically. Out-of-range values clamp (a reference file's
+    ±2^63 full-ring bounds pass everything, as they do there)."""
+    h = md5_int48_expr(F.col(key_col).cast("string"))
+    p = F.lit(True)
+    if lo is not None:
+        p = p & (h >= F.lit(max(0, min(lo, (1 << 48) - 1))))
+    if hi is not None:
+        p = p & (h <= F.lit(max(0, min(hi, (1 << 48) - 1))))
+    return p
+
+
+def token_slice_sql(key_expr: str, lo: int | None, hi: int | None) -> str:
+    """DuckDB rendering of :func:`token_slice_predicate`."""
+    from cassandra_data_migrator_spark.functions.hashing import md5_int48_sql
+    h = md5_int48_sql(f"CAST({key_expr} AS VARCHAR)")
+    parts = []
+    if lo is not None:
+        parts.append(f"({h}) >= {max(0, min(lo, (1 << 48) - 1))}")
+    if hi is not None:
+        parts.append(f"({h}) <= {max(0, min(hi, (1 << 48) - 1))}")
+    return "(" + " AND ".join(parts or ["TRUE"]) + ")"
+
+
 def writetime_window_predicate(
     ts_col: str, lo: datetime | None, hi: datetime | None
 ) -> Column:
@@ -103,6 +136,13 @@ def split_predicates(
     (:func:`split_events`) or tag statuses for a single-pass rollup
     (``CdcPipeline``)."""
     out = df
+    if config.token_min is not None or config.token_max is not None:
+        # partition-range slice is a SCAN restriction, not a row
+        # filter: rows outside the slice are never read in the
+        # reference (no SKIPPED counter), so they are cut before the
+        # counted predicates
+        out = out.filter(token_slice_predicate(
+            config.key_col, config.token_min, config.token_max))
     if config.column_skip_list:
         out = drop_skip_list(out, config.column_skip_list)
     if config.null_ts_default is not None and config.ts_col in out.columns:

@@ -325,3 +325,52 @@ def test_runs_subcommand_and_validate_report(spark, tmpdir_path, capsys,
     assert bad.count() == out["missing"] + out["mismatch"] \
         + out["extra_target"]
     assert "diff_status" in bad.columns
+
+
+def test_partition_range_slice_migrate_validate(spark, tmpdir_path,
+                                                capsys, job_log):
+    """partition.min/max (reference partial-range migration): migrate
+    only the slice, validate WITH the same bounds is clean, and the
+    two complementary slices together equal the full migration."""
+    from cassandra_data_migrator_spark.operators.filters import (
+        token_slice_predicate,
+    )
+
+    mid = (1 << 47) - 1
+    lo_props = ["--conf", "spark.cdm.filter.cassandra.partition.min=0",
+                "--conf",
+                f"spark.cdm.filter.cassandra.partition.max={mid}"]
+    hi_props = ["--conf",
+                f"spark.cdm.filter.cassandra.partition.min={mid + 1}",
+                "--conf",
+                f"spark.cdm.filter.cassandra.partition.max={(1 << 48) - 1}"]
+
+    table = os.path.join(tmpdir_path, "t")
+    out = _run(spark, capsys, ["migrate", "--log", job_log,
+                               "--table", table, *lo_props])
+    assert 0 < out["events_applied"] < 600      # a strict slice
+
+    # every migrated key hashes into the slice
+    t = LakeTable(spark, table)
+    n_lo = t.read().count()
+    assert t.read().filter(
+        ~token_slice_predicate("url", 0, mid)).count() == 0
+
+    # validate with the same bounds: clean (no spurious MISSING for
+    # rows the slice excluded, no extra_target outside the slice)
+    out = _run(spark, capsys, ["validate", "--log", job_log,
+                               "--table", table, *lo_props])
+    assert out["missing"] == 0 and out["mismatch"] == 0
+    assert out["extra_target"] == 0
+
+    # the complementary slice completes the migration
+    out = _run(spark, capsys, ["migrate", "--log", job_log,
+                               "--table", table, *hi_props])
+    assert out["events_applied"] > 0
+    full = os.path.join(tmpdir_path, "full")
+    _run(spark, capsys, ["migrate", "--log", job_log, "--table", full])
+    a = {r["url"]: (r["warc_ts"], r["text"])
+         for r in LakeTable(spark, table).read().collect()}
+    b = {r["url"]: (r["warc_ts"], r["text"])
+         for r in LakeTable(spark, full).read().collect()}
+    assert a == b and len(a) > n_lo
