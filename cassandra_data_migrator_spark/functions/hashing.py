@@ -43,6 +43,24 @@ def row_checksum_expr(*cols: str | Column) -> Column:
     return F.xxhash64(*cs)
 
 
+def hash_safe_cols(schema, cols: "list[str]") -> "list[Column]":
+    """Checksum inputs with map columns canonicalized.
+
+    Spark forbids hashing MAP values (map equality is entry-order-
+    insensitive but hashcodes are not); a map column contributes its
+    key-sorted entry array instead — deterministic, order-canonical,
+    and equal maps hash equal. Non-map columns pass through.
+    """
+    from pyspark.sql import types as T
+    out = []
+    for c in cols:
+        if isinstance(schema[c].dataType, T.MapType):
+            out.append(F.array_sort(F.map_entries(F.col(c))))
+        else:
+            out.append(F.col(c))
+    return out
+
+
 def checksum_agg_expr(*cols: str | Column) -> Column:
     """Order-insensitive aggregate checksum: ``bit_xor(xxhash64(cols))``.
 

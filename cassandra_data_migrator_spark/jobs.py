@@ -100,13 +100,21 @@ _JOB_KEYS: dict[str, tuple[str, Any]] = {
     "spark.cdm.trackRun.rerunMultiplier": ("rerun_multiplier", int),
     "spark.cdm.autocorrect.missing": ("autocorrect_missing", _bool),
     "spark.cdm.autocorrect.mismatch": ("autocorrect_mismatch", _bool),
+    # counter-table safety gate: autocorrect of MISSING rows on a
+    # counter table is refused unless this opts in ("inserting" a
+    # counter is an increment, so a mistaken correction double-counts
+    # — DiffJobSession.java:207-212)
+    "spark.cdm.autocorrect.missing.counter":
+        ("autocorrect_missing_counter", _bool),
 }
 
 # reference keys with NO analog in this engine (Cassandra cluster
 # connectivity / driver tuning) — accepted with a warning so a
-# reference cdm.properties file works unchanged. Feature keys
-# (constantColumns / explodeMap / extractJson / rename map) are NOT
-# here: they wire through operators/features.py.
+# reference cdm.properties file works unchanged. Every feature /
+# transform / writetime-ttl key wires through operators/features.py
+# (FEATURE_PROPERTY_KEYS); anything else under spark.cdm.* that is
+# neither wired nor listed here raises, same contract as the
+# reference's property validation (PropertyHelper.java).
 _INAPPLICABLE_PREFIXES = (
     "spark.cdm.connect.",
     "spark.cdm.perfops.ratelimit",
@@ -117,14 +125,6 @@ _INAPPLICABLE_PREFIXES = (
     "spark.cdm.perfops.printStatsPerPart",
     "spark.cdm.schema.origin.keyspaceTable",
     "spark.cdm.schema.target.keyspaceTable",
-    "spark.cdm.schema.origin.column.writetime",
-    "spark.cdm.schema.origin.column.ttl",
-    "spark.cdm.schema.ttlwritetime.calc",
-    "spark.cdm.feature.",        # remaining feature keys (WritetimeTTL
-                                 # custom names) are Cassandra-metadata
-                                 # driven; guardrail + the four wired
-                                 # features are matched above
-    "spark.cdm.transform.",      # (except missing-ts, matched above)
 )
 
 
@@ -192,8 +192,6 @@ def apply_properties(base: EngineConfig, props: dict[str, str]
             # compiled into one Catalyst transform chain by
             # operators.features.build_featureset
             job.setdefault("features", {})[k] = v
-        elif k == "spark.cdm.transform.missing.key.ts.replace.value":
-            pass  # matched in _CONFIG_KEYS
         elif any(k.startswith(p) for p in _INAPPLICABLE_PREFIXES):
             warnings.append(
                 f"ignoring {k} (configures a Cassandra cluster / driver "
@@ -257,9 +255,12 @@ def _featureset(args, job):
     if getattr(args, "event_schema", None):
         ev_schema = None if args.event_schema == "infer" \
             else T.StructType.fromDDL(args.event_schema)
-    elif feat:
+    elif feat and feat.needs_origin_inference:
         # a feature migration's origin shape is scenario-specific
-        # (map columns to explode, json columns to extract) — infer it
+        # (map columns to explode, json columns to extract, extra
+        # writetime/TTL columns, codec-mismatched types) — infer it;
+        # pure value transforms (custom writetime/TTL) keep the
+        # default web shape
         ev_schema = None
     return feat, ev_schema
 
@@ -294,14 +295,24 @@ def cmd_migrate(args, spark) -> dict[str, Any]:
     if feat:
         transform = lambda df: feat.transform(  # noqa: E731
             df, origin_key=cfg.key_col,
-            keep_cols=("op", cfg.seq_col, cfg.ts_col))
-        # the TARGET is keyed on the feature chain's output key (the
-        # renamed key column, or the explode-widened surrogate)
-        table_cfg = replace(cfg, key_col=feat.target_key_col(cfg.key_col))
-        if args.schema == _WEB_DDL:
-            # features reshape the target; an untouched default web DDL
-            # cannot be what the user meant (its key column may not
-            # even survive the rename) — infer from the feature chain
+            keep_cols=("op", cfg.seq_col, cfg.ts_col),
+            ts_col=cfg.ts_col)
+        if feat.reshapes:
+            # the TARGET is keyed on the feature chain's output key
+            # (the renamed key column, or the explode-widened
+            # surrogate)
+            table_cfg = replace(
+                cfg, key_col=feat.target_key_col(cfg.key_col))
+        if feat.adds_expiry:
+            # TTL properties materialize expires_at; read() filters
+            # expired rows when asked (EngineConfig.expires_col)
+            table_cfg = replace(table_cfg,
+                                expires_col=feat.EXPIRES_COL)
+        if args.schema == _WEB_DDL and feat.needs_origin_inference:
+            # these features reshape the target (or imply a non-web
+            # origin shape); an untouched default web DDL cannot be
+            # what the user meant (its key column may not even survive
+            # the rename) — infer from the feature chain
             args.schema = "infer"
     if args.schema == "infer":
         # target schema = the transformed event shape minus the
@@ -319,7 +330,31 @@ def cmd_migrate(args, spark) -> dict[str, Any]:
         drop = {"op", cfg.seq_col}
         schema_override = T.StructType(
             [f for f in sample.schema.fields if f.name not in drop])
+    if feat and feat.adds_expiry:
+        # explicit-DDL targets grow the expiry column (the infer path
+        # already carries it — the transform added it to the sample)
+        base = schema_override if schema_override is not None \
+            else T.StructType.fromDDL(args.schema)
+        if feat.EXPIRES_COL not in base.names:
+            base = T.StructType(list(base.fields) + [
+                T.StructField(feat.EXPIRES_COL, T.TimestampType(), True)])
+        schema_override = base
     table = _open_or_create(spark, args, table_cfg, schema=schema_override)
+    if feat and feat.adds_expiry \
+            and table.expires_col != feat.EXPIRES_COL:
+        # the table pre-exists without expiry support — refuse loudly
+        # instead of writing TTLs read() will never honor
+        print("error: TTL properties require a table whose expiry "
+              f"column is {feat.EXPIRES_COL!r} (this table has "
+              f"expires_col={table.expires_col!r}); recreate the table "
+              "or drop the TTL properties", file=sys.stderr)
+        raise SystemExit(2)
+    if feat and feat.codecs:
+        # codec reconciliation binds to the (now-known) target schema,
+        # after the reshape chain — the reference's bind-time dispatch
+        inner, tschema = transform, table.schema()
+        transform = lambda df: feat.codec_stage(  # noqa: E731
+            (inner(df) if inner is not None else df), tschema)
 
     if args.streaming:
         if any(k.startswith(("track_run", "previous_run_id", "auto_rerun",
@@ -491,6 +526,18 @@ def cmd_validate(args, spark) -> dict[str, Any]:
         fmt=args.log_format)
     ev, keep, valid_keys = split_predicates(ev, cfg)
     ev = ev.filter(keep & valid_keys)
+    if feat:
+        # the writetime override and type codecs must run BEFORE the
+        # LWW window so validate orders events exactly as the
+        # migration's merge did (the merge transforms pre-merge); both
+        # stages are idempotent, so the full transform below
+        # re-applying them is harmless
+        ev = feat.codec_stage(ev, table.schema())
+        ev = feat.event_time_stage(ev, cfg.ts_col)
+
+    if args.counter:
+        return _validate_counter(spark, args, cfg, job, feat, table, ev)
+
     w = Window.partitionBy(cfg.key_col).orderBy(
         F.col(cfg.ts_col).desc(), F.col(cfg.seq_col).desc())
     origin = (ev.withColumn("_rn", F.row_number().over(w))
@@ -502,7 +549,9 @@ def cmd_validate(args, spark) -> dict[str, Any]:
         # (DiffJobSession.java:243-330); same here, including the
         # explode-widened key
         origin = feat.transform(origin, origin_key=cfg.key_col,
-                                keep_cols=(cfg.ts_col,))
+                                keep_cols=(cfg.ts_col,),
+                                ts_col=cfg.ts_col)
+        origin = feat.codec_stage(origin, table.schema())
         key_col = feat.target_key_col(cfg.key_col)
     if "lang" in origin.columns:
         # the migrate pipeline normalizes lang on write; the diff must
@@ -545,6 +594,80 @@ def cmd_validate(args, spark) -> dict[str, Any]:
             table, origin.select(key_col, *compare), picked,
             key_cols=(key_col,), finalize=fin)
         out.update(corrected)
+    return out
+
+
+def _validate_counter(spark, args, cfg, job, feat, table, ev
+                      ) -> dict[str, Any]:
+    """Counter-table validation: origin truth is the per-key SUM of
+    deltas (a from-scratch replay of ``merge_counter_batch``'s
+    additive semantics), not an LWW window. Corrections are applied as
+    increments of ``origin − target`` — the reference's counter bind
+    (``cql/statement/TargetUpdateStatement.java:42-144``) — and
+    correcting MISSING rows additionally requires the
+    ``spark.cdm.autocorrect.missing.counter`` opt-in
+    (``DiffJobSession.java:207-212``: a counter "insert" is an
+    increment, so a mistaken correction double-counts)."""
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    from cassandra_data_migrator_spark.operators import diff as DIFF
+
+    if feat:
+        ev = feat.transform(ev, origin_key=cfg.key_col,
+                            keep_cols=("op", cfg.seq_col, cfg.ts_col),
+                            ts_col=cfg.ts_col)
+        ev = feat.codec_stage(ev, table.schema())
+    key_col = feat.target_key_col(cfg.key_col) if feat else cfg.key_col
+    counter_cols = [f.name for f in table.schema().fields
+                    if f.name not in (key_col, cfg.ts_col)]
+    origin = (ev.groupBy(F.col(key_col))
+              .agg(*[F.sum(c).alias(c) for c in counter_cols],
+                   F.max(cfg.ts_col).alias(cfg.ts_col)))
+
+    target = table.read()
+    compare = [c for c in target.columns
+               if c in origin.columns and c != key_col]
+    d = DIFF.diff_tables(origin.select(key_col, *compare), target,
+                         key_cols=(key_col,), compare_cols=compare)
+    totals = DIFF.diff_counters(d)
+    if args.report:
+        (d.filter(F.col(DIFF.DIFF_STATUS) != "valid")
+         .write.mode("overwrite").parquet(args.report))
+
+    out = {"job": "validate", "mode": "counter", **totals}
+    allowed = []
+    if job.get("autocorrect_missing"):
+        if job.get("autocorrect_missing_counter"):
+            allowed.append("missing_target")
+        else:
+            print("WARN: autocorrect.missing is set but this is a "
+                  "counter table and autocorrect.missing.counter is "
+                  "not — skipping MISSING corrections "
+                  "(DiffJobSession.java:207-212)", file=sys.stderr)
+    if job.get("autocorrect_mismatch"):
+        allowed.append("mismatch")
+    if allowed:
+        bad_keys = (d.filter(F.col(DIFF.DIFF_STATUS).isin(allowed))
+                    .select(key_col))
+        t = target.select(
+            F.col(key_col),
+            *[F.col(c).alias(f"_t_{c}") for c in counter_cols])
+        deltas = (
+            origin.join(bad_keys, on=key_col, how="inner")
+            .join(t, on=key_col, how="left")
+            .select(
+                F.col(key_col), F.col(cfg.ts_col),
+                *[(F.col(c) - F.coalesce(F.col(f"_t_{c}"), F.lit(0)))
+                  .alias(c) for c in counter_cols],
+                F.lit(0).cast("long").alias("_fix_seq"))
+        )
+        res = table.merge_counter_batch(
+            deltas, counter_cols=counter_cols, seq_col="_fix_seq",
+            stream_id=f"validate-fix-{uuid.uuid4().hex[:12]}",
+            epoch_id=0)
+        out["corrected"] = int((res.counters or {}).get("events", 0))
     return out
 
 
@@ -676,6 +799,12 @@ def build_parser() -> argparse.ArgumentParser:
     v.add_argument("--event-schema", default=None, metavar="DDL|infer")
     v.add_argument("--report", default=None, metavar="PATH",
                    help="write non-valid diff rows as parquet")
+    v.add_argument("--counter", action="store_true",
+                   help="counter-table validation: origin truth is the "
+                        "per-key delta SUM (not an LWW window); "
+                        "corrections are origin−target increments, and "
+                        "MISSING corrections additionally require "
+                        "spark.cdm.autocorrect.missing.counter")
     v.set_defaults(fn=cmd_validate)
 
     r = sub.add_parser("runs", help="dump run_info / run_details / "
@@ -718,7 +847,14 @@ def main(argv: list[str] | None = None,
               "counter loads)", file=sys.stderr)
         return 2
     spark = spark or _session(args)
-    out = args.fn(args, spark)
+    try:
+        out = args.fn(args, spark)
+    except SystemExit as e:
+        # subcommands raise SystemExit(2) for config errors after
+        # argument parsing (e.g. TTL props against a non-TTL table);
+        # return the code so embedding callers (tests, notebooks) get
+        # an rc instead of an escaping exception
+        return int(e.code or 1)
     print(json.dumps(out))
     return 0
 

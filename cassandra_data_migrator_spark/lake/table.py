@@ -55,6 +55,7 @@ from cassandra_data_migrator_spark.config import EngineConfig
 from cassandra_data_migrator_spark.functions.hashing import (
     bucket_expr,
     checksum_agg_expr,
+    hash_safe_cols,
     row_checksum_expr,
 )
 from cassandra_data_migrator_spark.lake.fs import get_fs
@@ -600,7 +601,9 @@ class LakeTable:
         # is computed inline here (codegen'd xxhash64) and persisted as
         # a thin internal column.
         ck = F.when(~F.col(_DELETED),
-                    row_checksum_expr(self.key_col, self.ts_col, *data_cols)) \
+                    row_checksum_expr(*hash_safe_cols(
+                        merged.schema,
+                        [self.key_col, self.ts_col, *data_cols]))) \
              .otherwise(F.lit(0)).cast("long")
         (merged.withColumn(_CK, ck)
                .withColumn(_PB, F.col(_BUCKET))
@@ -792,11 +795,14 @@ class LakeTable:
         """Per-bucket ``(bucket, row_count, checksum)`` over live rows."""
         data_cols = [f["name"] for f in self.current_fields()
                      if f["name"] not in (self.key_col, self.ts_col)]
+        live = self.read(include_internal=True)
         return (
-            self.read(include_internal=True)
+            live
             .groupBy(F.col(_BUCKET).alias("bucket"))
             .agg(F.count("*").alias("row_count"),
-                 checksum_agg_expr(self.key_col, self.ts_col, *data_cols)
+                 checksum_agg_expr(*hash_safe_cols(
+                     live.schema,
+                     [self.key_col, self.ts_col, *data_cols]))
                  .alias("checksum"))
         )
 

@@ -88,8 +88,20 @@ def diff_tables(
     j = o.join(t, on=keys, how="full_outer")
 
     all_compare = compare_cols + list(virtual_cols)
+
+    def _side(c: str, side: str) -> Column:
+        # Spark forbids (in)equality on MAP columns (entry order is
+        # not canonical); compare their key-sorted entry arrays —
+        # equal maps compare equal, like the reference's element-wise
+        # map diff (DataUtility.java:47-57)
+        from pyspark.sql import types as T
+        col = F.col(f"{side}_{c}")
+        if isinstance(j.schema[f"{side}_{c}"].dataType, T.MapType):
+            return F.array_sort(F.map_entries(col))
+        return col
+
     neq = [
-        F.when(~F.col(f"o_{c}").eqNullSafe(F.col(f"t_{c}")), F.lit(c))
+        F.when(~_side(c, "o").eqNullSafe(_side(c, "t")), F.lit(c))
         for c in all_compare
     ]
     mismatch_cols = F.filter(F.array(*neq), lambda x: x.isNotNull()) \

@@ -45,10 +45,29 @@ XJSON_MAPPING = "spark.cdm.feature.extractJson.propertyMapping"
 XJSON_OVERWRITE = "spark.cdm.feature.extractJson.overwrite"
 XJSON_EXCLUSIVE = "spark.cdm.feature.extractJson.exclusive"
 
+# transform.* / WritetimeTTL property family
+# (KnownProperties.java:120-130,195-206)
+MAP_SCRUB = "spark.cdm.transform.map.remove.null.value"
+CUSTOM_WRITETIME = "spark.cdm.transform.custom.writetime"
+CUSTOM_WRITETIME_INC = "spark.cdm.transform.custom.writetime.incrementBy"
+CUSTOM_TTL = "spark.cdm.transform.custom.ttl"
+CODECS = "spark.cdm.transform.codecs"
+CODEC_TS_FORMAT = "spark.cdm.transform.codecs.timestamp.string.format"
+CODEC_TS_ZONE = "spark.cdm.transform.codecs.timestamp.string.zone"
+WRITETIME_NAMES = "spark.cdm.schema.origin.column.writetime.names"
+WRITETIME_AUTO = "spark.cdm.schema.origin.column.writetime.automatic"
+TTL_NAMES = "spark.cdm.schema.origin.column.ttl.names"
+TTL_AUTO = "spark.cdm.schema.origin.column.ttl.automatic"
+USE_COLLECTIONS = "spark.cdm.schema.ttlwritetime.calc.useCollections"
+
 FEATURE_PROPERTY_KEYS = frozenset({
     RENAME_KEY, CONST_NAMES, CONST_VALUES, CONST_REGEX,
     EXPLODE_ORIGIN, EXPLODE_KEY, EXPLODE_VALUE,
     XJSON_ORIGIN, XJSON_MAPPING, XJSON_OVERWRITE, XJSON_EXCLUSIVE,
+    MAP_SCRUB, CUSTOM_WRITETIME, CUSTOM_WRITETIME_INC, CUSTOM_TTL,
+    CODECS, CODEC_TS_FORMAT, CODEC_TS_ZONE,
+    WRITETIME_NAMES, WRITETIME_AUTO, TTL_NAMES, TTL_AUTO,
+    USE_COLLECTIONS,
 })
 
 # surrogate-key separator: ASCII unit separator, cannot appear in the
@@ -141,9 +160,70 @@ class FeatureSet:
     # (origin_col, json_field, target_col, overwrite, exclusive)
     extract_json: tuple[str, str, str, bool, bool] | None = None
 
+    # --- transform.* / WritetimeTTL family (value transforms: none of
+    # these reshape the target schema except the TTL expiry column) ---
+    # drop null-valued map entries before write (T8,
+    # schema/CqlTable.java:348-373)
+    scrub_map_nulls: bool = False
+    # constant writetime in epoch MICROseconds, 0 = off; wins over
+    # writetime_names (feature/WritetimeTTL.java:72-79,231) — the
+    # reference uses it so migrated rows lose LWW to newer live writes
+    custom_writetime: int = 0
+    # µs added to the column-derived writetime (WritetimeTTL.java:245 —
+    # the duplicate-timestamp mitigation); NOT added to custom_writetime
+    writetime_increment: int = 0
+    # constant TTL seconds, 0 = off; wins over ttl_names
+    custom_ttl: int = 0
+    # row writetime = max over these origin columns
+    # (spark.cdm.schema.origin.column.writetime.names)
+    writetime_names: tuple[str, ...] = ()
+    # row TTL = max over these origin columns (seconds)
+    ttl_names: tuple[str, ...] = ()
+    # list-typed writetime/ttl columns contribute their max element
+    # (spark.cdm.schema.ttlwritetime.calc.useCollections)
+    use_collections: bool = False
+    # enabled codec families (spark.cdm.transform.codecs,
+    # cql/codec/Codecset.java) + the TIMESTAMP_STRING_FORMAT parameters
+    codecs: tuple[str, ...] = ()
+    codec_ts_format: str | None = None
+    codec_ts_zone: str = "UTC"
+
+    EXPIRES_COL = "expires_at"
+
     def __bool__(self) -> bool:
         return bool(self.rename or self.constants or self.explode
+                    or self.extract_json or self.scrub_map_nulls
+                    or self.custom_writetime or self.writetime_increment
+                    or self.custom_ttl or self.writetime_names
+                    or self.ttl_names or self.codecs)
+
+    @property
+    def reshapes(self) -> bool:
+        """True when the chain changes the TARGET's shape/keying —
+        these force target-schema inference in the job CLI; the value
+        transforms above keep the origin shape (modulo the expiry
+        column)."""
+        return bool(self.rename or self.constants or self.explode
                     or self.extract_json)
+
+    @property
+    def needs_origin_inference(self) -> bool:
+        """True when the configured features imply the origin event
+        shape is NOT the default web-event schema (renamed/map/json
+        columns, extra writetime/TTL columns, codec-mismatched types)
+        — the job CLI infers the event schema then. Pure value
+        transforms (custom writetime/TTL) read only engine columns and
+        keep the default."""
+        return (self.reshapes or bool(self.writetime_names)
+                or bool(self.ttl_names) or bool(self.codecs)
+                or self.scrub_map_nulls)
+
+    @property
+    def adds_expiry(self) -> bool:
+        """TTL configuration materializes an ``expires_at`` column (the
+        lake analog of Cassandra's server-side cell expiry — see
+        ``transforms.ttl_expiry``)."""
+        return self.custom_ttl > 0 or bool(self.ttl_names)
 
     # ------------------------------------------------------------ keys
 
@@ -155,17 +235,114 @@ class FeatureSet:
             return SURROGATE_KEY_COL
         return self.rename.get(origin_key, origin_key)
 
+    # ------------------------------------------------- value transforms
+
+    def _wt_term(self, df: DataFrame, col: str):
+        """One writetime/ttl source column → scalar term. Long columns
+        are epoch-µs writetimes (→ timestamp); arrays contribute their
+        max element when useCollections is on
+        (``WritetimeTTL.java:247-254``)."""
+        from pyspark.sql import types as T
+        dt = df.schema[col].dataType
+        c = F.col(col)
+        if isinstance(dt, T.ArrayType):
+            if not self.use_collections:
+                raise ValueError(
+                    f"writetime/ttl column {col!r} is a collection; set "
+                    "spark.cdm.schema.ttlwritetime.calc.useCollections "
+                    "(WritetimeTTL.java:247)")
+            c = F.array_max(c)
+            dt = dt.elementType
+        if isinstance(dt, T.LongType):
+            return F.timestamp_micros(c)
+        return c
+
+    def event_time_stage(self, df: DataFrame, ts_col: str) -> DataFrame:
+        """Writetime override — MUST run before any LWW ordering so
+        merge and validate pick the same winners. Idempotent (the
+        source columns it reads are never the one it writes, except the
+        constant case which is constant)."""
+        if self.custom_writetime > 0:
+            # constant wins; increment deliberately NOT added
+            # (WritetimeTTL.java:231,245)
+            return df.withColumn(
+                ts_col, F.timestamp_micros(F.lit(self.custom_writetime)))
+        if self.writetime_names:
+            terms = [self._wt_term(df, c) for c in self.writetime_names]
+            m = F.greatest(*terms) if len(terms) > 1 else terms[0]
+            if self.writetime_increment:
+                m = m + F.expr(
+                    f"INTERVAL {self.writetime_increment} MICROSECOND")
+            return df.withColumn(ts_col, m)
+        return df
+
+    def _ttl_stage(self, df: DataFrame, ts_col: str) -> DataFrame:
+        """Materialize ``expires_at = writetime + TTL`` (the lake
+        analog of ``USING TTL``; read() filters expired rows via
+        ``EngineConfig.expires_col``)."""
+        if not self.adds_expiry:
+            return df
+        if self.custom_ttl > 0:
+            ttl = F.lit(self.custom_ttl)
+        else:
+            from pyspark.sql import types as T
+            terms = []
+            for col in self.ttl_names:
+                dt = df.schema[col].dataType
+                c = F.col(col)
+                if isinstance(dt, T.ArrayType):
+                    if not self.use_collections:
+                        raise ValueError(
+                            f"ttl column {col!r} is a collection; set "
+                            "spark.cdm.schema.ttlwritetime.calc."
+                            "useCollections")
+                    c = F.array_max(c)
+                terms.append(c.cast("long"))
+            ttl = F.greatest(*terms) if len(terms) > 1 else terms[0]
+        return TR.ttl_expiry(df, ts_col, ttl, out=self.EXPIRES_COL)
+
+    def _scrub_stage(self, df: DataFrame) -> DataFrame:
+        """Null-valued map entries dropped from every map column that
+        survives to the target (the exploded origin map is excluded:
+        it is consumed by the fan-out, not bound as a map)."""
+        if not self.scrub_map_nulls:
+            return df
+        from pyspark.sql import types as T
+        skip = {self.explode[0]} if self.explode is not None else set()
+        out = df
+        for f in df.schema.fields:
+            if isinstance(f.dataType, T.MapType) and f.name not in skip:
+                out = TR.map_null_scrub(out, f.name)
+        return out
+
+    def codec_stage(self, df: DataFrame, target_schema) -> DataFrame:
+        """Reconcile event column types to the target's via the enabled
+        codec families — runs AFTER the reshape chain, like the
+        reference's bind-time codec dispatch
+        (``cql/codec/CodecFactory.java:29-64``)."""
+        if not self.codecs:
+            return df
+        return TR.apply_codecs(df, target_schema, self.codecs,
+                               ts_format=self.codec_ts_format,
+                               ts_zone=self.codec_ts_zone)
+
     # ------------------------------------------------------- transform
 
     def transform(self, df: DataFrame, origin_key: str | None = None,
                   keep_cols: tuple[str, ...] = ("op", "seq", "warc_ts"),
-                  ) -> DataFrame:
+                  ts_col: str | None = None) -> DataFrame:
         """Apply the whole chain; pass ``origin_key`` to also add the
-        surrogate key column when exploding. ``keep_cols`` names engine
-        bookkeeping columns (op / seq / event-time) an ``exclusive``
-        extract-json projection must ride along — callers with
-        non-default column names pass their own."""
+        surrogate key column when exploding, ``ts_col`` to enable the
+        writetime/TTL stages (they need the engine's event-time column
+        name). ``keep_cols`` names engine bookkeeping columns (op /
+        seq / event-time) an ``exclusive`` extract-json projection must
+        ride along — callers with non-default column names pass their
+        own."""
         out = df
+        if ts_col is not None:
+            out = self.event_time_stage(out, ts_col)
+            out = self._ttl_stage(out, ts_col)
+        out = self._scrub_stage(out)
         if self.rename:
             out = TR.rename_columns(
                 out, {o: t for o, t in self.rename.items()
@@ -188,6 +365,8 @@ class FeatureSet:
                     keep.add(self.rename.get(origin_key, origin_key))
                 # engine bookkeeping columns ride along
                 keep |= {c for c in keep_cols if c in out.columns}
+                if self.adds_expiry:
+                    keep.add(self.EXPIRES_COL)
                 out = out.select(*[c for c in out.columns if c in keep])
         if self.constants:
             out = TR.constant_columns(out, self.constants)
@@ -237,5 +416,44 @@ def build_featureset(props: Mapping[str, str]) -> FeatureSet:
                         _unquote(target),
                         lit in ("true", "1", "yes"),
                         excl in ("true", "1", "yes"))
+
+    def _b(key: str) -> bool:
+        return props.get(key, "").strip().lower() in ("true", "1", "yes")
+
+    def _i(key: str) -> int:
+        v = props.get(key, "").strip()
+        return int(v) if v else 0
+
+    def _names(key: str) -> tuple[str, ...]:
+        return tuple(_unquote(n) for n in props.get(key, "").split(",")
+                     if n.strip())
+
+    custom_wt = _i(CUSTOM_WRITETIME)
+    if custom_wt < 0:
+        # out-of-range custom writetime disables, same as the reference
+        # (WritetimeTTL.java:362-365)
+        custom_wt = 0
+    codecs = tuple(c.strip().upper() for c in props.get(CODECS, "").split(",")
+                   if c.strip())
+    if "TIMESTAMP_STRING_FORMAT" in codecs \
+            and not props.get(CODEC_TS_FORMAT, "").strip():
+        raise ValueError(
+            "TIMESTAMP_STRING_FORMAT codec requires "
+            f"{CODEC_TS_FORMAT} (TIMESTAMP_StringFormatCodec.java:33)")
+    # .automatic (default true) = derive writetime/TTL from the event's
+    # own time column — this engine's default behavior, so the keys are
+    # accepted as-is; explicit .names below override per-column
     return FeatureSet(rename=rename, constants=constants,
-                      explode=explode, extract_json=extract_json)
+                      explode=explode, extract_json=extract_json,
+                      scrub_map_nulls=_b(MAP_SCRUB),
+                      custom_writetime=custom_wt,
+                      writetime_increment=_i(CUSTOM_WRITETIME_INC),
+                      custom_ttl=max(0, _i(CUSTOM_TTL)),
+                      writetime_names=_names(WRITETIME_NAMES),
+                      ttl_names=_names(TTL_NAMES),
+                      use_collections=_b(USE_COLLECTIONS),
+                      codecs=codecs,
+                      codec_ts_format=props.get(CODEC_TS_FORMAT, "").strip()
+                      or None,
+                      codec_ts_zone=props.get(CODEC_TS_ZONE, "").strip()
+                      or "UTC")

@@ -169,6 +169,73 @@ def map_struct_fields(
     return df.withColumn(out or col, s)
 
 
+def apply_codecs(df: DataFrame, target_schema, codecs: Sequence[str],
+                 ts_format: str | None = None,
+                 ts_zone: str = "UTC") -> DataFrame:
+    """Reconcile mismatched origin→target column types using the
+    enabled codec families — the declarative analog of the reference's
+    codec registry (``spark.cdm.transform.codecs``,
+    ``cql/codec/CodecFactory.java:29-64``, ``Codecset.java``): a codec
+    only engages for a column whose source type ≠ target type AND whose
+    (source, target) pair belongs to an enabled family. Unrecognized
+    mismatches are left for the sink's own cast/error path, matching
+    the reference's "no codec registered" failure mode.
+
+    ``TIMESTAMP_STRING_FORMAT`` uses ``ts_format``/``ts_zone``
+    (``TIMESTAMP_StringFormatCodec.java:33-47``): the string is a local
+    datetime in ``ts_zone``; ``TIMESTAMP_STRING_MILLIS`` strings are
+    epoch milliseconds (``TIMESTAMP_StringMillisCodec.java``).
+    """
+    import pyspark.sql.types as T
+
+    fam = {c.strip().upper() for c in codecs}
+    tmap = {f.name: f.dataType for f in target_schema.fields}
+    # cast-only families: (source type, target type) → required family
+    _num = {
+        (T.IntegerType, T.StringType): "INT_STRING",
+        (T.StringType, T.IntegerType): "INT_STRING",
+        (T.DoubleType, T.StringType): "DOUBLE_STRING",
+        (T.StringType, T.DoubleType): "DOUBLE_STRING",
+        (T.LongType, T.StringType): "BIGINT_STRING",
+        (T.StringType, T.LongType): "BIGINT_STRING",
+        (T.StringType, T.BinaryType): "STRING_BLOB",
+        (T.BinaryType, T.StringType): "STRING_BLOB",
+    }
+    out_cols: dict[str, Column] = {}
+    for f in df.schema.fields:
+        tgt = tmap.get(f.name)
+        if tgt is None or tgt == f.dataType:
+            continue
+        src_t, c = f.dataType, F.col(f.name)
+        if isinstance(tgt, T.TimestampType) and isinstance(src_t,
+                                                           T.StringType):
+            if "TIMESTAMP_STRING_FORMAT" in fam and ts_format:
+                out_cols[f.name] = F.to_utc_timestamp(
+                    F.to_timestamp(c, ts_format), ts_zone)
+            elif "TIMESTAMP_STRING_MILLIS" in fam:
+                out_cols[f.name] = F.timestamp_millis(c.cast("long"))
+        elif isinstance(src_t, T.TimestampType) and isinstance(
+                tgt, T.StringType):
+            if "TIMESTAMP_STRING_FORMAT" in fam and ts_format:
+                out_cols[f.name] = F.date_format(
+                    F.from_utc_timestamp(c, ts_zone), ts_format)
+            elif "TIMESTAMP_STRING_MILLIS" in fam:
+                out_cols[f.name] = F.unix_millis(c).cast("string")
+        elif isinstance(tgt, T.DecimalType) and isinstance(src_t,
+                                                           T.StringType):
+            if "DECIMAL_STRING" in fam:
+                out_cols[f.name] = c.cast(tgt)
+        elif isinstance(src_t, T.DecimalType) and isinstance(
+                tgt, T.StringType):
+            if "DECIMAL_STRING" in fam:
+                out_cols[f.name] = c.cast("string")
+        else:
+            need = _num.get((type(src_t), type(tgt)))
+            if need is not None and need in fam:
+                out_cols[f.name] = c.cast(tgt)
+    return df.withColumns(out_cols) if out_cols else df
+
+
 def map_null_scrub(df: DataFrame, map_col: str) -> DataFrame:
     """Drop map entries whose value is null (T8,
     ``schema/CqlTable.java:348-350,369-373``)."""
