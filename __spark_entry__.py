@@ -243,6 +243,59 @@ def _token_slice_oracle() -> str:
         where=token_slice_sql("user_id", _TOKEN_LO, _TOKEN_HI))
 
 
+_CWT_US = 1_700_000_000_000_000        # constant writetime (epoch µs)
+_CWT_TTL_S = 86_400                    # constant TTL (seconds)
+
+
+def _q_custom_writetime_ttl(spark, sf_dir):
+    """transform.custom.writetime + custom.ttl through the real engine
+    (``feature/WritetimeTTL.java:72-82``): every event is written with
+    ONE constant writetime — so the LWW window ties on ts and the seq
+    tie-breaker alone picks winners — and a constant TTL materializes
+    ``expires_at = writetime + TTL`` (the lake analog of ``USING TTL``,
+    honored by ``read(as_of)``)."""
+    from cassandra_data_migrator_spark.operators.features import (
+        build_featureset,
+    )
+    feat = build_featureset({
+        "spark.cdm.transform.custom.writetime": str(_CWT_US),
+        "spark.cdm.transform.custom.ttl": str(_CWT_TTL_S),
+    })
+    ev = feat.transform(_change_events(spark, sf_dir),
+                        origin_key="user_id", keep_cols=("op", "seq"),
+                        ts_col="ts")
+    # testdata timestamps are NTZ; the constant instant is UTC wall time
+    ev = (ev.withColumn("ts", F.col("ts").cast("timestamp_ntz"))
+          .withColumn(feat.EXPIRES_COL,
+                      F.col(feat.EXPIRES_COL).cast("timestamp_ntz")))
+    schema = T.StructType(list(_STATE_SCHEMA.fields) + [
+        T.StructField(feat.EXPIRES_COL, T.TimestampNTZType(), True)])
+    table = LakeTable.create(
+        spark, _tmpdir("cwt"), schema,
+        EngineConfig(n_buckets=16, key_col="user_id", ts_col="ts",
+                     expires_col=feat.EXPIRES_COL))
+    table.merge_batch(ev, stream_id="q_cwt", epoch_id=0)
+    return table.read().select(
+        F.col("user_id"),
+        _ts_us("ts").alias("ts_us"),
+        F.col("event_type").alias("last_type"),
+        _cents("value").alias("value_cents"),
+        _ts_us(feat.EXPIRES_COL).alias("expires_us"),
+    )
+
+
+_CUSTOM_WRITETIME_ORACLE = f"""
+WITH ranked AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY user_id ORDER BY event_id DESC) AS rn
+  FROM events)
+SELECT user_id, {_CWT_US} AS ts_us, event_type AS last_type,
+       CAST(round(value*100) AS BIGINT) AS value_cents,
+       {_CWT_US + _CWT_TTL_S * 1_000_000} AS expires_us
+FROM ranked WHERE rn = 1 AND event_type <> 'error'
+"""
+
+
 def _q_cdc_replay_final_state(spark, sf_dir):
     """Flagship: batch CDC replay through the real engine — change
     events → LakeTable.merge_batch (bucketed CoW LWW MERGE with
@@ -1599,6 +1652,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # CDC / migrator core (SURVEY §2.1-2.7, §2.9)
         "lww_latest_state": _q_lww_latest_state,
         "token_range_slice": _q_token_range_slice,
+        "custom_writetime_ttl": _q_custom_writetime_ttl,
         "cdc_replay_final_state": _q_cdc_replay_final_state,
         "streaming_cdc_replay": _q_streaming_cdc_replay,
         "streaming_checkpoint_resume": _q_streaming_checkpoint_resume,
@@ -1661,6 +1715,7 @@ def oracle_sql() -> dict[str, str]:
     return {
         "lww_latest_state": _lww_state_sql(),
         "token_range_slice": _token_slice_oracle(),
+        "custom_writetime_ttl": _CUSTOM_WRITETIME_ORACLE,
         "cdc_replay_final_state": _FINAL_STATE_ORACLE,
         "streaming_cdc_replay": _FINAL_STATE_ORACLE,
         "streaming_checkpoint_resume": _FINAL_STATE_ORACLE,
