@@ -133,3 +133,82 @@ def test_constant_column_replace(spark, tmpdir_path):
     )
     assert diff_counters(d) == {"read": 3, "valid": 3, "mismatch": 0,
                                 "missing": 0, "extra_target": 0, "error": 0}
+
+
+def test_sit03_codec_properties_file(spark, tmpdir_path, capsys):
+    """SIT/features/03_codec with the reference's OWN migrate.properties
+    keys verbatim (``SIT/features/03_codec/migrate.properties``): five
+    string origin columns land typed in the target via the enabled
+    codec families — INT/DOUBLE/BIGINT/DECIMAL_STRING and
+    TIMESTAMP_STRING_FORMAT with pattern ``yyMMddHHmmss`` (Spark's
+    two-digit-year base is 2000, matching the reference's
+    ``99…`` → 2099 expectation in ``expected.out``)."""
+    import json
+
+    from cassandra_data_migrator_spark.jobs import main
+    from cassandra_data_migrator_spark.sources import write_event_log
+
+    props = os.path.join(tmpdir_path, "migrate.properties")
+    with open(props, "w") as f:
+        # the reference file's keys AS-IS (whitespace separator incl.);
+        # connect/keyspaceTable keys must warn, not fail
+        f.write("""
+spark.cdm.connect.origin.host                     cdm-sit-cass
+spark.cdm.connect.target.host                     cdm-sit-cass
+spark.cdm.schema.origin.keyspaceTable             origin.codec
+spark.cdm.schema.target.keyspaceTable             target.codec
+spark.cdm.perfops.numParts                        1
+spark.cdm.transform.codecs                          INT_STRING,DOUBLE_STRING,BIGINT_STRING,DECIMAL_STRING,TIMESTAMP_STRING_FORMAT
+spark.cdm.transform.codecs.timestamp.string.format  yyMMddHHmmss
+""")
+
+    table = os.path.join(tmpdir_path, "codec_t")
+    LakeTable.create(
+        spark, table,
+        T.StructType.fromDDL(
+            "key string, warc_ts timestamp, val_int int, "
+            "val_bigint bigint, val_timestamp timestamp, "
+            "val_decimal decimal(10,2), val_double double"),
+        EngineConfig(key_col="key"))
+
+    rows = [("key1", "1234", "9223372036854775807", "040616110000",
+             "3.14", "21474836470.7"),
+            ("key2", "12345", "2147483648", "990616110000",
+             "4.14", "21474836470.7"),
+            ("key3", "123456", "3141592653589793", "990616110000",
+             "5.14", "21474836470.7")]
+    ev = spark.createDataFrame(
+        [(k, dt.datetime(2024, 1, 1), vi, vb, vt, vd, vdb, "update", n)
+         for n, (k, vi, vb, vt, vd, vdb) in enumerate(rows)],
+        "key string, warc_ts timestamp, val_int string, "
+        "val_bigint string, val_timestamp string, val_decimal string, "
+        "val_double string, op string, seq long")
+    log = os.path.join(tmpdir_path, "codec_log")
+    write_event_log(ev, log, n_chunks=1)
+
+    assert main(["migrate", "--log", log, "--table", table,
+                 "--key-col", "key", "--properties-file", props],
+                spark=spark) == 0
+    cap = capsys.readouterr()
+    out = json.loads(cap.out.strip().splitlines()[-1])
+    assert out["events_applied"] == 3
+    # inapplicable connectivity keys warned, none failed
+    assert cap.err.count("ignoring spark.cdm.connect") == 2
+
+    got = {r["key"]: r for r in LakeTable(spark, table).read().collect()}
+    assert got["key1"]["val_int"] == 1234
+    assert got["key1"]["val_bigint"] == 9223372036854775807
+    assert got["key1"]["val_timestamp"] == dt.datetime(2004, 6, 16, 11)
+    assert float(got["key1"]["val_decimal"]) == 3.14
+    assert got["key1"]["val_double"] == 21474836470.7
+    assert got["key2"]["val_timestamp"] == dt.datetime(2099, 6, 16, 11)
+    assert got["key3"]["val_bigint"] == 3141592653589793
+
+    # validate under the same properties file is clean (DiffData leg
+    # applies the identical codec set)
+    assert main(["validate", "--log", log, "--table", table,
+                 "--key-col", "key", "--properties-file", props],
+                spark=spark) == 0
+    out = json.loads(
+        capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["valid"] == 3 and out["mismatch"] == 0
