@@ -212,3 +212,46 @@ spark.cdm.transform.codecs.timestamp.string.format  yyMMddHHmmss
     out = json.loads(
         capsys.readouterr().out.strip().splitlines()[-1])
     assert out["valid"] == 3 and out["mismatch"] == 0
+
+
+def test_sit08_column_subset_target(spark, tmpdir_path, capsys):
+    """SIT/features/08_map_columns_origin_target: the target is a
+    COLUMN-SUBSET of the origin with a NARROWER key — origin
+    ``(key_a, key_b) → val_a, val_b`` lands in target
+    ``key_a → val_a, val_c`` with the extra origin columns dropped,
+    the target-only column null, and LWW collapsing the composite-key
+    rows per ``key_a`` (the reference's expected.out shape)."""
+    import json
+
+    from cassandra_data_migrator_spark.jobs import main
+    from cassandra_data_migrator_spark.sources import write_event_log
+
+    ev = spark.createDataFrame(
+        [(1, "key1", "valueA", 21, dt.datetime(2024, 1, 1), "update", 1),
+         (2, "key2", "valueB", 22, dt.datetime(2024, 1, 1), "update", 2),
+         (3, "key3", "valueC", 23, dt.datetime(2024, 1, 1), "update", 3)],
+        "key_a int, key_b string, val_a string, val_b int, "
+        "warc_ts timestamp, op string, seq long")
+    log = os.path.join(tmpdir_path, "log08")
+    write_event_log(ev, log, n_chunks=1)
+    table = os.path.join(tmpdir_path, "t08")
+
+    assert main(
+        ["migrate", "--log", log, "--table", table, "--key-col", "key_a",
+         "--schema", "key_a int, warc_ts timestamp, val_a string, "
+                     "val_c int",
+         "--event-schema", "infer"], spark=spark) == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["events_applied"] == 3
+
+    got = {r["key_a"]: (r["val_a"], r["val_c"])
+           for r in LakeTable(spark, table).read().collect()}
+    assert got == {1: ("valueA", None), 2: ("valueB", None),
+                   3: ("valueC", None)}
+
+    assert main(["validate", "--log", log, "--table", table,
+                 "--key-col", "key_a", "--event-schema", "infer"],
+                spark=spark) == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["valid"] == 3 and out["mismatch"] == 0
+    assert out["missing"] == 0 and out["extra_target"] == 0
