@@ -261,3 +261,48 @@ def test_ttl_on_existing_table_without_expiry_rejected(
                  "--conf", "spark.cdm.transform.custom.ttl=60"],
                 spark=spark) == 2
     assert "expires_at" in capsys.readouterr().err
+
+
+def test_smoke03_ttl_writetime_names(spark, tmpdir_path, capsys):
+    """SIT/smoke/03_ttl_writetime with the reference's own numbers:
+    row writetime = max over the ``writetime.names`` columns
+    (tw_col2, w_col3) and row TTL = max over the ``ttl.names`` columns
+    (t_col1, tw_col2) — record1 expects writetime 1087383720000000
+    ("from C") and TTL 60000 ("from A"), record2 the same writetime
+    "from B" (``SIT/smoke/03_ttl_writetime/setup.cql``; engine
+    expiry = writetime + TTL, materialized as expires_at)."""
+    US = 1_087_383_600_000_000
+    rows = [
+        # key, values…, wt(tw_col2), wt(w_col3), ttl(t_col1), ttl(tw_col2)
+        ("record1", "AAAA", "BBBB", "CCCC", "DDDD",
+         US + 60_000_000, US + 120_000_000, 60000, 5000),
+        ("record2", "AAAA", "BBBB", "CCCC", "DDDD",
+         US + 120_000_000, US + 60_000_000, 5000, 60000),
+        ("record3", "AAAA", "BBBB", "CCCC", "DDDD",
+         US + 60_000_000, US + 120_000_000, 5000, 60000),
+    ]
+    ev = spark.createDataFrame(
+        [r + ("update", i) for i, r in enumerate(rows)],
+        "key string, t_col1 string, tw_col2 string, w_col3 string, "
+        "col4 string, wt_tw_col2 long, wt_w_col3 long, "
+        "ttl_t_col1 long, ttl_tw_col2 long, op string, seq long")
+    log = os.path.join(tmpdir_path, "twlog")
+    write_event_log(ev, log, n_chunks=1)
+    table = os.path.join(tmpdir_path, "twt")
+    conf = ["--key-col", "key",
+            "--conf", "spark.cdm.schema.origin.column.writetime.names="
+                      "wt_tw_col2,wt_w_col3",
+            "--conf", "spark.cdm.schema.origin.column.ttl.names="
+                      "ttl_t_col1,ttl_tw_col2"]
+    _run(spark, capsys, ["migrate", "--log", log, "--table", table] + conf)
+
+    want_wt = dt.datetime(2004, 6, 16, 11, 2, 0)    # 1087383720000000 µs
+    got = {r["key"]: (r["warc_ts"], r["expires_at"])
+           for r in LakeTable(spark, table).read().collect()}
+    for k in ("record1", "record2", "record3"):
+        assert got[k][0] == want_wt
+        assert got[k][1] == want_wt + dt.timedelta(seconds=60000)
+
+    out = _run(spark, capsys,
+               ["validate", "--log", log, "--table", table] + conf)
+    assert out["valid"] == 3 and out["mismatch"] == 0
