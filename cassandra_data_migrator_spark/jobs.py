@@ -265,6 +265,57 @@ def _featureset(args, job):
     return feat, ev_schema
 
 
+def _explode_delete_fanout(feat, table, cfg):
+    """Delete fan-out for exploded tables.
+
+    A CDC delete addresses the ORIGIN key; the exploded target is keyed
+    per (key, map-entry) surrogate, so the tombstone must cover every
+    surrogate the key currently owns — the ones live in the target
+    plus the ones this very batch is introducing (an insert+delete of
+    the same key inside one epoch must still converge to deleted). The
+    feature chain hands each delete through as one placeholder row
+    (null explode key, ``operators/features.py``); this stage replaces
+    it with per-surrogate tombstones via a broadcast semi-join of the
+    deleted keys against the live table — bucket-pruned on the read
+    side, with the delete's own (ts, seq) so LWW still orders late
+    updates against the tombstone per surrogate.
+
+    Residual semantics (documented, per-entry LWW): an update whose map
+    no longer contains an entry does NOT delete that entry's surrogate
+    row — entries evolve independently; only an explicit delete op
+    clears the key. A brand-new surrogate arriving AFTER the delete
+    with an older timestamp is not blocked (no tombstone exists for a
+    surrogate that never lived)."""
+    from pyspark.sql import functions as F
+
+    from cassandra_data_migrator_spark.operators.features import (
+        SURROGATE_KEY_COL,
+    )
+
+    key = feat.rename.get(cfg.key_col, cfg.key_col)
+    mk = feat.explode[1]
+
+    def stage(df):
+        if "op" not in df.columns:
+            return df
+        is_placeholder = (F.col("op") == "delete") & F.col(mk).isNull()
+        dels = df.filter(is_placeholder)
+        rest = df.filter(~is_placeholder)
+        del_keys = dels.select(key).distinct()
+        live = (table.read()
+                .select(F.col(key), F.col(SURROGATE_KEY_COL))
+                .join(F.broadcast(del_keys), key, "left_semi"))
+        batch_surr = (rest.select(F.col(key), F.col(SURROGATE_KEY_COL))
+                      .join(F.broadcast(del_keys), key, "left_semi"))
+        targets = live.unionByName(batch_surr).distinct()
+        fanned = (dels.select(key, cfg.ts_col, "op", cfg.seq_col)
+                  .drop(SURROGATE_KEY_COL)
+                  .join(targets, on=key, how="inner"))
+        return rest.unionByName(fanned, allowMissingColumns=True)
+
+    return stage
+
+
 def cmd_migrate(args, spark) -> dict[str, Any]:
     from pyspark.sql import types as T
 
@@ -292,6 +343,16 @@ def cmd_migrate(args, spark) -> dict[str, Any]:
         # the web DDL's html/text columns are not counters — a counter
         # table's shape must come from the events themselves
         args.schema = "infer"
+        if ev_schema == "default":
+            # ... and so must the EVENT shape: reading counter events
+            # with the web EVENT_SCHEMA would misread every column
+            ev_schema = None
+    if ev_schema is None and args.log_format == "json":
+        # schema inference would mistype base64 binary columns; fail
+        # cleanly up front instead of a raw ValueError mid-read
+        print("error: --log-format json cannot infer the event schema "
+              "— pass an explicit --event-schema DDL", file=sys.stderr)
+        raise SystemExit(2)
     if feat:
         transform = lambda df: feat.transform(  # noqa: E731
             df, origin_key=cfg.key_col,
@@ -355,6 +416,14 @@ def cmd_migrate(args, spark) -> dict[str, Any]:
         inner, tschema = transform, table.schema()
         transform = lambda df: feat.codec_stage(  # noqa: E731
             (inner(df) if inner is not None else df), tschema)
+    if feat and feat.explode is not None:
+        # delete fan-out: the feature chain keeps CDC deletes as one
+        # placeholder row each (null explode key); expand them here —
+        # where the live table is known — into per-surrogate tombstones
+        inner2 = transform
+        fan = _explode_delete_fanout(feat, table, cfg)
+        transform = lambda df: fan(  # noqa: E731
+            inner2(df) if inner2 is not None else df)
 
     if args.streaming:
         if any(k.startswith(("track_run", "previous_run_id", "auto_rerun",
@@ -509,6 +578,14 @@ def cmd_validate(args, spark) -> dict[str, Any]:
     for w in warnings:
         print(f"WARN: {w}", file=sys.stderr)
     feat, ev_schema = _featureset(args, job)
+    if args.counter and ev_schema == "default" \
+            and not getattr(args, "event_schema", None):
+        # counter events are not web events — infer, same as migrate
+        ev_schema = None
+    if ev_schema is None and args.log_format == "json":
+        print("error: --log-format json cannot infer the event schema "
+              "— pass an explicit --event-schema DDL", file=sys.stderr)
+        raise SystemExit(2)
     from cassandra_data_migrator_spark.lake import LakeTable
     table = LakeTable(spark, args.table)
 
@@ -564,36 +641,44 @@ def cmd_validate(args, spark) -> dict[str, Any]:
     target = table.read()
     compare = [c for c in target.columns
                if c in origin.columns and c != key_col]
+    # the diff is consumed up to three times (counters, --report,
+    # autocorrect pick) — cache it so the origin LWW window + full-
+    # outer join run once, not per consumer
     d = DIFF.diff_tables(origin.select(key_col, *compare), target,
-                         key_cols=(key_col,), compare_cols=compare)
-    totals = DIFF.diff_counters(d)
+                         key_cols=(key_col,), compare_cols=compare
+                         ).persist()
+    try:
+        totals = DIFF.diff_counters(d)
 
-    if args.report:
-        # persist the non-valid rows (the reference logs each MISSING/
-        # MISMATCH row, DiffJobSession.java:166-180; a parquet report
-        # is the lake-native equivalent a repair pipeline can consume)
-        (d.filter(F.col(DIFF.DIFF_STATUS) != "valid")
-         .write.mode("overwrite").parquet(args.report))
+        if args.report:
+            # persist the non-valid rows (the reference logs each
+            # MISSING/MISMATCH row, DiffJobSession.java:166-180; a
+            # parquet report is the lake-native equivalent a repair
+            # pipeline can consume)
+            (d.filter(F.col(DIFF.DIFF_STATUS) != "valid")
+             .write.mode("overwrite").parquet(args.report))
 
-    out = {"job": "validate", **totals}
-    allowed = []
-    if job.get("autocorrect_missing"):
-        allowed.append("missing_target")
-    if job.get("autocorrect_mismatch"):
-        allowed.append("mismatch")
-    if allowed:
-        from cassandra_data_migrator_spark.streaming import CdcPipeline
-        picked = d.filter(F.col(DIFF.DIFF_STATUS).isin(allowed))
-        # corrected rows take the SAME winner-side derivations the
-        # migration applied (text extraction, lang normalization) —
-        # without the finalize, a force_overwrite re-upsert of origin
-        # rows (which carry no text column) would null out the
-        # extracted text the migration wrote
-        fin = CdcPipeline(spark, table, cfg)._finalize
-        _, corrected = DIFF.autocorrect(
-            table, origin.select(key_col, *compare), picked,
-            key_cols=(key_col,), finalize=fin)
-        out.update(corrected)
+        out = {"job": "validate", **totals}
+        allowed = []
+        if job.get("autocorrect_missing"):
+            allowed.append("missing_target")
+        if job.get("autocorrect_mismatch"):
+            allowed.append("mismatch")
+        if allowed:
+            from cassandra_data_migrator_spark.streaming import CdcPipeline
+            picked = d.filter(F.col(DIFF.DIFF_STATUS).isin(allowed))
+            # corrected rows take the SAME winner-side derivations the
+            # migration applied (text extraction, lang normalization) —
+            # without the finalize, a force_overwrite re-upsert of
+            # origin rows (which carry no text column) would null out
+            # the extracted text the migration wrote
+            fin = CdcPipeline(spark, table, cfg)._finalize
+            _, corrected = DIFF.autocorrect(
+                table, origin.select(key_col, *compare), picked,
+                key_cols=(key_col,), finalize=fin)
+            out.update(corrected)
+    finally:
+        d.unpersist()
     return out
 
 
@@ -630,44 +715,48 @@ def _validate_counter(spark, args, cfg, job, feat, table, ev
     compare = [c for c in target.columns
                if c in origin.columns and c != key_col]
     d = DIFF.diff_tables(origin.select(key_col, *compare), target,
-                         key_cols=(key_col,), compare_cols=compare)
-    totals = DIFF.diff_counters(d)
-    if args.report:
-        (d.filter(F.col(DIFF.DIFF_STATUS) != "valid")
-         .write.mode("overwrite").parquet(args.report))
+                         key_cols=(key_col,), compare_cols=compare
+                         ).persist()
+    try:
+        totals = DIFF.diff_counters(d)
+        if args.report:
+            (d.filter(F.col(DIFF.DIFF_STATUS) != "valid")
+             .write.mode("overwrite").parquet(args.report))
 
-    out = {"job": "validate", "mode": "counter", **totals}
-    allowed = []
-    if job.get("autocorrect_missing"):
-        if job.get("autocorrect_missing_counter"):
-            allowed.append("missing_target")
-        else:
-            print("WARN: autocorrect.missing is set but this is a "
-                  "counter table and autocorrect.missing.counter is "
-                  "not — skipping MISSING corrections "
-                  "(DiffJobSession.java:207-212)", file=sys.stderr)
-    if job.get("autocorrect_mismatch"):
-        allowed.append("mismatch")
-    if allowed:
-        bad_keys = (d.filter(F.col(DIFF.DIFF_STATUS).isin(allowed))
-                    .select(key_col))
-        t = target.select(
-            F.col(key_col),
-            *[F.col(c).alias(f"_t_{c}") for c in counter_cols])
-        deltas = (
-            origin.join(bad_keys, on=key_col, how="inner")
-            .join(t, on=key_col, how="left")
-            .select(
-                F.col(key_col), F.col(cfg.ts_col),
-                *[(F.col(c) - F.coalesce(F.col(f"_t_{c}"), F.lit(0)))
-                  .alias(c) for c in counter_cols],
-                F.lit(0).cast("long").alias("_fix_seq"))
-        )
-        res = table.merge_counter_batch(
-            deltas, counter_cols=counter_cols, seq_col="_fix_seq",
-            stream_id=f"validate-fix-{uuid.uuid4().hex[:12]}",
-            epoch_id=0)
-        out["corrected"] = int((res.counters or {}).get("events", 0))
+        out = {"job": "validate", "mode": "counter", **totals}
+        allowed = []
+        if job.get("autocorrect_missing"):
+            if job.get("autocorrect_missing_counter"):
+                allowed.append("missing_target")
+            else:
+                print("WARN: autocorrect.missing is set but this is a "
+                      "counter table and autocorrect.missing.counter is "
+                      "not — skipping MISSING corrections "
+                      "(DiffJobSession.java:207-212)", file=sys.stderr)
+        if job.get("autocorrect_mismatch"):
+            allowed.append("mismatch")
+        if allowed:
+            bad_keys = (d.filter(F.col(DIFF.DIFF_STATUS).isin(allowed))
+                        .select(key_col))
+            t = target.select(
+                F.col(key_col),
+                *[F.col(c).alias(f"_t_{c}") for c in counter_cols])
+            deltas = (
+                origin.join(bad_keys, on=key_col, how="inner")
+                .join(t, on=key_col, how="left")
+                .select(
+                    F.col(key_col), F.col(cfg.ts_col),
+                    *[(F.col(c) - F.coalesce(F.col(f"_t_{c}"), F.lit(0)))
+                      .alias(c) for c in counter_cols],
+                    F.lit(0).cast("long").alias("_fix_seq"))
+            )
+            res = table.merge_counter_batch(
+                deltas, counter_cols=counter_cols, seq_col="_fix_seq",
+                stream_id=f"validate-fix-{uuid.uuid4().hex[:12]}",
+                epoch_id=0)
+            out["corrected"] = int((res.counters or {}).get("events", 0))
+    finally:
+        d.unpersist()
     return out
 
 

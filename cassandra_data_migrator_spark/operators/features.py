@@ -257,23 +257,33 @@ class FeatureSet:
             return F.timestamp_micros(c)
         return c
 
+    # marker column making event_time_stage idempotent: validate runs
+    # the stage BEFORE its LWW window and the full transform re-runs it
+    # after — without the marker, listing ts_col itself in
+    # writetime.names (+incrementBy) would double-apply the increment
+    # on the validate leg and report every row as MISMATCH
+    _WT_DONE = "_cdm_wt_done"
+
     def event_time_stage(self, df: DataFrame, ts_col: str) -> DataFrame:
         """Writetime override — MUST run before any LWW ordering so
-        merge and validate pick the same winners. Idempotent (the
-        source columns it reads are never the one it writes, except the
-        constant case which is constant)."""
+        merge and validate pick the same winners. Idempotent via the
+        ``_WT_DONE`` marker (dropped at the end of :meth:`transform`)."""
+        if self._WT_DONE in df.columns:
+            return df
         if self.custom_writetime > 0:
             # constant wins; increment deliberately NOT added
             # (WritetimeTTL.java:231,245)
             return df.withColumn(
-                ts_col, F.timestamp_micros(F.lit(self.custom_writetime)))
+                ts_col, F.timestamp_micros(F.lit(self.custom_writetime))
+            ).withColumn(self._WT_DONE, F.lit(True))
         if self.writetime_names:
             terms = [self._wt_term(df, c) for c in self.writetime_names]
             m = F.greatest(*terms) if len(terms) > 1 else terms[0]
             if self.writetime_increment:
                 m = m + F.expr(
                     f"INTERVAL {self.writetime_increment} MICROSECOND")
-            return df.withColumn(ts_col, m)
+            return (df.withColumn(ts_col, m)
+                    .withColumn(self._WT_DONE, F.lit(True)))
         return df
 
     def _ttl_stage(self, df: DataFrame, ts_col: str) -> DataFrame:
@@ -350,7 +360,25 @@ class FeatureSet:
         if self.explode is not None:
             map_col, key_name, value_name = self.explode
             map_col = self.rename.get(map_col, map_col)
-            out = TR.explode_map(out, map_col, key_name, value_name)
+            if "op" in out.columns:
+                # CDC delete events carry no map entries — an inner
+                # explode would fan them out to ZERO rows, silently
+                # dropping the tombstone before the merge. Keep each
+                # delete as ONE placeholder row (null explode key);
+                # the job layer expands it into per-surviving-surrogate
+                # tombstones against the live target (delete fan-out).
+                mt = out.schema[map_col].dataType
+                dels = (out.filter(F.col("op") == "delete")
+                        .withColumn(key_name,
+                                    F.lit(None).cast(mt.keyType))
+                        .withColumn(value_name,
+                                    F.lit(None).cast(mt.valueType))
+                        .drop(map_col))
+                rest = TR.explode_map(out.filter(F.col("op") != "delete"),
+                                      map_col, key_name, value_name)
+                out = rest.unionByName(dels)
+            else:
+                out = TR.explode_map(out, map_col, key_name, value_name)
         if self.extract_json is not None:
             origin_col, fieldname, target_col, overwrite, exclusive = \
                 self.extract_json
@@ -367,6 +395,11 @@ class FeatureSet:
                 keep |= {c for c in keep_cols if c in out.columns}
                 if self.adds_expiry:
                     keep.add(self.EXPIRES_COL)
+                if self.explode is not None:
+                    # the surrogate-key expression below still needs
+                    # the explode key column — exclusive must not
+                    # drop the merge key's ingredient
+                    keep.add(self.explode[1])
                 out = out.select(*[c for c in out.columns if c in keep])
         if self.constants:
             out = TR.constant_columns(out, self.constants)
@@ -376,6 +409,8 @@ class FeatureSet:
                 SURROGATE_KEY_COL,
                 F.concat_ws(_US, F.col(key).cast("string"),
                             F.col(self.explode[1]).cast("string")))
+        if self._WT_DONE in out.columns:
+            out = out.drop(self._WT_DONE)
         return out
 
 

@@ -44,6 +44,33 @@ def sample_predicate_sql(key_expr: str, percent: float,
     return f"(({h}) % 10000 < {int(round(percent * 100))})"
 
 
+_RING_MAX = (1 << 48) - 1
+
+
+def normalize_token_bounds(lo: int | None, hi: int | None
+                           ) -> tuple[int | None, int | None]:
+    """Token bounds → points on the engine's 48-bit ring.
+
+    Native bounds (both inside ``[0, 2^48)``) pass through. If EITHER
+    bound lies outside, both are interpreted as the reference's
+    SIGNED-64 Murmur-style tokens and mapped onto the ring measure-
+    preservingly (``(v + 2^63) >> 16``): the hashes differ, but a
+    "lower half of the ring" slice keeps the same FRACTION of keys and
+    complementary reference slices stay complementary here — the
+    property the rerun-a-failed-slice workflow actually needs.
+    Silently clamping instead would turn a real partial range into
+    everything-or-nothing."""
+    vals = [v for v in (lo, hi) if v is not None]
+    if not vals or all(0 <= v <= _RING_MAX for v in vals):
+        return lo, hi
+
+    def _ring(v: int) -> int:
+        v = max(-(1 << 63), min(v, (1 << 63) - 1))
+        return (v + (1 << 63)) >> 16
+    return (None if lo is None else _ring(lo),
+            None if hi is None else _ring(hi))
+
+
 def token_slice_predicate(key_col: str, lo: int | None,
                           hi: int | None) -> Column:
     """Partial-range slice: keep keys whose PORTABLE 48-bit hash lies in
@@ -54,26 +81,28 @@ def token_slice_predicate(key_col: str, lo: int | None,
     md5-int48 key-hash space here (0..2^48-1): deterministic, uniform,
     identical in every engine (DuckDB-replayable), and — like the
     reference's — a pure function of the key, so migrate and validate
-    slice identically. Out-of-range values clamp (a reference file's
-    ±2^63 full-ring bounds pass everything, as they do there)."""
+    slice identically. Signed-64 reference bounds are mapped onto the
+    ring measure-preservingly (:func:`normalize_token_bounds`)."""
+    lo, hi = normalize_token_bounds(lo, hi)
     h = md5_int48_expr(F.col(key_col).cast("string"))
     p = F.lit(True)
     if lo is not None:
-        p = p & (h >= F.lit(max(0, min(lo, (1 << 48) - 1))))
+        p = p & (h >= F.lit(lo))
     if hi is not None:
-        p = p & (h <= F.lit(max(0, min(hi, (1 << 48) - 1))))
+        p = p & (h <= F.lit(hi))
     return p
 
 
 def token_slice_sql(key_expr: str, lo: int | None, hi: int | None) -> str:
     """DuckDB rendering of :func:`token_slice_predicate`."""
     from cassandra_data_migrator_spark.functions.hashing import md5_int48_sql
+    lo, hi = normalize_token_bounds(lo, hi)
     h = md5_int48_sql(f"CAST({key_expr} AS VARCHAR)")
     parts = []
     if lo is not None:
-        parts.append(f"({h}) >= {max(0, min(lo, (1 << 48) - 1))}")
+        parts.append(f"({h}) >= {lo}")
     if hi is not None:
-        parts.append(f"({h}) <= {max(0, min(hi, (1 << 48) - 1))}")
+        parts.append(f"({h}) <= {hi}")
     return "(" + " AND ".join(parts or ["TRUE"]) + ")"
 
 

@@ -335,3 +335,97 @@ def test_extract_json_exclusive_projection(spark):
     assert sorted(out.columns) == ["event_ts", "k", "op", "person_age",
                                    "sq"]
     assert out.first()["person_age"] == "7"
+
+
+# ------------------------------------------------- CDC deletes + explode
+
+def _explode_props(tmpdir_path):
+    pf = os.path.join(tmpdir_path, "explode.properties")
+    with open(pf, "w") as f:
+        f.write("""
+spark.cdm.feature.explodeMap.origin.name          m
+spark.cdm.feature.explodeMap.target.name.key      mk
+spark.cdm.feature.explodeMap.target.name.value    mv
+""")
+    return pf
+
+
+def test_explode_cdc_delete_fanout(spark, tmpdir_path, capsys):
+    """A CDC delete addresses the ORIGIN key; the exploded target is
+    keyed per (key, map-entry) surrogate — the tombstone must cover
+    every surrogate the key owns, including ones introduced in the
+    SAME batch (insert+delete of one key in one epoch converges to
+    deleted). Before the fan-out, the inner explode dropped delete
+    events entirely and deleted keys lived forever."""
+    rows = [
+        ("k1", {"a": 1, "b": 2}, dt.datetime(2024, 1, 1), "update", 1),
+        ("k2", {"c": 3}, dt.datetime(2024, 1, 1), "update", 2),
+        # same-batch insert of k3 then delete of k3 (later ts)
+        ("k3", {"x": 9}, dt.datetime(2024, 1, 2), "update", 3),
+        ("k3", None, dt.datetime(2024, 1, 3), "delete", 4),
+        # delete of k1 (later ts)
+        ("k1", None, dt.datetime(2024, 1, 4), "delete", 5),
+    ]
+    ev = spark.createDataFrame(
+        rows, "url string, m map<string,int>, warc_ts timestamp, "
+              "op string, seq long")
+    log = os.path.join(tmpdir_path, "dlog")
+    write_event_log(ev, log, n_chunks=1)
+    table = os.path.join(tmpdir_path, "dt")
+    pf = _explode_props(tmpdir_path)
+
+    assert main(["migrate", "--log", log, "--table", table,
+                 "--properties-file", pf], spark=spark) == 0
+    capsys.readouterr()
+    got = sorted((r["url"], r["mk"], r["mv"])
+                 for r in LakeTable(spark, table).read().collect())
+    assert got == [("k2", "c", 3)]     # k1 and k3 fully deleted
+
+    # validate agrees: origin truth excludes the deleted keys
+    assert main(["validate", "--log", log, "--table", table,
+                 "--properties-file", pf], spark=spark) == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["valid"] == 1 and out["extra_target"] == 0
+    assert out["missing"] == 0
+
+    # a second migrate on a GROWN log: late update of k1 (newer than
+    # the tombstones) re-creates its entries; an OLD update of k2's
+    # existing surrogate loses LWW
+    extra = spark.createDataFrame(
+        [("k1", {"z": 7}, dt.datetime(2024, 1, 5), "update", 6),
+         ("k2", {"c": 99}, dt.datetime(2023, 12, 1), "update", 7)],
+        "url string, m map<string,int>, warc_ts timestamp, op string, "
+        "seq long")
+    write_event_log(extra, log, n_chunks=1, append=True)
+    assert main(["migrate", "--log", log, "--table", table,
+                 "--properties-file", pf], spark=spark) == 0
+    capsys.readouterr()
+    got = sorted((r["url"], r["mk"], r["mv"])
+                 for r in LakeTable(spark, table).read().collect())
+    assert got == [("k1", "z", 7), ("k2", "c", 3)]
+
+
+def test_exclusive_extract_json_with_explode(spark, tmpdir_path, capsys):
+    """extractJson.exclusive + explodeMap: the exclusive projection
+    must keep the explode key column the surrogate key is built from
+    (previously an unresolved-column crash)."""
+    feat = build_featureset({
+        "spark.cdm.feature.explodeMap.origin.name": "m",
+        "spark.cdm.feature.explodeMap.target.name.key": "mk",
+        "spark.cdm.feature.explodeMap.target.name.value": "mv",
+        "spark.cdm.feature.extractJson.originColumn": "props",
+        "spark.cdm.feature.extractJson.propertyMapping": "k",
+        "spark.cdm.feature.extractJson.exclusive": "true",
+    })
+    df = spark.createDataFrame(
+        [("u1", {"a": 1}, '{"k": 5}', dt.datetime(2024, 1, 1),
+          "update", 1)],
+        "url string, m map<string,int>, props string, "
+        "warc_ts timestamp, op string, seq long")
+    out = feat.transform(df, origin_key="url",
+                         keep_cols=("op", "seq", "warc_ts"),
+                         ts_col="warc_ts")
+    rows = out.collect()
+    assert len(rows) == 1
+    assert rows[0][SURROGATE_KEY_COL] == "u1" + _US + "a"
+    assert rows[0]["k"] == "5"

@@ -306,3 +306,109 @@ def test_smoke03_ttl_writetime_names(spark, tmpdir_path, capsys):
     out = _run(spark, capsys,
                ["validate", "--log", log, "--table", table] + conf)
     assert out["valid"] == 3 and out["mismatch"] == 0
+
+
+def test_counter_migrate_without_event_schema(spark, tmpdir_path,
+                                              capsys):
+    """--counter with no --event-schema infers the event shape from the
+    parquet log (previously the sample was read with the WEB event
+    schema and table creation crashed on the missing key column)."""
+    rows = [(f"u{i % 3}", dt.datetime(2024, 1, 1, 0, 0, i), 5 + i,
+             "update", i) for i in range(6)]
+    df = spark.createDataFrame(
+        rows, "user string, ts timestamp, cents long, op string, "
+              "seq long")
+    log = os.path.join(tmpdir_path, "clog2")
+    write_event_log(df, log, n_chunks=1)
+    table = os.path.join(tmpdir_path, "ct2")
+    out = _run(spark, capsys,
+               ["migrate", "--counter", "--log", log, "--table", table,
+                "--key-col", "user", "--ts-col", "ts"])
+    assert out["events_applied"] == 6
+    want = {}
+    for i in range(6):
+        want[f"u{i % 3}"] = want.get(f"u{i % 3}", 0) + 5 + i
+    got = {r["user"]: r["cents"]
+           for r in LakeTable(spark, table).read().collect()}
+    assert got == want
+
+
+def test_writetime_names_self_reference_idempotent(spark, tmpdir_path,
+                                                   capsys):
+    """ts_col itself listed in writetime.names with incrementBy: the
+    marker-guarded stage applies the increment exactly ONCE on both the
+    migrate and validate legs (previously validate re-applied it after
+    its LWW window and reported every row as MISMATCH)."""
+    rows = [("u1", dt.datetime(2024, 1, 1), "update", 1),
+            ("u2", dt.datetime(2024, 1, 2), "update", 2)]
+    df = spark.createDataFrame(
+        rows, "url string, warc_ts timestamp, op string, seq long")
+    log = os.path.join(tmpdir_path, "wlog")
+    write_event_log(df, log, n_chunks=1)
+    table = os.path.join(tmpdir_path, "wt")
+    conf = ["--conf",
+            "spark.cdm.schema.origin.column.writetime.names=warc_ts",
+            "--conf",
+            "spark.cdm.transform.custom.writetime.incrementBy=5"]
+    _run(spark, capsys, ["migrate", "--log", log, "--table", table] + conf)
+    got = {r["url"]: r["warc_ts"]
+           for r in LakeTable(spark, table).read().collect()}
+    assert got["u1"] == dt.datetime(2024, 1, 1, 0, 0, 0, 5)
+    assert got["u2"] == dt.datetime(2024, 1, 2, 0, 0, 0, 5)
+
+    out = _run(spark, capsys,
+               ["validate", "--log", log, "--table", table] + conf)
+    assert out["valid"] == 2 and out["mismatch"] == 0
+
+
+def test_json_log_with_inference_rejected_cleanly(spark, tmpdir_path,
+                                                  capsys):
+    """--log-format json cannot infer the event schema: both migrate
+    and validate fail with rc=2 and a clear message (previously a raw
+    ValueError traceback escaped)."""
+    log = os.path.join(tmpdir_path, "jlog")
+    df = spark.createDataFrame(
+        [("u1", dt.datetime(2024, 1, 1), {"a": 1}, "update", 1)],
+        "url string, warc_ts timestamp, m map<string,int>, op string, "
+        "seq long")
+    write_event_log(df, log, n_chunks=1, fmt="json")
+    pf = os.path.join(tmpdir_path, "f.properties")
+    with open(pf, "w") as f:
+        f.write("spark.cdm.feature.explodeMap.origin.name m\n"
+                "spark.cdm.feature.explodeMap.target.name.key mk\n"
+                "spark.cdm.feature.explodeMap.target.name.value mv\n")
+    table = os.path.join(tmpdir_path, "jt")
+    assert main(["migrate", "--log", log, "--log-format", "json",
+                 "--table", table, "--properties-file", pf],
+                spark=spark) == 2
+    assert "event-schema" in capsys.readouterr().err
+
+
+def test_token_bounds_signed64_mapping(spark):
+    """Reference partition.min/max are SIGNED-64 Murmur tokens; they
+    map onto the 48-bit ring measure-preservingly — complementary
+    reference slices stay complementary here, and the full ring passes
+    everything (previously out-of-range bounds clamped to
+    everything-or-nothing)."""
+    from cassandra_data_migrator_spark.operators.filters import (
+        normalize_token_bounds,
+        token_slice_predicate,
+    )
+    # full ring → full ring
+    assert normalize_token_bounds(-(1 << 63), (1 << 63) - 1) == \
+        (0, (1 << 48) - 1)
+    # native 48-bit bounds pass through untouched
+    assert normalize_token_bounds(5, 1 << 40) == (5, 1 << 40)
+    # halves of the signed ring are complementary halves of ours
+    lo_half = normalize_token_bounds(-(1 << 63), -1)
+    hi_half = normalize_token_bounds(0, (1 << 63) - 1)
+    assert lo_half == (0, (1 << 47) - 1)
+    assert hi_half == (1 << 47, (1 << 48) - 1)
+
+    df = spark.range(2000).select(F.concat(F.lit("k"), F.col("id"))
+                                  .alias("k"))
+    n_lo = df.filter(token_slice_predicate("k", -(1 << 63), -1)).count()
+    n_hi = df.filter(
+        token_slice_predicate("k", 0, (1 << 63) - 1)).count()
+    assert n_lo + n_hi == 2000          # partition, no overlap/loss
+    assert 700 < n_lo < 1300            # ~half each (uniform hash)
