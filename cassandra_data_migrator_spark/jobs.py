@@ -193,10 +193,18 @@ def apply_properties(base: EngineConfig, props: dict[str, str]
             # operators.features.build_featureset
             job.setdefault("features", {})[k] = v
         elif any(k.startswith(p) for p in _INAPPLICABLE_PREFIXES):
-            warnings.append(
-                f"ignoring {k} (configures a Cassandra cluster / driver "
-                "feature; this engine reads an event-log path and writes "
-                "a lake-table path)")
+            if k.startswith("spark.cdm.perfops.ratelimit"):
+                # the reference rate-limits per worker to protect the
+                # clusters; the engine's pacing knobs are epoch-sized
+                warnings.append(
+                    f"ignoring {k} (no Cassandra cluster to protect "
+                    "here — pace the stream with --trigger-interval "
+                    "and the file-source maxFilesPerTrigger instead)")
+            else:
+                warnings.append(
+                    f"ignoring {k} (configures a Cassandra cluster / "
+                    "driver feature; this engine reads an event-log "
+                    "path and writes a lake-table path)")
         else:
             raise ValueError(f"unknown spark.cdm property: {k}")
     return replace(base, **overrides), job, warnings
