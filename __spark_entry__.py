@@ -219,7 +219,8 @@ def _q_token_range_slice(spark, sf_dir):
         token_slice_predicate,
     )
     ev = _tbl(spark, sf_dir, "events").filter(
-        token_slice_predicate("user_id", _TOKEN_LO, _TOKEN_HI))
+        token_slice_predicate("user_id", _TOKEN_LO, _TOKEN_HI,
+                              native=True))
     w = Window.partitionBy("user_id").orderBy(
         F.col("ts").desc(), F.col("event_id").desc())
     return (
@@ -240,7 +241,8 @@ def _token_slice_oracle() -> str:
         token_slice_sql,
     )
     return _lww_state_sql(
-        where=token_slice_sql("user_id", _TOKEN_LO, _TOKEN_HI))
+        where=token_slice_sql("user_id", _TOKEN_LO, _TOKEN_HI,
+                              native=True))
 
 
 _CWT_US = 1_700_000_000_000_000        # constant writetime (epoch µs)

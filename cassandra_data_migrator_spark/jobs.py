@@ -273,6 +273,64 @@ def _featureset(args, job):
     return feat, ev_schema
 
 
+def _explode_origin_truth(feat, table, cfg, ev):
+    """Origin truth for an EXPLODED target: per-surrogate LWW, not
+    per-origin-key.
+
+    The migration merges each (key, map-entry) surrogate independently
+    — entries evolve independently, and an update whose map no longer
+    contains an entry does NOT delete that entry's row — so a
+    per-origin-key window (keep only the latest event, then explode)
+    would report every older entry still correctly present in the
+    target as ``extra_target``. Truth here: per-surrogate winner among
+    the exploded update events, killed when a whole-key delete is
+    NEWER than the winner (matching the merge's delete fan-out; the
+    one batching-dependent edge — a surrogate first introduced after a
+    delete with an older timestamp — is documented on
+    :func:`_explode_delete_fanout`)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    tr = feat.transform(ev, origin_key=cfg.key_col,
+                        keep_cols=("op", cfg.seq_col, cfg.ts_col),
+                        ts_col=cfg.ts_col)
+    tr = feat.codec_stage(tr, table.schema())
+    key_col = feat.target_key_col(cfg.key_col)
+    okey = feat.rename.get(cfg.key_col, cfg.key_col)
+    mk = feat.explode[1]
+
+    is_del = F.col("op").eqNullSafe("delete") & F.col(mk).isNull()
+    upd = tr.filter(~is_del)
+    dels = tr.filter(is_del)
+
+    w = Window.partitionBy(key_col).orderBy(
+        F.col(cfg.ts_col).desc(), F.col(cfg.seq_col).desc())
+    win = (upd.withColumn("_rn", F.row_number().over(w))
+           .filter(F.col("_rn") == 1).drop("_rn"))
+
+    def _ver(ts_c, seq_c):
+        return F.struct(ts_c.alias("t"), seq_c.cast("long").alias("s"))
+
+    dmax = dels.groupBy(okey).agg(
+        F.max(_ver(F.col(cfg.ts_col), F.col(cfg.seq_col))).alias("_d"))
+    origin = (win.join(dmax, on=okey, how="left")
+              .filter(F.col("_d").isNull()
+                      | (_ver(F.col(cfg.ts_col), F.col(cfg.seq_col))
+                         > F.col("_d")))
+              .drop("_d", "op", cfg.seq_col))
+    return origin, key_col
+
+
+def _require_event_schema(ev_schema, log_format: str) -> None:
+    """Schema inference + JSON logs don't mix (inference would mistype
+    base64 binary columns); fail cleanly up front instead of a raw
+    ValueError mid-read — shared by migrate and validate."""
+    if ev_schema is None and log_format == "json":
+        print("error: --log-format json cannot infer the event schema "
+              "— pass an explicit --event-schema DDL", file=sys.stderr)
+        raise SystemExit(2)
+
+
 def _explode_delete_fanout(feat, table, cfg):
     """Delete fan-out for exploded tables.
 
@@ -306,9 +364,16 @@ def _explode_delete_fanout(feat, table, cfg):
     def stage(df):
         if "op" not in df.columns:
             return df
-        is_placeholder = (F.col("op") == "delete") & F.col(mk).isNull()
+        # null-safe: op=NULL rows are ordinary upserts, not deletes
+        is_placeholder = (F.col("op").eqNullSafe("delete")
+                          & F.col(mk).isNull())
         dels = df.filter(is_placeholder)
         rest = df.filter(~is_placeholder)
+        if dels.isEmpty():
+            # the common delete-free batch: skip the live-table join
+            # entirely (one cheap limit-1 probe vs a two-column scan
+            # of the whole table per micro-batch)
+            return rest
         del_keys = dels.select(key).distinct()
         live = (table.read()
                 .select(F.col(key), F.col(SURROGATE_KEY_COL))
@@ -317,7 +382,6 @@ def _explode_delete_fanout(feat, table, cfg):
                       .join(F.broadcast(del_keys), key, "left_semi"))
         targets = live.unionByName(batch_surr).distinct()
         fanned = (dels.select(key, cfg.ts_col, "op", cfg.seq_col)
-                  .drop(SURROGATE_KEY_COL)
                   .join(targets, on=key, how="inner"))
         return rest.unionByName(fanned, allowMissingColumns=True)
 
@@ -347,20 +411,17 @@ def cmd_migrate(args, spark) -> dict[str, Any]:
     transform = None
     table_cfg = cfg
     schema_override = None
-    if args.counter and args.schema == _WEB_DDL:
+    if args.counter:
         # the web DDL's html/text columns are not counters — a counter
-        # table's shape must come from the events themselves
-        args.schema = "infer"
+        # table's shape must come from the events themselves...
+        if args.schema == _WEB_DDL:
+            args.schema = "infer"
+        # ...and so must the EVENT shape, regardless of any explicit
+        # --schema: reading counter events with the web EVENT_SCHEMA
+        # would misread every column
         if ev_schema == "default":
-            # ... and so must the EVENT shape: reading counter events
-            # with the web EVENT_SCHEMA would misread every column
             ev_schema = None
-    if ev_schema is None and args.log_format == "json":
-        # schema inference would mistype base64 binary columns; fail
-        # cleanly up front instead of a raw ValueError mid-read
-        print("error: --log-format json cannot infer the event schema "
-              "— pass an explicit --event-schema DDL", file=sys.stderr)
-        raise SystemExit(2)
+    _require_event_schema(ev_schema, args.log_format)
     if feat:
         transform = lambda df: feat.transform(  # noqa: E731
             df, origin_key=cfg.key_col,
@@ -586,14 +647,10 @@ def cmd_validate(args, spark) -> dict[str, Any]:
     for w in warnings:
         print(f"WARN: {w}", file=sys.stderr)
     feat, ev_schema = _featureset(args, job)
-    if args.counter and ev_schema == "default" \
-            and not getattr(args, "event_schema", None):
+    if args.counter and ev_schema == "default":
         # counter events are not web events — infer, same as migrate
         ev_schema = None
-    if ev_schema is None and args.log_format == "json":
-        print("error: --log-format json cannot infer the event schema "
-              "— pass an explicit --event-schema DDL", file=sys.stderr)
-        raise SystemExit(2)
+    _require_event_schema(ev_schema, args.log_format)
     from cassandra_data_migrator_spark.lake import LakeTable
     table = LakeTable(spark, args.table)
 
@@ -623,21 +680,24 @@ def cmd_validate(args, spark) -> dict[str, Any]:
     if args.counter:
         return _validate_counter(spark, args, cfg, job, feat, table, ev)
 
-    w = Window.partitionBy(cfg.key_col).orderBy(
-        F.col(cfg.ts_col).desc(), F.col(cfg.seq_col).desc())
-    origin = (ev.withColumn("_rn", F.row_number().over(w))
-              .filter((F.col("_rn") == 1) & (F.col("op") != "delete"))
-              .drop("_rn", "op", cfg.seq_col))
-    key_col = cfg.key_col
-    if feat:
-        # the reference runs its featureset on both legs of the compare
-        # (DiffJobSession.java:243-330); same here, including the
-        # explode-widened key
-        origin = feat.transform(origin, origin_key=cfg.key_col,
-                                keep_cols=(cfg.ts_col,),
-                                ts_col=cfg.ts_col)
-        origin = feat.codec_stage(origin, table.schema())
-        key_col = feat.target_key_col(cfg.key_col)
+    if feat and feat.explode is not None:
+        # exploded targets need per-SURROGATE truth, not per-origin-key
+        origin, key_col = _explode_origin_truth(feat, table, cfg, ev)
+    else:
+        w = Window.partitionBy(cfg.key_col).orderBy(
+            F.col(cfg.ts_col).desc(), F.col(cfg.seq_col).desc())
+        origin = (ev.withColumn("_rn", F.row_number().over(w))
+                  .filter((F.col("_rn") == 1) & (F.col("op") != "delete"))
+                  .drop("_rn", "op", cfg.seq_col))
+        key_col = cfg.key_col
+        if feat:
+            # the reference runs its featureset on both legs of the
+            # compare (DiffJobSession.java:243-330); same here
+            origin = feat.transform(origin, origin_key=cfg.key_col,
+                                    keep_cols=(cfg.ts_col,),
+                                    ts_col=cfg.ts_col)
+            origin = feat.codec_stage(origin, table.schema())
+            key_col = feat.target_key_col(cfg.key_col)
     if "lang" in origin.columns:
         # the migrate pipeline normalizes lang on write; the diff must
         # apply the same transform origin-side

@@ -368,13 +368,17 @@ class FeatureSet:
                 # the job layer expands it into per-surviving-surrogate
                 # tombstones against the live target (delete fan-out).
                 mt = out.schema[map_col].dataType
-                dels = (out.filter(F.col("op") == "delete")
+                # null-safe: rows with op=NULL are ordinary upserts
+                # (the merge treats any non-'delete' op as upsert) and
+                # must explode, not vanish into neither branch
+                is_del = F.col("op").eqNullSafe("delete")
+                dels = (out.filter(is_del)
                         .withColumn(key_name,
                                     F.lit(None).cast(mt.keyType))
                         .withColumn(value_name,
                                     F.lit(None).cast(mt.valueType))
                         .drop(map_col))
-                rest = TR.explode_map(out.filter(F.col("op") != "delete"),
+                rest = TR.explode_map(out.filter(~is_del),
                                       map_col, key_name, value_name)
                 out = rest.unionByName(dels)
             else:

@@ -47,32 +47,34 @@ def sample_predicate_sql(key_expr: str, percent: float,
 _RING_MAX = (1 << 48) - 1
 
 
-def normalize_token_bounds(lo: int | None, hi: int | None
+def normalize_token_bounds(lo: int | None, hi: int | None,
+                           native: bool = False
                            ) -> tuple[int | None, int | None]:
     """Token bounds → points on the engine's 48-bit ring.
 
-    Native bounds (both inside ``[0, 2^48)``) pass through. If EITHER
-    bound lies outside, both are interpreted as the reference's
-    SIGNED-64 Murmur-style tokens and mapped onto the ring measure-
-    preservingly (``(v + 2^63) >> 16``): the hashes differ, but a
-    "lower half of the ring" slice keeps the same FRACTION of keys and
-    complementary reference slices stay complementary here — the
-    property the rerun-a-failed-slice workflow actually needs.
-    Silently clamping instead would turn a real partial range into
-    everything-or-nothing."""
-    vals = [v for v in (lo, hi) if v is not None]
-    if not vals or all(0 <= v <= _RING_MAX for v in vals):
-        return lo, hi
-
-    def _ring(v: int) -> int:
+    By default bounds carry the REFERENCE property's semantics —
+    signed-64 Murmur-style tokens (``partition.min/max``,
+    ``KnownProperties.java:226-227``) — and are mapped onto the ring
+    measure-preservingly (``(v + 2^63) >> 16``): the hashes differ,
+    but a "lower half of the ring" slice keeps the same FRACTION of
+    keys and complementary reference slices stay complementary here —
+    the property the rerun-a-failed-slice workflow actually needs.
+    The unit is fixed per call site, never guessed from the value
+    (a range heuristic would make ``min=0``'s meaning depend on
+    whether a max is present). ``native=True`` takes bounds already on
+    the 48-bit ring, clamped into range."""
+    def _conv(v: int | None) -> int | None:
+        if v is None:
+            return None
+        if native:
+            return max(0, min(v, _RING_MAX))
         v = max(-(1 << 63), min(v, (1 << 63) - 1))
         return (v + (1 << 63)) >> 16
-    return (None if lo is None else _ring(lo),
-            None if hi is None else _ring(hi))
+    return _conv(lo), _conv(hi)
 
 
 def token_slice_predicate(key_col: str, lo: int | None,
-                          hi: int | None) -> Column:
+                          hi: int | None, native: bool = False) -> Column:
     """Partial-range slice: keep keys whose PORTABLE 48-bit hash lies in
     ``[lo, hi]`` — the analog of the reference's
     ``spark.cdm.filter.cassandra.partition.min/max`` token bounds
@@ -81,9 +83,11 @@ def token_slice_predicate(key_col: str, lo: int | None,
     md5-int48 key-hash space here (0..2^48-1): deterministic, uniform,
     identical in every engine (DuckDB-replayable), and — like the
     reference's — a pure function of the key, so migrate and validate
-    slice identically. Signed-64 reference bounds are mapped onto the
-    ring measure-preservingly (:func:`normalize_token_bounds`)."""
-    lo, hi = normalize_token_bounds(lo, hi)
+    slice identically. Bounds are signed-64 reference tokens by
+    default, mapped measure-preservingly; pass ``native=True`` for
+    bounds already on the 48-bit ring
+    (:func:`normalize_token_bounds`)."""
+    lo, hi = normalize_token_bounds(lo, hi, native=native)
     h = md5_int48_expr(F.col(key_col).cast("string"))
     p = F.lit(True)
     if lo is not None:
@@ -93,10 +97,11 @@ def token_slice_predicate(key_col: str, lo: int | None,
     return p
 
 
-def token_slice_sql(key_expr: str, lo: int | None, hi: int | None) -> str:
+def token_slice_sql(key_expr: str, lo: int | None, hi: int | None,
+                    native: bool = False) -> str:
     """DuckDB rendering of :func:`token_slice_predicate`."""
     from cassandra_data_migrator_spark.functions.hashing import md5_int48_sql
-    lo, hi = normalize_token_bounds(lo, hi)
+    lo, hi = normalize_token_bounds(lo, hi, native=native)
     h = md5_int48_sql(f"CAST({key_expr} AS VARCHAR)")
     parts = []
     if lo is not None:

@@ -429,3 +429,39 @@ def test_exclusive_extract_json_with_explode(spark, tmpdir_path, capsys):
     assert len(rows) == 1
     assert rows[0][SURROGATE_KEY_COL] == "u1" + _US + "a"
     assert rows[0]["k"] == "5"
+
+
+def test_explode_entry_accumulation_validates_clean(spark, tmpdir_path,
+                                                    capsys):
+    """Entries accumulate per surrogate across CDC updates (an update
+    whose map lacks an entry does NOT delete it) — and validate's
+    origin truth is per-SURROGATE, so a correct target with entries
+    from OLDER events validates clean (previously the per-origin-key
+    window kept only the latest event and flagged every older entry as
+    extra_target)."""
+    rows = [
+        ("k1", {"a": 1}, dt.datetime(2024, 1, 1), "update", 1),
+        ("k1", {"b": 2}, dt.datetime(2024, 1, 2), "update", 2),
+        ("k1", {"a": 9}, dt.datetime(2024, 1, 3), "update", 3),  # a: 1→9
+    ]
+    ev = spark.createDataFrame(
+        rows, "url string, m map<string,int>, warc_ts timestamp, "
+              "op string, seq long")
+    log = os.path.join(tmpdir_path, "alog")
+    write_event_log(ev, log, n_chunks=1)
+    table = os.path.join(tmpdir_path, "at")
+    pf = _explode_props(tmpdir_path)
+
+    assert main(["migrate", "--log", log, "--table", table,
+                 "--properties-file", pf], spark=spark) == 0
+    capsys.readouterr()
+    got = sorted((r["url"], r["mk"], r["mv"])
+                 for r in LakeTable(spark, table).read().collect())
+    assert got == [("k1", "a", 9), ("k1", "b", 2)]
+
+    assert main(["validate", "--log", log, "--table", table,
+                 "--properties-file", pf], spark=spark) == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out == {"job": "validate", "read": 2, "valid": 2,
+                   "mismatch": 0, "missing": 0, "extra_target": 0,
+                   "error": 0}

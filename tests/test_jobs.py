@@ -336,14 +336,16 @@ def test_partition_range_slice_migrate_validate(spark, tmpdir_path,
         token_slice_predicate,
     )
 
+    # the CLI bounds carry the REFERENCE property's unit: signed-64
+    # Murmur-style tokens, mapped measure-preservingly onto the 48-bit
+    # ring — the lower signed half lands on the lower ring half
     mid = (1 << 47) - 1
-    lo_props = ["--conf", "spark.cdm.filter.cassandra.partition.min=0",
+    lo_props = ["--conf",
+                f"spark.cdm.filter.cassandra.partition.min={-(1 << 63)}",
+                "--conf", "spark.cdm.filter.cassandra.partition.max=-1"]
+    hi_props = ["--conf", "spark.cdm.filter.cassandra.partition.min=0",
                 "--conf",
-                f"spark.cdm.filter.cassandra.partition.max={mid}"]
-    hi_props = ["--conf",
-                f"spark.cdm.filter.cassandra.partition.min={mid + 1}",
-                "--conf",
-                f"spark.cdm.filter.cassandra.partition.max={(1 << 48) - 1}"]
+                f"spark.cdm.filter.cassandra.partition.max={(1 << 63) - 1}"]
 
     table = os.path.join(tmpdir_path, "t")
     out = _run(spark, capsys, ["migrate", "--log", job_log,
@@ -354,7 +356,7 @@ def test_partition_range_slice_migrate_validate(spark, tmpdir_path,
     t = LakeTable(spark, table)
     n_lo = t.read().count()
     assert t.read().filter(
-        ~token_slice_predicate("url", 0, mid)).count() == 0
+        ~token_slice_predicate("url", 0, mid, native=True)).count() == 0
 
     # validate with the same bounds: clean (no spurious MISSING for
     # rows the slice excluded, no extra_target outside the slice)

@@ -397,13 +397,16 @@ def test_token_bounds_signed64_mapping(spark):
     # full ring → full ring
     assert normalize_token_bounds(-(1 << 63), (1 << 63) - 1) == \
         (0, (1 << 48) - 1)
-    # native 48-bit bounds pass through untouched
-    assert normalize_token_bounds(5, 1 << 40) == (5, 1 << 40)
-    # halves of the signed ring are complementary halves of ours
+    # native=True bounds pass through untouched (unit is fixed per
+    # call site, never guessed from the value)
+    assert normalize_token_bounds(5, 1 << 40, native=True) == (5, 1 << 40)
+    # halves of the signed ring are complementary halves of ours —
+    # including min=0, whose meaning must NOT depend on the max
     lo_half = normalize_token_bounds(-(1 << 63), -1)
     hi_half = normalize_token_bounds(0, (1 << 63) - 1)
     assert lo_half == (0, (1 << 47) - 1)
     assert hi_half == (1 << 47, (1 << 48) - 1)
+    assert normalize_token_bounds(0, None) == (1 << 47, None)
 
     df = spark.range(2000).select(F.concat(F.lit("k"), F.col("id"))
                                   .alias("k"))
