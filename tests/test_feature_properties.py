@@ -465,3 +465,44 @@ def test_explode_entry_accumulation_validates_clean(spark, tmpdir_path,
     assert out == {"job": "validate", "read": 2, "valid": 2,
                    "mismatch": 0, "missing": 0, "extra_target": 0,
                    "error": 0}
+
+
+def test_explode_delete_fanout_streaming(spark, tmpdir_path, capsys):
+    """Delete fan-out through the STREAMING path: the delete arrives in
+    a LATER epoch than the inserts, so the fan-out must see the table
+    state as of its own epoch (the closure's table handle advances with
+    each commit), not the state at stream start."""
+    ev1 = spark.createDataFrame(
+        [("k1", {"a": 1, "b": 2}, dt.datetime(2024, 1, 1), "update", 1),
+         ("k2", {"c": 3}, dt.datetime(2024, 1, 1), "update", 2)],
+        "url string, m map<string,int>, warc_ts timestamp, op string, "
+        "seq long")
+    ev2 = spark.createDataFrame(
+        [("k1", None, dt.datetime(2024, 1, 2), "delete", 3)],
+        "url string, m map<string,int>, warc_ts timestamp, op string, "
+        "seq long")
+    log = os.path.join(tmpdir_path, "slog")
+    write_event_log(ev1, log, n_chunks=1)
+
+    table = os.path.join(tmpdir_path, "st")
+    pf = _explode_props(tmpdir_path)
+    ddl = ("url string, m map<string,int>, warc_ts timestamp, "
+           "op string, seq long")
+    argv = ["migrate", "--streaming", "--log", log, "--table", table,
+            "--checkpoint", os.path.join(tmpdir_path, "ck"),
+            "--properties-file", pf, "--event-schema", ddl]
+    assert main(argv, spark=spark) == 0
+    capsys.readouterr()
+    assert sorted(r["mk"] for r in
+                  LakeTable(spark, table).read().collect()) == \
+        ["a", "b", "c"]
+
+    # the delete lands in a LATER drain of the same checkpointed
+    # stream — the fan-out must see the CURRENT table state (k1's two
+    # live surrogates), not the empty state at first stream start
+    write_event_log(ev2, log, n_chunks=1, append=True)
+    assert main(argv, spark=spark) == 0
+    capsys.readouterr()
+    got = sorted((r["url"], r["mk"], r["mv"])
+                 for r in LakeTable(spark, table).read().collect())
+    assert got == [("k2", "c", 3)]
