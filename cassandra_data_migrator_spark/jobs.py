@@ -874,6 +874,43 @@ def cmd_maintain(args, spark) -> dict[str, Any]:
     return out
 
 
+def cmd_evolve(args, spark) -> dict[str, Any]:
+    """Schema evolution as an operational command: add a nullable
+    column / rename a column through the id-based schema registry
+    (``lake/table.py add_column/rename_column`` — the Iceberg-style
+    field-id mapping the merge and reads resolve old files through).
+    The reference handles renamed columns at migration time via
+    ``spark.cdm.schema.origin.column.names.to.target``
+    (``KnownProperties.java:112``); a live lake table also needs the
+    in-place half, which Cassandra would do with ALTER TABLE."""
+    from cassandra_data_migrator_spark.lake import LakeTable
+
+    table = LakeTable(spark, args.table)
+    out: dict[str, Any] = {"job": "evolve",
+                           "schema_version_before": table.schema_version}
+    did: list[str] = []
+    for spec in args.add or []:
+        name, sep, ddl = spec.partition(":")
+        if not sep:
+            print(f"error: --add wants name:type, got {spec!r}",
+                  file=sys.stderr)
+            raise SystemExit(2)
+        table.add_column(name.strip(), ddl.strip())
+        did.append(f"add {name.strip()}")
+    for spec in args.rename or []:
+        old, sep, new = spec.partition(":")
+        if not sep:
+            print(f"error: --rename wants old:new, got {spec!r}",
+                  file=sys.stderr)
+            raise SystemExit(2)
+        table.rename_column(old.strip(), new.strip())
+        did.append(f"rename {old.strip()}->{new.strip()}")
+    out["applied"] = did
+    out["schema_version"] = table.schema_version
+    out["columns"] = [f["name"] for f in table.current_fields()]
+    return out
+
+
 def cmd_guardrail(args, spark) -> dict[str, Any]:
     from cassandra_data_migrator_spark.lake import LakeTable
     from cassandra_data_migrator_spark.streaming.guardjob import (
@@ -979,6 +1016,17 @@ def build_parser() -> argparse.ArgumentParser:
     mt.add_argument("--min-files", type=int, default=2,
                     help="compact buckets holding at least this many files")
     mt.set_defaults(fn=cmd_maintain)
+
+    ev = sub.add_parser("evolve",
+                        help="schema evolution: add/rename columns "
+                             "through the id-based registry")
+    _add_common(ev)
+    ev.add_argument("--add", action="append", default=[],
+                    metavar="name:type", help="add a nullable column")
+    ev.add_argument("--rename", action="append", default=[],
+                    metavar="old:new", help="rename a column (old "
+                    "files resolve through the field id)")
+    ev.set_defaults(fn=cmd_evolve)
 
     g = sub.add_parser("guardrail", help="large-column audit "
                                          "(ref GuardrailCheck)")

@@ -376,3 +376,32 @@ def test_partition_range_slice_migrate_validate(spark, tmpdir_path,
     b = {r["url"]: (r["warc_ts"], r["text"])
          for r in LakeTable(spark, full).read().collect()}
     assert a == b and len(a) > n_lo
+
+
+def test_evolve_cli(spark, tmpdir_path, capsys, job_log):
+    """evolve subcommand: add + rename through the id-based schema
+    registry; files written BEFORE the evolution resolve through the
+    field id (old `lang` values appear under the new name)."""
+    table = os.path.join(tmpdir_path, "t")
+    _run(spark, capsys, ["migrate", "--log", job_log, "--table", table])
+    before = LakeTable(spark, table).read()
+    n = before.count()
+    langs = {r["url"]: r["lang"] for r in before.collect()}
+
+    out = _run(spark, capsys,
+               ["evolve", "--table", table,
+                "--add", "score:double", "--rename", "lang:language"])
+    assert out["job"] == "evolve"
+    assert out["schema_version"] > out["schema_version_before"]
+    assert "language" in out["columns"] and "score" in out["columns"]
+    assert "lang" not in out["columns"]
+
+    after = LakeTable(spark, table).read()
+    assert after.count() == n
+    got = {r["url"]: (r["language"], r["score"]) for r in after.collect()}
+    for url, lang in langs.items():
+        assert got[url] == (lang, None)
+
+    # malformed specs fail cleanly
+    assert main(["evolve", "--table", table, "--add", "nocolon"],
+                spark=spark) == 2
