@@ -298,6 +298,74 @@ FROM ranked WHERE rn = 1 AND event_type <> 'error'
 """
 
 
+def _q_explode_cdc_replay(spark, sf_dir):
+    """ExplodeMap UNDER CDC semantics through the real job CLI: map
+    entries fan out to per-(key, map-entry) surrogate rows that evolve
+    independently (per-entry LWW — an update whose map lacks an entry
+    does not delete it), and a whole-key delete fans out into
+    per-surviving-surrogate tombstones (``jobs._explode_delete_fanout``;
+    the reference's ExplodeMap is copy-only, ``feature/ExplodeMap.java``
+    — CDC deletes are this engine's extension). Each event carries one
+    map entry whose KEY varies by seq (``p0/p1/p2``) so entries
+    accumulate across a key's events; ``error`` events delete the whole
+    key."""
+    import json as _json
+
+    from cassandra_data_migrator_spark.jobs import main as _job_main
+
+    ev = _tbl(spark, sf_dir, "events").select(
+        F.col("user_id"), F.col("ts"),
+        F.when(F.col("event_type") == "error", F.lit("delete"))
+         .otherwise(F.lit("update")).alias("op"),
+        F.col("event_id").alias("seq"),
+        F.when(
+            F.col("event_type") == "error", F.lit(None)
+        ).otherwise(F.create_map(
+            F.concat(F.lit("p"),
+                     (F.col("event_id") % 3).cast("string")),
+            F.get_json_object("props", "$.k").cast("long"))
+        ).alias("m"),
+    )
+    log = _tmpdir("xlog")
+    write_event_log(ev, log, n_chunks=2, seq_col="seq")
+    table = _tmpdir("xtable")
+    rc = _job_main(
+        ["migrate", "--log", log, "--table", table,
+         "--key-col", "user_id", "--ts-col", "ts",
+         "--conf", "spark.cdm.feature.explodeMap.origin.name=m",
+         "--conf", "spark.cdm.feature.explodeMap.target.name.key=mk",
+         "--conf", "spark.cdm.feature.explodeMap.target.name.value=mv"],
+        spark=spark)
+    assert rc == 0
+    return LakeTable(spark, table).read().select(
+        F.col("user_id"), F.col("mk"), F.col("mv"),
+        _ts_us("ts").alias("ts_us"))
+
+
+_EXPLODE_CDC_ORACLE = """
+WITH src AS (
+  SELECT user_id, ts, event_id AS seq,
+         CASE WHEN event_type = 'error' THEN 'delete'
+              ELSE 'update' END AS op,
+         'p' || CAST(event_id % 3 AS VARCHAR) AS mk,
+         CAST(json_extract_string(props, '$.k') AS BIGINT) AS mv
+  FROM events),
+win AS (
+  SELECT *, row_number() OVER (PARTITION BY user_id, mk
+            ORDER BY ts DESC, seq DESC) AS rn
+  FROM src WHERE op <> 'delete'),
+del AS (
+  SELECT user_id,
+         max(CAST(epoch_us(ts) AS HUGEINT) * 4294967296 + seq) AS dv
+  FROM src WHERE op = 'delete' GROUP BY user_id)
+SELECT w.user_id, w.mk, w.mv, epoch_us(w.ts) AS ts_us
+FROM win w LEFT JOIN del d USING (user_id)
+WHERE w.rn = 1
+  AND (d.dv IS NULL
+       OR CAST(epoch_us(w.ts) AS HUGEINT) * 4294967296 + w.seq > d.dv)
+"""
+
+
 def _q_cdc_replay_final_state(spark, sf_dir):
     """Flagship: batch CDC replay through the real engine — change
     events → LakeTable.merge_batch (bucketed CoW LWW MERGE with
@@ -1655,6 +1723,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lww_latest_state": _q_lww_latest_state,
         "token_range_slice": _q_token_range_slice,
         "custom_writetime_ttl": _q_custom_writetime_ttl,
+        "explode_cdc_replay": _q_explode_cdc_replay,
         "cdc_replay_final_state": _q_cdc_replay_final_state,
         "streaming_cdc_replay": _q_streaming_cdc_replay,
         "streaming_checkpoint_resume": _q_streaming_checkpoint_resume,
@@ -1718,6 +1787,7 @@ def oracle_sql() -> dict[str, str]:
         "lww_latest_state": _lww_state_sql(),
         "token_range_slice": _token_slice_oracle(),
         "custom_writetime_ttl": _CUSTOM_WRITETIME_ORACLE,
+        "explode_cdc_replay": _EXPLODE_CDC_ORACLE,
         "cdc_replay_final_state": _FINAL_STATE_ORACLE,
         "streaming_cdc_replay": _FINAL_STATE_ORACLE,
         "streaming_checkpoint_resume": _FINAL_STATE_ORACLE,
