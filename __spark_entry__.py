@@ -332,6 +332,7 @@ def _q_explode_cdc_replay(spark, sf_dir):
     rc = _job_main(
         ["migrate", "--log", log, "--table", table,
          "--key-col", "user_id", "--ts-col", "ts",
+         "--conf", "spark.cdm.perfops.numParts=8",
          "--conf", "spark.cdm.feature.explodeMap.origin.name=m",
          "--conf", "spark.cdm.feature.explodeMap.target.name.key=mk",
          "--conf", "spark.cdm.feature.explodeMap.target.name.value=mv"],
