@@ -284,10 +284,9 @@ def _explode_origin_truth(feat, table, cfg, ev):
     would report every older entry still correctly present in the
     target as ``extra_target``. Truth here: per-surrogate winner among
     the exploded update events, killed when a whole-key delete is
-    NEWER than the winner (matching the merge's delete fan-out; the
-    one batching-dependent edge — a surrogate first introduced after a
-    delete with an older timestamp — is documented on
-    :func:`_explode_delete_fanout`)."""
+    NEWER than the winner — matching the merge's delete fan-out plus
+    its durable key-level tombstones (:func:`_explode_delete_fanout`),
+    batching-independently."""
     from pyspark.sql import Window
     from pyspark.sql import functions as F
 
@@ -346,20 +345,37 @@ def _explode_delete_fanout(feat, table, cfg):
     side, with the delete's own (ts, seq) so LWW still orders late
     updates against the tombstone per surrogate.
 
-    Residual semantics (documented, per-entry LWW): an update whose map
-    no longer contains an entry does NOT delete that entry's surrogate
-    row — entries evolve independently; only an explicit delete op
-    clears the key. A brand-new surrogate arriving AFTER the delete
-    with an older timestamp is not blocked (no tombstone exists for a
-    surrogate that never lived)."""
+    The placeholder itself ALSO merges, as a durable KEY-LEVEL
+    tombstone (its surrogate is the bare key — real surrogates always
+    contain the unit separator, so no collision), and every later
+    batch guards its arriving entries against stored key tombstones.
+    That closes the ordering edge a fan-out alone leaves open: a
+    surrogate first introduced in a LATER batch with a timestamp older
+    than the key's delete stays deleted, whatever the epoch batching
+    was — the same durable-tombstone determinism the non-exploded
+    merge already has.
+
+    Cost shape (100×-scale audit): delete-free tables skip the guard
+    entirely via the manifest's tombstone counters (driver-side, no
+    job); when tombstones exist, the guard scan is bucket-pruned to
+    the batch's KEY buckets and column-pruned to (key, surrogate, ts,
+    _deleted, _seq), with the `_deleted` predicate pushed to parquet —
+    never a payload read. Per-entry LWW semantics otherwise: an update
+    whose map no longer contains an entry does NOT delete that entry's
+    surrogate row; only an explicit delete op clears the key."""
     from pyspark.sql import functions as F
 
+    from cassandra_data_migrator_spark.functions.hashing import bucket_expr
+    from cassandra_data_migrator_spark.lake.table import _DELETED, _SEQ
     from cassandra_data_migrator_spark.operators.features import (
         SURROGATE_KEY_COL,
     )
 
     key = feat.rename.get(cfg.key_col, cfg.key_col)
     mk = feat.explode[1]
+
+    def _ver(ts_c, seq_c):
+        return F.struct(ts_c.alias("t"), seq_c.cast("long").alias("s"))
 
     def stage(df):
         if "op" not in df.columns:
@@ -369,10 +385,33 @@ def _explode_delete_fanout(feat, table, cfg):
                           & F.col(mk).isNull())
         dels = df.filter(is_placeholder)
         rest = df.filter(~is_placeholder)
+
+        if table.manifest.get("ever_tombstones"):
+            # guard arriving entries against stored KEY tombstones:
+            # entries older than the key's delete never resurrect.
+            # Key tombstones live in the buckets of the BARE key (the
+            # table is bucketed by surrogate) — prune to the batch's
+            # key buckets.
+            kb = [r["b"] for r in rest.select(
+                bucket_expr(key, table.n_buckets).alias("b"))
+                .distinct().collect()]
+            tomb = (table.read(buckets=kb, include_deleted=True,
+                               include_internal=True)
+                    .filter(F.col(_DELETED)
+                            & (F.col(SURROGATE_KEY_COL)
+                               == F.col(key).cast("string")))
+                    .select(F.col(key).alias("_tk"),
+                            _ver(F.col(cfg.ts_col),
+                                 F.col(_SEQ)).alias("_tv")))
+            rest = (rest.join(F.broadcast(tomb),
+                              rest[key] == tomb["_tk"], "left")
+                    .filter(F.col("_tk").isNull()
+                            | (_ver(F.col(cfg.ts_col),
+                                    F.col(cfg.seq_col)) > F.col("_tv")))
+                    .drop("_tk", "_tv"))
+
         if dels.isEmpty():
-            # the common delete-free batch: skip the live-table join
-            # entirely (one cheap limit-1 probe vs a two-column scan
-            # of the whole table per micro-batch)
+            # the common delete-free batch: nothing else to do
             return rest
         del_keys = dels.select(key).distinct()
         live = (table.read()
@@ -383,7 +422,10 @@ def _explode_delete_fanout(feat, table, cfg):
         targets = live.unionByName(batch_surr).distinct()
         fanned = (dels.select(key, cfg.ts_col, "op", cfg.seq_col)
                   .join(targets, on=key, how="inner"))
-        return rest.unionByName(fanned, allowMissingColumns=True)
+        # placeholders ride along: they merge as durable key-level
+        # tombstones the guard above consults in later batches
+        return (rest.unionByName(fanned, allowMissingColumns=True)
+                .unionByName(dels, allowMissingColumns=True))
 
     return stage
 

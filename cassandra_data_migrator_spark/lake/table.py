@@ -657,6 +657,15 @@ class LakeTable:
                 epoch_id, m["epoch_fence"].get(stream_id, -1)
             )
         m["lineage"] = lineage_rows
+        # monotone: has ANY commit ever written tombstone rows? Cheap
+        # durable gate for readers that only need to consult deleted
+        # rows when some exist (e.g. the explode delete-fanout guard) —
+        # the per-commit lineage above covers only THIS commit's
+        # buckets, so it cannot answer "ever" by itself. Compaction may
+        # later purge tombstones; the flag stays conservatively true.
+        m["ever_tombstones"] = bool(self.manifest.get("ever_tombstones")) \
+            or any((ln["rows_with_tombstones"] or 0) > (ln["live_rows"] or 0)
+                   for ln in lineage_rows)
         self._commit(m)
         return MergeResult(
             epoch_key=epoch_key, skipped=False, touched_buckets=touched,

@@ -506,3 +506,41 @@ def test_explode_delete_fanout_streaming(spark, tmpdir_path, capsys):
     got = sorted((r["url"], r["mk"], r["mv"])
                  for r in LakeTable(spark, table).read().collect())
     assert got == [("k2", "c", 3)]
+
+
+def test_explode_delete_blocks_late_old_entries(spark, tmpdir_path,
+                                                capsys):
+    """Durable key-level tombstone: a surrogate first introduced in a
+    LATER invocation with a timestamp OLDER than the key's delete must
+    stay deleted (the fan-out alone cannot know future surrogates;
+    the placeholder tombstone + per-batch guard close the ordering
+    edge) — while a NEWER entry still resurrects the key."""
+    table = os.path.join(tmpdir_path, "ot")
+    pf = _explode_props(tmpdir_path)
+    log = os.path.join(tmpdir_path, "olog")
+
+    ev1 = spark.createDataFrame(
+        [("k1", {"a": 1}, dt.datetime(2024, 1, 2), "update", 1),
+         ("k1", None, dt.datetime(2024, 1, 5), "delete", 2)],
+        "url string, m map<string,int>, warc_ts timestamp, op string, "
+        "seq long")
+    write_event_log(ev1, log, n_chunks=1)
+    assert main(["migrate", "--log", log, "--table", table,
+                 "--properties-file", pf], spark=spark) == 0
+    capsys.readouterr()
+    assert LakeTable(spark, table).read().count() == 0
+
+    # a LATER invocation delivers an out-of-order OLD entry for a
+    # brand-new surrogate (k1,z) plus a genuinely new one (k1,w)
+    ev2 = spark.createDataFrame(
+        [("k1", {"z": 7}, dt.datetime(2024, 1, 3), "update", 3),   # old
+         ("k1", {"w": 9}, dt.datetime(2024, 1, 6), "update", 4)],  # new
+        "url string, m map<string,int>, warc_ts timestamp, op string, "
+        "seq long")
+    write_event_log(ev2, log, n_chunks=1, append=True)
+    assert main(["migrate", "--log", log, "--table", table,
+                 "--properties-file", pf], spark=spark) == 0
+    capsys.readouterr()
+    got = sorted((r["url"], r["mk"], r["mv"])
+                 for r in LakeTable(spark, table).read().collect())
+    assert got == [("k1", "w", 9)]     # z stayed deleted, w resurrected
