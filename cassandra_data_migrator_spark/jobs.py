@@ -273,6 +273,19 @@ def _featureset(args, job):
     return feat, ev_schema
 
 
+def _version_struct(ts_c, seq_c):
+    """(ts, seq) LWW version as an orderable struct. Null seq
+    coalesces to long-min — the same rank ``merge_batch``'s window
+    gives it (``_SEQ.desc`` nulls-last), so the explode guard, the
+    validate truth, and the merge order ties identically. A strict
+    struct comparison against a null field would instead evaluate to
+    NULL and silently drop the row."""
+    from pyspark.sql import functions as F
+    return F.struct(
+        ts_c.alias("t"),
+        F.coalesce(seq_c.cast("long"), F.lit(-(1 << 63))).alias("s"))
+
+
 def _explode_origin_truth(feat, table, cfg, ev):
     """Origin truth for an EXPLODED target: per-surrogate LWW, not
     per-origin-key.
@@ -307,14 +320,13 @@ def _explode_origin_truth(feat, table, cfg, ev):
     win = (upd.withColumn("_rn", F.row_number().over(w))
            .filter(F.col("_rn") == 1).drop("_rn"))
 
-    def _ver(ts_c, seq_c):
-        return F.struct(ts_c.alias("t"), seq_c.cast("long").alias("s"))
-
     dmax = dels.groupBy(okey).agg(
-        F.max(_ver(F.col(cfg.ts_col), F.col(cfg.seq_col))).alias("_d"))
+        F.max(_version_struct(F.col(cfg.ts_col),
+                              F.col(cfg.seq_col))).alias("_d"))
     origin = (win.join(dmax, on=okey, how="left")
               .filter(F.col("_d").isNull()
-                      | (_ver(F.col(cfg.ts_col), F.col(cfg.seq_col))
+                      | (_version_struct(F.col(cfg.ts_col),
+                                         F.col(cfg.seq_col))
                          > F.col("_d")))
               .drop("_d", "op", cfg.seq_col))
     return origin, key_col
@@ -374,9 +386,6 @@ def _explode_delete_fanout(feat, table, cfg):
     key = feat.rename.get(cfg.key_col, cfg.key_col)
     mk = feat.explode[1]
 
-    def _ver(ts_c, seq_c):
-        return F.struct(ts_c.alias("t"), seq_c.cast("long").alias("s"))
-
     def stage(df):
         if "op" not in df.columns:
             return df
@@ -389,25 +398,33 @@ def _explode_delete_fanout(feat, table, cfg):
         if table.manifest.get("ever_tombstones"):
             # guard arriving entries against stored KEY tombstones:
             # entries older than the key's delete never resurrect.
-            # Key tombstones live in the buckets of the BARE key (the
-            # table is bucketed by surrogate) — prune to the batch's
-            # key buckets.
+            # Key tombstones live in the buckets of the BARE key's
+            # STRING form — the table is bucketed by surrogate, and a
+            # placeholder's surrogate is concat_ws over the key cast
+            # to string — so the pruning hash must cast the same way
+            # (a raw-typed hash of a non-string key would read the
+            # wrong buckets and silently miss every tombstone).
             kb = [r["b"] for r in rest.select(
-                bucket_expr(key, table.n_buckets).alias("b"))
+                bucket_expr(F.col(key).cast("string"),
+                            table.n_buckets).alias("b"))
                 .distinct().collect()]
+            # no broadcast hint: the tombstone set is bounded by the
+            # table's deleted-key HISTORY, not by the batch — let AQE
+            # broadcast only when the runtime size is actually small
+            # (same rationale as the merge's gated prereduce join)
             tomb = (table.read(buckets=kb, include_deleted=True,
                                include_internal=True)
                     .filter(F.col(_DELETED)
                             & (F.col(SURROGATE_KEY_COL)
                                == F.col(key).cast("string")))
                     .select(F.col(key).alias("_tk"),
-                            _ver(F.col(cfg.ts_col),
-                                 F.col(_SEQ)).alias("_tv")))
-            rest = (rest.join(F.broadcast(tomb),
-                              rest[key] == tomb["_tk"], "left")
+                            _version_struct(F.col(cfg.ts_col),
+                                            F.col(_SEQ)).alias("_tv")))
+            rest = (rest.join(tomb, rest[key] == tomb["_tk"], "left")
                     .filter(F.col("_tk").isNull()
-                            | (_ver(F.col(cfg.ts_col),
-                                    F.col(cfg.seq_col)) > F.col("_tv")))
+                            | (_version_struct(F.col(cfg.ts_col),
+                                               F.col(cfg.seq_col))
+                               > F.col("_tv")))
                     .drop("_tk", "_tv"))
 
         if dels.isEmpty():

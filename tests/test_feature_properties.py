@@ -530,17 +530,58 @@ def test_explode_delete_blocks_late_old_entries(spark, tmpdir_path,
     capsys.readouterr()
     assert LakeTable(spark, table).read().count() == 0
 
-    # a LATER invocation delivers an out-of-order OLD entry for a
-    # brand-new surrogate (k1,z) plus a genuinely new one (k1,w)
+    # a LATER invocation over a log holding ONLY the new events (a
+    # same-path append would put the delete back in the batch, where
+    # the same-batch fan-out alone would pass this test): an
+    # out-of-order OLD entry for a brand-new surrogate (k1,z) plus a
+    # genuinely new one (k1,w) — only the DURABLE key tombstone +
+    # per-batch guard can block z here
     ev2 = spark.createDataFrame(
         [("k1", {"z": 7}, dt.datetime(2024, 1, 3), "update", 3),   # old
          ("k1", {"w": 9}, dt.datetime(2024, 1, 6), "update", 4)],  # new
         "url string, m map<string,int>, warc_ts timestamp, op string, "
         "seq long")
-    write_event_log(ev2, log, n_chunks=1, append=True)
-    assert main(["migrate", "--log", log, "--table", table,
+    log2 = os.path.join(tmpdir_path, "olog2")
+    write_event_log(ev2, log2, n_chunks=1)
+    assert main(["migrate", "--log", log2, "--table", table,
                  "--properties-file", pf], spark=spark) == 0
     capsys.readouterr()
     got = sorted((r["url"], r["mk"], r["mv"])
                  for r in LakeTable(spark, table).read().collect())
     assert got == [("k1", "w", 9)]     # z stayed deleted, w resurrected
+
+
+def test_explode_delete_guard_nonstring_key(spark, tmpdir_path, capsys):
+    """Same durable-tombstone scenario with a BIGINT origin key: the
+    guard's bucket pruning must hash the key's STRING form (the
+    surrogate's bucketing), or it reads the wrong buckets and silently
+    misses every stored tombstone for non-string keys."""
+    table = os.path.join(tmpdir_path, "nt")
+    pf = _explode_props(tmpdir_path)
+
+    ev1 = spark.createDataFrame(
+        [(5, {"a": 1}, dt.datetime(2024, 1, 2), "update", 1),
+         (5, None, dt.datetime(2024, 1, 5), "delete", 2),
+         (8, {"q": 4}, dt.datetime(2024, 1, 2), "update", 3)],
+        "id bigint, m map<string,int>, warc_ts timestamp, op string, "
+        "seq long")
+    log1 = os.path.join(tmpdir_path, "nlog1")
+    write_event_log(ev1, log1, n_chunks=1)
+    assert main(["migrate", "--log", log1, "--table", table,
+                 "--key-col", "id", "--properties-file", pf],
+                spark=spark) == 0
+    capsys.readouterr()
+
+    ev2 = spark.createDataFrame(
+        [(5, {"z": 7}, dt.datetime(2024, 1, 3), "update", 4)],  # old
+        "id bigint, m map<string,int>, warc_ts timestamp, op string, "
+        "seq long")
+    log2 = os.path.join(tmpdir_path, "nlog2")
+    write_event_log(ev2, log2, n_chunks=1)
+    assert main(["migrate", "--log", log2, "--table", table,
+                 "--key-col", "id", "--properties-file", pf],
+                spark=spark) == 0
+    capsys.readouterr()
+    got = sorted((r["id"], r["mk"], r["mv"])
+                 for r in LakeTable(spark, table).read().collect())
+    assert got == [(8, "q", 4)]       # key 5 stayed deleted
