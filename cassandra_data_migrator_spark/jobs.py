@@ -279,7 +279,8 @@ def _version_struct(ts_c, seq_c):
     gives it (``_SEQ.desc`` nulls-last), so the explode guard, the
     validate truth, and the merge order ties identically. A strict
     struct comparison against a null field would instead evaluate to
-    NULL and silently drop the row."""
+    NULL and silently drop the row. (The sentinel conflates a literal
+    seq of -2^63 with NULL — an accepted, vanishingly contrived tie.)"""
     from pyspark.sql import functions as F
     return F.struct(
         ts_c.alias("t"),
@@ -353,9 +354,12 @@ def _explode_delete_fanout(feat, table, cfg):
     feature chain hands each delete through as one placeholder row
     (null explode key, ``operators/features.py``); this stage replaces
     it with per-surrogate tombstones via a broadcast semi-join of the
-    deleted keys against the live table — bucket-pruned on the read
-    side, with the delete's own (ts, seq) so LWW still orders late
-    updates against the tombstone per surrogate.
+    deleted keys against a two-column projection of the live table
+    (a deleted key's surrogate buckets are unknowable up front, so
+    this read is column-pruned but NOT bucket-pruned — it only runs
+    on batches that actually carry deletes), with the delete's own
+    (ts, seq) so LWW still orders late updates against the tombstone
+    per surrogate.
 
     The placeholder itself ALSO merges, as a durable KEY-LEVEL
     tombstone (its surrogate is the bare key — real surrogates always
