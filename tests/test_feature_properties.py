@@ -585,3 +585,48 @@ def test_explode_delete_guard_nonstring_key(spark, tmpdir_path, capsys):
     got = sorted((r["id"], r["mk"], r["mv"])
                  for r in LakeTable(spark, table).read().collect())
     assert got == [(8, "q", 4)]       # key 5 stayed deleted
+
+
+def test_explode_with_tracked_run(spark, tmpdir_path, capsys):
+    """Tracked (resumable) migration of an exploded CDC log: groups
+    split on the SURROGATE key, the delete fan-out covers surrogates
+    across groups, resume is a fenced no-op, and the final state
+    matches a plain batch replay of the same log."""
+    rows = [
+        ("k1", {"a": 1, "b": 2}, dt.datetime(2024, 1, 1), "update", 1),
+        ("k2", {"c": 3}, dt.datetime(2024, 1, 1), "update", 2),
+        ("k3", {"d": 4}, dt.datetime(2024, 1, 1), "update", 3),
+        ("k1", None, dt.datetime(2024, 1, 2), "delete", 4),
+    ]
+    ev = spark.createDataFrame(
+        rows, "url string, m map<string,int>, warc_ts timestamp, "
+              "op string, seq long")
+    log = os.path.join(tmpdir_path, "tlog")
+    write_event_log(ev, log, n_chunks=1)
+    pf = _explode_props(tmpdir_path)
+
+    tracked = os.path.join(tmpdir_path, "tt")
+    out = _run(spark, capsys, [
+        "migrate", "--log", log, "--table", tracked, "--n-groups", "4",
+        "--properties-file", pf,
+        "--conf", "spark.cdm.trackRun=true",
+        "--conf", "spark.cdm.trackRun.runId=xr1"])
+    assert out["mode"] == "tracked"
+
+    plain = os.path.join(tmpdir_path, "tp")
+    _run(spark, capsys, ["migrate", "--log", log, "--table", plain,
+                         "--properties-file", pf])
+    want = sorted((r["url"], r["mk"], r["mv"]) for r in
+                  LakeTable(spark, plain).read().collect())
+    got = sorted((r["url"], r["mk"], r["mv"]) for r in
+                 LakeTable(spark, tracked).read().collect())
+    assert got == want == [("k2", "c", 3), ("k3", "d", 4)]
+
+    # resume: everything PASSed already → fenced no-op, same state
+    _run(spark, capsys, [
+        "migrate", "--log", log, "--table", tracked, "--n-groups", "4",
+        "--properties-file", pf,
+        "--conf", "spark.cdm.trackRun.previousRunId=xr1"])
+    got2 = sorted((r["url"], r["mk"], r["mv"]) for r in
+                  LakeTable(spark, tracked).read().collect())
+    assert got2 == want
