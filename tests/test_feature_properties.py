@@ -630,3 +630,40 @@ def test_explode_with_tracked_run(spark, tmpdir_path, capsys):
     got2 = sorted((r["url"], r["mk"], r["mv"]) for r in
                   LakeTable(spark, tracked).read().collect())
     assert got2 == want
+
+
+def test_explode_tombstone_survives_maintain(spark, tmpdir_path,
+                                             capsys):
+    """Key tombstones carry delete semantics for late events and must
+    survive compaction + snapshot expiry — after `maintain --compact`,
+    a late OLD entry for the deleted key still stays deleted."""
+    table = os.path.join(tmpdir_path, "mt2")
+    pf = _explode_props(tmpdir_path)
+    ev1 = spark.createDataFrame(
+        [("k1", {"a": 1}, dt.datetime(2024, 1, 2), "update", 1),
+         ("k1", None, dt.datetime(2024, 1, 5), "delete", 2),
+         ("k2", {"c": 3}, dt.datetime(2024, 1, 1), "update", 3)],
+        "url string, m map<string,int>, warc_ts timestamp, op string, "
+        "seq long")
+    log1 = os.path.join(tmpdir_path, "mlog1")
+    write_event_log(ev1, log1, n_chunks=1)
+    assert main(["migrate", "--log", log1, "--table", table,
+                 "--properties-file", pf], spark=spark) == 0
+
+    out = _run(spark, capsys, ["maintain", "--table", table,
+                               "--compact", "--min-files", "1",
+                               "--keep-last", "1"])
+    assert out["job"] == "maintain"
+
+    ev2 = spark.createDataFrame(
+        [("k1", {"z": 7}, dt.datetime(2024, 1, 3), "update", 4)],  # old
+        "url string, m map<string,int>, warc_ts timestamp, op string, "
+        "seq long")
+    log2 = os.path.join(tmpdir_path, "mlog2")
+    write_event_log(ev2, log2, n_chunks=1)
+    assert main(["migrate", "--log", log2, "--table", table,
+                 "--properties-file", pf], spark=spark) == 0
+    capsys.readouterr()
+    got = sorted((r["url"], r["mk"], r["mv"]) for r in
+                 LakeTable(spark, table).read().collect())
+    assert got == [("k2", "c", 3)]     # k1 stayed deleted post-compact
