@@ -405,3 +405,41 @@ def test_evolve_cli(spark, tmpdir_path, capsys, job_log):
     # malformed specs fail cleanly
     assert main(["evolve", "--table", table, "--add", "nocolon"],
                 spark=spark) == 2
+
+
+def test_evolve_then_migrate_with_rename_map(spark, tmpdir_path, capsys,
+                                             job_log):
+    """The two halves of a rename work together: `evolve --rename`
+    changes the TABLE (old files resolve by field id), and the
+    reference's origin→target rename map bridges NEW events that still
+    carry the old name — a grown log keeps applying after the rename."""
+    table = os.path.join(tmpdir_path, "t")
+    _run(spark, capsys, ["migrate", "--log", job_log, "--table", table])
+    _run(spark, capsys, ["evolve", "--table", table,
+                         "--rename", "lang:language"])
+
+    # new events still say 'lang'; the rename map routes them
+    ev = read_event_log(spark, job_log)
+    extra = (ev.filter(F.col("seq") < 5)
+             .withColumn("seq", F.col("seq") + 1000)
+             .withColumn("warc_ts",
+                         F.col("warc_ts") + F.expr("INTERVAL 30 DAYS"))
+             .withColumn("lang", F.lit("xx_weird")))
+    log2 = os.path.join(tmpdir_path, "grown")
+    write_event_log(extra, log2, n_chunks=1)
+    out = _run(spark, capsys, [
+        "migrate", "--log", log2, "--table", table,
+        "--event-schema", "infer",
+        "--conf",
+        "spark.cdm.schema.origin.column.names.to.target=lang:language"])
+    assert out["events_applied"] == extra.count()
+
+    t = LakeTable(spark, table).read()
+    assert "language" in t.columns and "lang" not in t.columns
+    # the re-written urls carry the bridged value (normalize_lang is
+    # tied to the WEB schema's `lang` column; a renamed column is
+    # custom semantics and passes through verbatim)
+    urls = [r["url"] for r in extra.select("url").distinct().collect()]
+    got = {r["url"]: r["language"]
+           for r in t.filter(F.col("url").isin(urls)).collect()}
+    assert got and all(v == "xx_weird" for v in got.values())
