@@ -542,9 +542,10 @@ def cmd_migrate(args, spark) -> dict[str, Any]:
               f"expires_col={table.expires_col!r}); recreate the table "
               "or drop the TTL properties", file=sys.stderr)
         raise SystemExit(2)
-    if feat and feat.codecs:
-        # codec reconciliation binds to the (now-known) target schema,
-        # after the reshape chain — the reference's bind-time dispatch
+    if feat and (feat.codecs or feat.has_null_constants):
+        # codec reconciliation (and null-constant typing) binds to the
+        # (now-known) target schema, after the reshape chain — the
+        # reference's bind-time dispatch
         inner, tschema = transform, table.schema()
         transform = lambda df: feat.codec_stage(  # noqa: E731
             (inner(df) if inner is not None else df), tschema)
@@ -609,6 +610,24 @@ def cmd_migrate(args, spark) -> dict[str, Any]:
                   "schema/CqlTable.java:202-209)", file=sys.stderr)
         out, keep, valid_keys = split_predicates(events, cfg)
         ev = out.filter(keep & valid_keys)
+        n_deletes = 0
+        if "op" in ev.columns:
+            # Cassandra counter columns cannot be deleted-and-recreated
+            # the way regular cells can, and an additive merge has no
+            # sound interpretation of a delete event (its null counters
+            # would no-op but its ts would bump max, and any non-null
+            # values would be ADDED) — drop them loudly rather than
+            # silently sum them (reference counter caveat,
+            # schema/CqlTable.java:202-209)
+            n_deletes = ev.filter(
+                F.col("op").eqNullSafe("delete")).count()
+            if n_deletes:
+                print(f"WARN: --counter ignoring {n_deletes} delete "
+                      "events — deletes are unsupported for counter "
+                      "tables (increments are not idempotent and a "
+                      "counter cell cannot be tombstoned additively)",
+                      file=sys.stderr)
+            ev = ev.filter(~F.col("op").eqNullSafe("delete"))
         if transform is not None:
             ev = transform(ev)
         stream_id = args.stream_id or "migrate-counter"
@@ -620,6 +639,8 @@ def cmd_migrate(args, spark) -> dict[str, Any]:
                                           .get("events", 0)),
                     "buckets": int((result.counters or {})
                                    .get("buckets", 0))}
+        if n_deletes:
+            out_json["deletes_ignored"] = int(n_deletes)
         if result.skipped:
             out_json["fenced"] = True
         return out_json
@@ -1121,8 +1142,15 @@ def main(argv: list[str] | None = None,
         # subcommands raise SystemExit(2) for config errors after
         # argument parsing (e.g. TTL props against a non-TTL table);
         # return the code so embedding callers (tests, notebooks) get
-        # an rc instead of an escaping exception
-        return int(e.code or 1)
+        # an rc instead of an escaping exception. SystemExit payloads
+        # may be None (success), an int, or a message string — map them
+        # the way the interpreter would (None→0, str→printed + rc 1)
+        if e.code is None:
+            return 0
+        if isinstance(e.code, int):
+            return e.code
+        print(e.code, file=sys.stderr)
+        return 1
     print(json.dumps(out))
     return 0
 

@@ -111,7 +111,10 @@ def parse_cql_literal(tok: str) -> tuple[Any, str]:
     (``ConstantColumns.java:126-148``); the equivalents here:
     ``'text'`` → string, ``true/false`` → boolean, integers → int
     (bigint when out of int range), decimals → double, ``null`` → null
-    string.
+    typed string HERE but re-bound to the target column's own type at
+    the codec/bind stage once the target schema is known
+    (:meth:`FeatureSet.codec_stage`), matching the reference's
+    target-typed null bind.
     """
     tok = tok.strip()
     if len(tok) >= 2 and tok[0] == "'" and tok[-1] == "'":
@@ -325,14 +328,34 @@ class FeatureSet:
                 out = TR.map_null_scrub(out, f.name)
         return out
 
+    @property
+    def has_null_constants(self) -> bool:
+        return any(v is None for v, _ in self.constants.values())
+
     def codec_stage(self, df: DataFrame, target_schema) -> DataFrame:
         """Reconcile event column types to the target's via the enabled
         codec families — runs AFTER the reshape chain, like the
         reference's bind-time codec dispatch
-        (``cql/codec/CodecFactory.java:29-64``)."""
+        (``cql/codec/CodecFactory.java:29-64``).
+
+        Null constant columns re-bind here too: a bare ``null`` literal
+        carries no type of its own, so — like the reference, which
+        binds it as the target column's own CQL type
+        (``ConstantColumns.java:126-148``) — it takes the TARGET
+        schema's type once that schema is known (the parse-time
+        placeholder is string, which only ever survives on the
+        infer-schema path where it BECOMES the target type)."""
+        out = df
+        if self.has_null_constants:
+            nulls = {n: target_schema[n].dataType
+                     for n, (v, _) in self.constants.items()
+                     if v is None and n in target_schema.names}
+            if nulls:
+                out = out.withColumns(
+                    {n: F.lit(None).cast(t) for n, t in nulls.items()})
         if not self.codecs:
-            return df
-        return TR.apply_codecs(df, target_schema, self.codecs,
+            return out
+        return TR.apply_codecs(out, target_schema, self.codecs,
                                ts_format=self.codec_ts_format,
                                ts_zone=self.codec_ts_zone)
 
@@ -479,6 +502,14 @@ def build_featureset(props: Mapping[str, str]) -> FeatureSet:
         raise ValueError(
             "TIMESTAMP_STRING_FORMAT codec requires "
             f"{CODEC_TS_FORMAT} (TIMESTAMP_StringFormatCodec.java:33)")
+    wt_inc = _i(CUSTOM_WRITETIME_INC)
+    if wt_inc < 0:
+        # the reference fails validation for increment < 0
+        # (WritetimeTTL.java:113-117) — shifting writetimes backwards
+        # silently reorders LWW, so refuse rather than clamp
+        raise ValueError(
+            f"{CUSTOM_WRITETIME_INC} must be >= 0, got {wt_inc} "
+            "(WritetimeTTL.java:113-117)")
     # .automatic (default true) = derive writetime/TTL from the event's
     # own time column — this engine's default behavior, so the keys are
     # accepted as-is; explicit .names below override per-column
@@ -486,7 +517,7 @@ def build_featureset(props: Mapping[str, str]) -> FeatureSet:
                       explode=explode, extract_json=extract_json,
                       scrub_map_nulls=_b(MAP_SCRUB),
                       custom_writetime=custom_wt,
-                      writetime_increment=_i(CUSTOM_WRITETIME_INC),
+                      writetime_increment=wt_inc,
                       custom_ttl=max(0, _i(CUSTOM_TTL)),
                       writetime_names=_names(WRITETIME_NAMES),
                       ttl_names=_names(TTL_NAMES),

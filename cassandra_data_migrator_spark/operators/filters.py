@@ -55,22 +55,29 @@ def normalize_token_bounds(lo: int | None, hi: int | None,
     By default bounds carry the REFERENCE property's semantics —
     signed-64 Murmur-style tokens (``partition.min/max``,
     ``KnownProperties.java:226-227``) — and are mapped onto the ring
-    measure-preservingly (``(v + 2^63) >> 16``): the hashes differ,
-    but a "lower half of the ring" slice keeps the same FRACTION of
-    keys and complementary reference slices stay complementary here —
-    the property the rerun-a-failed-slice workflow actually needs.
-    The unit is fixed per call site, never guessed from the value
-    (a range heuristic would make ``min=0``'s meaning depend on
-    whether a max is present). ``native=True`` takes bounds already on
-    the 48-bit ring, clamped into range."""
-    def _conv(v: int | None) -> int | None:
+    measure-preservingly: the hashes differ, but a "lower half of the
+    ring" slice keeps the same FRACTION of keys and complementary
+    reference slices stay complementary AND disjoint here — the
+    property the rerun-a-failed-slice workflow actually needs, and the
+    one a sliced ``--counter`` load (non-idempotent adds) depends on.
+    Disjointness needs asymmetric rounding across the 2^16 contraction:
+    hi bounds round DOWN (``(v + 2^63) >> 16``) and lo bounds round UP
+    (``(v + 2^63 + 0xFFFF) >> 16``), so the reference pair
+    ``[min, a]`` / ``[a+1, max]`` maps to adjacent non-overlapping
+    48-bit ranges for every ``a`` — a floor-only mapping would send the
+    shared boundary point to BOTH slices in 65535/65536 cases and
+    double-process its keys. The unit is fixed per call site, never
+    guessed from the value (a range heuristic would make ``min=0``'s
+    meaning depend on whether a max is present). ``native=True`` takes
+    bounds already on the 48-bit ring, clamped into range."""
+    def _conv(v: int | None, round_up: bool) -> int | None:
         if v is None:
             return None
         if native:
             return max(0, min(v, _RING_MAX))
         v = max(-(1 << 63), min(v, (1 << 63) - 1))
-        return (v + (1 << 63)) >> 16
-    return _conv(lo), _conv(hi)
+        return (v + (1 << 63) + (0xFFFF if round_up else 0)) >> 16
+    return _conv(lo, True), _conv(hi, False)
 
 
 def token_slice_predicate(key_col: str, lo: int | None,
