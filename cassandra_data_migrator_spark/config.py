@@ -33,6 +33,17 @@ class EngineConfig:
     key_col: str = "url"              # merge/partition key
     ts_col: str = "warc_ts"           # event-time / writetime (LWW order)
     seq_col: str = "seq"              # monotone tie-breaker within equal ts
+    # When set, the bucket hash covers only the key's PREFIX up to the
+    # first occurrence of this separator (the whole key when absent).
+    # Exploded (surrogate-keyed) tables set it to the surrogate
+    # separator so every surrogate of one origin key — and the key's
+    # bare-key tombstone — lands in ONE bucket: the delete fan-out's
+    # live-surrogate lookup and the key-tombstone guard then prune to
+    # the delete keys' buckets instead of scanning the table. Skew
+    # trade-off: one origin key with a huge map concentrates in one
+    # bucket; transform-stage salting still levels the row work, and
+    # the within-bucket merge window keys on the full surrogate.
+    bucket_prefix_sep: str | None = None
 
     # --- skew handling (north_rule: salted repartition) ------------------
     salt_buckets: int = 4             # sub-splits for hot keys inside a bucket

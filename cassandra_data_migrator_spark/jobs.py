@@ -354,12 +354,14 @@ def _explode_delete_fanout(feat, table, cfg):
     feature chain hands each delete through as one placeholder row
     (null explode key, ``operators/features.py``); this stage replaces
     it with per-surrogate tombstones via a broadcast semi-join of the
-    deleted keys against a two-column projection of the live table
-    (a deleted key's surrogate buckets are unknowable up front, so
-    this read is column-pruned but NOT bucket-pruned — it only runs
-    on batches that actually carry deletes), with the delete's own
-    (ts, seq) so LWW still orders late updates against the tombstone
-    per surrogate.
+    deleted keys against a two-column projection of the live table,
+    with the delete's own (ts, seq) so LWW still orders late updates
+    against the tombstone per surrogate. Exploded tables bucket on the
+    surrogate's ORIGIN-KEY prefix (``bucket_prefix_sep``), so every
+    surrogate a key owns lives in the buckets of its bare key — the
+    lookup prunes to the delete keys' buckets instead of scanning the
+    table (legacy full-surrogate-bucketed tables fall back to the
+    unpruned scan, disclosed loudly).
 
     The placeholder itself ALSO merges, as a durable KEY-LEVEL
     tombstone (its surrogate is the bare key — real surrogates always
@@ -381,7 +383,6 @@ def _explode_delete_fanout(feat, table, cfg):
     surrogate row; only an explicit delete op clears the key."""
     from pyspark.sql import functions as F
 
-    from cassandra_data_migrator_spark.functions.hashing import bucket_expr
     from cassandra_data_migrator_spark.lake.table import _DELETED, _SEQ
     from cassandra_data_migrator_spark.operators.features import (
         SURROGATE_KEY_COL,
@@ -403,14 +404,16 @@ def _explode_delete_fanout(feat, table, cfg):
             # guard arriving entries against stored KEY tombstones:
             # entries older than the key's delete never resurrect.
             # Key tombstones live in the buckets of the BARE key's
-            # STRING form — the table is bucketed by surrogate, and a
-            # placeholder's surrogate is concat_ws over the key cast
-            # to string — so the pruning hash must cast the same way
-            # (a raw-typed hash of a non-string key would read the
-            # wrong buckets and silently miss every tombstone).
+            # STRING form — a placeholder's surrogate is concat_ws over
+            # the key cast to string — so the pruning hash must cast the
+            # same way (a raw-typed hash of a non-string key would read
+            # the wrong buckets and silently miss every tombstone).
+            # table.bucket_of covers both layouts: prefix-bucketed
+            # tables hash the origin-key prefix (identical to the bare
+            # key string), legacy tables hash the full surrogate (a
+            # bare key IS its own surrogate).
             kb = [r["b"] for r in rest.select(
-                bucket_expr(F.col(key).cast("string"),
-                            table.n_buckets).alias("b"))
+                table.bucket_of(F.col(key).cast("string")).alias("b"))
                 .distinct().collect()]
             # no broadcast hint: the tombstone set is bounded by the
             # table's deleted-key HISTORY, not by the batch — let AQE
@@ -435,7 +438,22 @@ def _explode_delete_fanout(feat, table, cfg):
             # the common delete-free batch: nothing else to do
             return rest
         del_keys = dels.select(key).distinct()
-        live = (table.read()
+        if table.bucket_prefix_sep:
+            # prune the live-surrogate lookup to the delete keys'
+            # buckets: prefix bucketing puts all of a key's surrogates
+            # where its bare key hashes, so the bucket list (≤
+            # min(n_deletes, n_buckets) ids, a tiny driver-side
+            # collect) covers every surrogate the fan-out must clear
+            db = [r["b"] for r in del_keys.select(
+                table.bucket_of(F.col(key).cast("string")).alias("b"))
+                .distinct().collect()]
+            live_scan = table.read(buckets=db)
+        else:
+            # legacy layout (bucketed on the full surrogate): a deleted
+            # key's surrogate buckets are unknowable up front — full
+            # (column-pruned) scan, delete-carrying batches only
+            live_scan = table.read()
+        live = (live_scan
                 .select(F.col(key), F.col(SURROGATE_KEY_COL))
                 .join(F.broadcast(del_keys), key, "left_semi"))
         batch_surr = (rest.select(F.col(key), F.col(SURROGATE_KEY_COL))
@@ -463,6 +481,9 @@ def cmd_migrate(args, spark) -> dict[str, Any]:
     )
     from cassandra_data_migrator_spark.streaming.trackrun import (
         BatchRunTracker,
+    )
+    from cassandra_data_migrator_spark.operators.features import (
+        SURROGATE_SEP,
     )
 
     import uuid
@@ -493,9 +514,15 @@ def cmd_migrate(args, spark) -> dict[str, Any]:
         if feat.reshapes:
             # the TARGET is keyed on the feature chain's output key
             # (the renamed key column, or the explode-widened
-            # surrogate)
+            # surrogate). Exploded tables bucket on the surrogate's
+            # origin-key PREFIX so delete fan-out and the key-tombstone
+            # guard stay bucket-prunable (the separator is the
+            # surrogate's own unit separator; plain keys never contain
+            # it, so non-explode renames are unaffected).
             table_cfg = replace(
-                cfg, key_col=feat.target_key_col(cfg.key_col))
+                cfg, key_col=feat.target_key_col(cfg.key_col),
+                bucket_prefix_sep=(SURROGATE_SEP if feat.explode
+                                   is not None else None))
         if feat.adds_expiry:
             # TTL properties materialize expires_at; read() filters
             # expired rows when asked (EngineConfig.expires_col)

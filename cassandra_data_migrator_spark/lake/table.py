@@ -163,6 +163,7 @@ class LakeTable:
                 "key_col": config.key_col,
                 "ts_col": config.ts_col,
                 "expires_col": config.expires_col,
+                "bucket_prefix_sep": config.bucket_prefix_sep,
             },
             "schema_version": 1,
             "schemas": {"1": fields},
@@ -205,6 +206,27 @@ class LakeTable:
     @property
     def expires_col(self) -> str | None:
         return self.manifest["config"].get("expires_col")
+
+    @property
+    def bucket_prefix_sep(self) -> str | None:
+        """Separator bounding the key prefix the bucket hash covers
+        (``EngineConfig.bucket_prefix_sep``); None on legacy tables and
+        plain-keyed tables — the hash then covers the whole key."""
+        return self.manifest["config"].get("bucket_prefix_sep")
+
+    def bucket_of(self, col: str | F.Column) -> F.Column:
+        """THE bucket expression of this table — every writer-side
+        bucket computation must route through here so stored ``_bucket``
+        values, manifest pruning lists, and lineage rollups always
+        agree. With ``bucket_prefix_sep`` set, hashes only the key's
+        prefix before the first separator (surrogate → origin key);
+        ``substring_index`` of a separator-free key is the key itself,
+        so bare-key tombstones co-locate with their surrogates."""
+        c = F.col(col) if isinstance(col, str) else col
+        sep = self.bucket_prefix_sep
+        if sep:
+            c = F.substring_index(c.cast("string"), sep, 1)
+        return bucket_expr(c, self.n_buckets)
 
     @property
     def version(self) -> int:
@@ -326,7 +348,7 @@ class LakeTable:
         schema_cols = [f["name"] for f in self.current_fields()]
         src = df.select(*schema_cols)
         src = (
-            src.withColumn(_BUCKET, bucket_expr(self.key_col, self.n_buckets))
+            src.withColumn(_BUCKET, self.bucket_of(self.key_col))
             .withColumn(_DELETED, F.lit(False))
             .withColumn(_SEQ, F.lit(None).cast("long"))
         )
@@ -414,7 +436,7 @@ class LakeTable:
             F.col(self.key_col), F.col(self.ts_col),
             *[F.col(c) for c in data_cols],
             F.col(op_col).alias("_op"), F.col(seq_col).cast("long").alias(_SEQ),
-        ).withColumn(_BUCKET, bucket_expr(self.key_col, self.n_buckets)) \
+        ).withColumn(_BUCKET, self.bucket_of(self.key_col)) \
          .withColumn(_DELETED, F.col("_op") == F.lit("delete")) \
          .drop("_op")
 
@@ -724,7 +746,7 @@ class LakeTable:
             F.col(self.key_col), F.col(self.ts_col),
             *[F.col(c) for c in counter_cols],
             F.col(seq_col).cast("long").alias(_SEQ),
-        ).withColumn(_BUCKET, bucket_expr(self.key_col, self.n_buckets))
+        ).withColumn(_BUCKET, self.bucket_of(self.key_col))
 
         touched, offsets = self._probe_source(src)
         if not touched:

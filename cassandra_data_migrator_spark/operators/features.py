@@ -73,6 +73,7 @@ FEATURE_PROPERTY_KEYS = frozenset({
 # surrogate-key separator: ASCII unit separator, cannot appear in the
 # reference's CQL identifier-ish keys
 _US = "\x1f"
+SURROGATE_SEP = _US          # public alias: table bucket_prefix_sep
 SURROGATE_KEY_COL = "_cdm_pk"
 
 

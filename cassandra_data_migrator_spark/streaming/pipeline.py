@@ -37,7 +37,6 @@ from pyspark.sql.streaming import StreamingQuery
 
 from cassandra_data_migrator_spark.config import EngineConfig
 from cassandra_data_migrator_spark.functions.hashing import (
-    bucket_expr,
     salted_partition_exprs,
 )
 from cassandra_data_migrator_spark.functions.udfs import extract_text, normalize_lang
@@ -260,8 +259,7 @@ class CdcPipeline:
             tag.groupBy(
                 "_status",
                 F.col(self.config.key_col).alias("_k"),
-                bucket_expr(self.config.key_col,
-                            self.table.n_buckets).alias("_b"))
+                self.table.bucket_of(self.config.key_col).alias("_b"))
             .agg(F.max(F.struct(
                      F.col(self.config.ts_col).alias("_t"),
                      F.coalesce(seq, neg).alias("_s"))).alias("_w"),

@@ -38,7 +38,6 @@ import sys
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from cassandra_data_migrator_spark.functions.hashing import bucket_expr
 from cassandra_data_migrator_spark.lake.table import LakeTable, MergeResult
 from cassandra_data_migrator_spark.streaming.pipeline import _append_parquet
 
@@ -102,7 +101,7 @@ class BatchRunTracker:
     # --------------------------------------------------------------- run
 
     def _group_col(self, src: DataFrame) -> Column:
-        return F.pmod(bucket_expr(self.table.key_col, self.table.n_buckets),
+        return F.pmod(self.table.bucket_of(self.table.key_col),
                       F.lit(self.n_groups))
 
     def _merge_group(

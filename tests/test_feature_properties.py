@@ -667,3 +667,126 @@ def test_explode_tombstone_survives_maintain(spark, tmpdir_path,
     got = sorted((r["url"], r["mk"], r["mv"]) for r in
                  LakeTable(spark, table).read().collect())
     assert got == [("k2", "c", 3)]     # k1 stayed deleted post-compact
+
+
+def test_explode_fanout_prunes_to_delete_key_buckets(spark, tmpdir_path,
+                                                     capsys, monkeypatch):
+    """The delete fan-out's live-surrogate lookup must read ONLY the
+    delete keys' buckets. Exploded tables bucket on the surrogate's
+    ORIGIN-KEY prefix (bucket_prefix_sep), so every surrogate — and the
+    bare-key tombstone — of one key shares its bare key's bucket; a
+    delete-carrying batch then prunes its lookup to those buckets
+    instead of scanning the table (the round-4 100×-scale finding)."""
+    from cassandra_data_migrator_spark.functions.hashing import bucket_expr
+
+    n = 64
+    rows = [(f"k{i}", {"a": i, "b": i + 1}, dt.datetime(2024, 1, 1),
+             "update", i) for i in range(n)]
+    ev = spark.createDataFrame(
+        rows, "url string, m map<string,int>, warc_ts timestamp, "
+              "op string, seq long")
+    log1 = os.path.join(tmpdir_path, "plog1")
+    write_event_log(ev, log1, n_chunks=1)
+    table = os.path.join(tmpdir_path, "pt")
+    pf = _explode_props(tmpdir_path)
+    assert main(["migrate", "--log", log1, "--table", table,
+                 "--properties-file", pf], spark=spark) == 0
+    capsys.readouterr()
+
+    t = LakeTable(spark, table)
+    assert t.bucket_prefix_sep == _US
+    # physical co-location: all stored surrogates of one origin key
+    # live in one bucket = the bare key's hash bucket
+    from cassandra_data_migrator_spark.lake.table import _BUCKET
+    per_key = (t.read(include_internal=True)
+               .groupBy("url").agg(F.count_distinct(_BUCKET).alias("nb"),
+                                   F.first(_BUCKET).alias("b"))
+               .collect())
+    assert all(r["nb"] == 1 for r in per_key)
+    exp = {r["url"]: r["b"] for r in spark.createDataFrame(
+        [(f"k{i}",) for i in range(n)], "url string")
+        .select("url", bucket_expr("url", t.n_buckets).alias("b"))
+        .collect()}
+    assert {r["url"]: r["b"] for r in per_key} == exp
+
+    # delete-only batch: EVERY table read during the migrate must be
+    # bucket-pruned, and the fan-out lookup restricted to k5's bucket
+    calls: list = []
+    orig_read = LakeTable.read
+
+    def spy(self, buckets=None, **kw):
+        calls.append(None if buckets is None else sorted(buckets))
+        return orig_read(self, buckets=buckets, **kw)
+
+    monkeypatch.setattr(LakeTable, "read", spy)
+    dlog = os.path.join(tmpdir_path, "plog2")
+    write_event_log(spark.createDataFrame(
+        [("k5", None, dt.datetime(2024, 1, 2), "delete", 1000)],
+        "url string, m map<string,int>, warc_ts timestamp, op string, "
+        "seq long"), dlog, n_chunks=1)
+    assert main(["migrate", "--log", dlog, "--table", table,
+                 "--properties-file", pf], spark=spark) == 0
+    capsys.readouterr()
+    monkeypatch.setattr(LakeTable, "read", orig_read)
+
+    assert calls, "no table reads recorded"
+    assert all(b is not None for b in calls), \
+        f"unpruned full-table scan during delete fan-out: {calls}"
+    assert all(set(b) <= {exp["k5"]} for b in calls), \
+        f"fan-out read outside the delete key's bucket: {calls}"
+
+    got = sorted((r["url"], r["mk"], r["mv"])
+                 for r in LakeTable(spark, table).read().collect())
+    want = sorted((f"k{i}", mk, mv) for i in range(n) if i != 5
+                  for mk, mv in (("a", i), ("b", i + 1)))
+    assert got == want
+
+
+def test_explode_fanout_legacy_surrogate_bucketing(spark, tmpdir_path,
+                                                   capsys):
+    """Tables created before prefix bucketing (manifest without
+    bucket_prefix_sep, bucketed on the FULL surrogate) still converge:
+    the fan-out falls back to the unpruned column-pruned scan."""
+    from pyspark.sql import types as T
+
+    from cassandra_data_migrator_spark.config import EngineConfig
+
+    table = os.path.join(tmpdir_path, "lt")
+    schema = T.StructType.fromDDL(
+        "url string, warc_ts timestamp, mk string, mv int, "
+        f"`{SURROGATE_KEY_COL}` string")
+    LakeTable.create(spark, table, schema,
+                     EngineConfig(key_col=SURROGATE_KEY_COL,
+                                  ts_col="warc_ts", n_buckets=8))
+    assert LakeTable(spark, table).bucket_prefix_sep is None
+
+    pf = _explode_props(tmpdir_path)
+    ev = spark.createDataFrame(
+        [("k1", {"a": 1, "b": 2}, dt.datetime(2024, 1, 1), "update", 1),
+         ("k2", {"c": 3}, dt.datetime(2024, 1, 1), "update", 2),
+         ("k1", None, dt.datetime(2024, 1, 2), "delete", 3)],
+        "url string, m map<string,int>, warc_ts timestamp, op string, "
+        "seq long")
+    log = os.path.join(tmpdir_path, "llog")
+    write_event_log(ev, log, n_chunks=1)
+    assert main(["migrate", "--log", log, "--table", table,
+                 "--properties-file", pf], spark=spark) == 0
+    capsys.readouterr()
+    got = sorted((r["url"], r["mk"], r["mv"])
+                 for r in LakeTable(spark, table).read().collect())
+    assert got == [("k2", "c", 3)]
+
+    # late OLD entry for the deleted key stays deleted (guard works on
+    # the legacy layout too — bare key IS its own surrogate bucket-wise)
+    ev2 = spark.createDataFrame(
+        [("k1", {"z": 7}, dt.datetime(2024, 1, 1, 12), "update", 4)],
+        "url string, m map<string,int>, warc_ts timestamp, op string, "
+        "seq long")
+    log2 = os.path.join(tmpdir_path, "llog2")
+    write_event_log(ev2, log2, n_chunks=1)
+    assert main(["migrate", "--log", log2, "--table", table,
+                 "--properties-file", pf], spark=spark) == 0
+    capsys.readouterr()
+    got = sorted((r["url"], r["mk"], r["mv"])
+                 for r in LakeTable(spark, table).read().collect())
+    assert got == [("k2", "c", 3)]
