@@ -1251,6 +1251,40 @@ WHERE CAST(i.inter_size AS DOUBLE) / (sa.sz + sb.sz - i.inter_size) >= 0.2
 """
 
 
+def _q_dup_clusters(spark, sf_dir):
+    """Pairs → duplicate CLUSTERS → survivor keep-list: distributed
+    connected components (min-label propagation + pointer jumping,
+    bounded rounds, no driver-side union-find) over the MinHash-LSH
+    verified pair frame. ``(doc_id, cluster_id, keep)`` — cluster_id is
+    the min reachable id (deterministic), keep marks the canonical
+    member; "drop all but one per cluster" = filter NOT keep. The
+    operation every training-data pipeline runs right after LSH; the
+    reference has no analog (it has no dedup at all)."""
+    docs = _tbl(spark, sf_dir, "documents")
+    pairs = D.minhash_dedup_pairs(docs, "doc_id", "text", num_hashes=8,
+                                  band_size=2, shingle_n=3, threshold=0.2)
+    return D.connected_components(pairs, "id_a", "id_b", id_out="doc_id")
+
+
+# transitive closure as a recursive CTE: enumerate every reachable id
+# per node, take the min — the declarative replay of the distributed
+# min-label propagation (identical fixed point by construction)
+_DUP_CLUSTERS_ORACLE = f"""
+WITH RECURSIVE
+vpairs AS (SELECT id_a, id_b FROM ({_MINHASH_LSH_ORACLE})),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM vpairs
+  UNION
+  SELECT id_b AS src, id_a AS dst FROM vpairs),
+reach(id, r) AS (
+  SELECT DISTINCT src AS id, src AS r FROM edges
+  UNION
+  SELECT reach.id, e.dst FROM reach JOIN edges e ON e.src = reach.r)
+SELECT id AS doc_id, min(r) AS cluster_id, (min(r) = id) AS keep
+FROM reach GROUP BY id
+"""
+
+
 def _q_simhash(spark, sf_dir):
     docs = _tbl(spark, sf_dir, "documents")
     return D.simhash(docs, "doc_id", "text", bits=48)
@@ -1769,6 +1803,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_signatures": _q_minhash_signatures,
         "jaccard_pairs": _q_jaccard_pairs,
         "minhash_lsh_dedup": _q_minhash_lsh_dedup,
+        "dup_clusters": _q_dup_clusters,
         "simhash": _q_simhash,
         "simhash_dup_pairs": _q_simhash_dup_pairs,
         "lang_id": _q_lang_id,
@@ -1864,6 +1899,7 @@ FROM documents GROUP BY md5(text)
         "minhash_signatures": _MINHASH_SIG_ORACLE,
         "jaccard_pairs": _JACCARD_ORACLE,
         "minhash_lsh_dedup": _MINHASH_LSH_ORACLE,
+        "dup_clusters": _DUP_CLUSTERS_ORACLE,
         "simhash": _simhash_oracle(48),
         "simhash_dup_pairs": _simhash_pairs_oracle(),
         "lang_id": _lang_id_oracle(),

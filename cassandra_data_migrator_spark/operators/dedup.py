@@ -230,6 +230,112 @@ def minhash_dedup_pairs(
     return pairs.filter(F.col("jaccard") >= threshold)
 
 
+class NotConverged(RuntimeError):
+    """connected_components hit max_iter with labels still changing."""
+
+
+def connected_components(
+    pairs: DataFrame, src_col: str = "id_a", dst_col: str = "id_b",
+    max_iter: int = 25, id_out: str = "id",
+) -> DataFrame:
+    """Distributed connected components over a pair frame →
+    ``(<id_out>, cluster_id, keep)``.
+
+    The missing last step of every near-dup chain
+    (:func:`minhash_dedup_pairs`, :func:`simhash_dup_pairs`,
+    ``similarity.cosine_near_dup``): pairs say *who matches whom*, but
+    the pipeline action is "drop all but one per duplicate CLUSTER",
+    which needs the transitive closure. ``cluster_id`` is the MIN id
+    reachable from each node (deterministic — independent of
+    partitioning and iteration order), ``keep`` marks the canonical
+    survivor (``id == cluster_id``). Only ids appearing in ``pairs``
+    are emitted; unpaired documents are trivially their own survivors
+    (see :func:`survivor_keep_list`).
+
+    Algorithm: iterated min-label propagation with pointer jumping —
+    per round, every node takes ``min(own, neighbors', label-of-label)``
+    — the DataFrame-native form of the alternating large-star/small-star
+    CC (Kiveris et al., "Connected Components in MapReduce and Beyond").
+    Neighbor propagation alone converges in O(diameter) rounds; the
+    pointer-jump join halves label-chain depth per round, giving
+    O(log d) — near-dup clusters are dense and shallow, so 2-4 rounds
+    is typical. Each round is two thin shuffles over (id, label) rows
+    (~16 B/row); ``localCheckpoint`` truncates the iterative lineage so
+    round N's plan does not replay rounds 1..N-1 (on a multi-executor
+    cluster with lossy storage, set a checkpoint dir and swap in
+    ``.checkpoint()`` for durability). NO driver-side union-find: the
+    driver sees one scalar (the changed-count) per round.
+
+    Raises :class:`NotConverged` past ``max_iter`` — with pointer
+    jumping that takes a pathological 2^25-diameter chain, so in
+    practice it only flags a bug, never data.
+    """
+    e = pairs.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst")) \
+        .filter(F.col("src").isNotNull() & F.col("dst").isNotNull())
+    edges = (
+        e.unionByName(e.select(F.col("dst").alias("src"),
+                               F.col("src").alias("dst")))
+        .distinct().persist()
+    )
+    labels = (edges.select(F.col("src").alias("id")).distinct()
+              .withColumn("cc", F.col("id"))
+              .localCheckpoint(eager=True))
+    try:
+        for _ in range(max_iter):
+            # min label among neighbors (map-side combined)
+            nbr = (
+                edges.join(labels.select(F.col("id").alias("src"),
+                                         F.col("cc").alias("scc")), "src")
+                .groupBy(F.col("dst").alias("id"))
+                .agg(F.min("scc").alias("ncc"))
+            )
+            # pointer jump: my label's own current label
+            jump = labels.select(F.col("id").alias("_j"),
+                                 F.col("cc").alias("jcc"))
+            new = (
+                labels.join(nbr, "id", "left")
+                .join(jump, F.col("cc") == F.col("_j"), "left")
+                .select(
+                    "id",
+                    F.least(F.col("cc"),
+                            F.coalesce("ncc", "cc"),
+                            F.coalesce("jcc", "cc")).alias("cc"),
+                    (F.col("cc") != F.least(
+                        F.col("cc"), F.coalesce("ncc", "cc"),
+                        F.coalesce("jcc", "cc"))).alias("_chg"),
+                )
+            ).localCheckpoint(eager=True)
+            changed = new.filter(F.col("_chg")).limit(1).count()
+            labels = new.drop("_chg")
+            if changed == 0:
+                break
+        else:
+            raise NotConverged(
+                f"connected_components: labels still changing after "
+                f"{max_iter} rounds — raise max_iter")
+    finally:
+        edges.unpersist()
+    return labels.select(
+        F.col("id").alias(id_out),
+        F.col("cc").alias("cluster_id"),
+        (F.col("cc") == F.col("id")).alias("keep"),
+    )
+
+
+def survivor_keep_list(
+    df: DataFrame, pairs: DataFrame, id_col: str,
+    src_col: str = "id_a", dst_col: str = "id_b", max_iter: int = 25,
+) -> DataFrame:
+    """Drop every non-canonical duplicate: ``df`` minus the ids whose
+    cluster survivor is another document. Unpaired documents pass
+    through untouched (they are their own clusters). The dropped-id set
+    is cluster-membership-bounded, joined as a left-anti on the id —
+    never a full-frame shuffle of ``df``'s payload columns."""
+    cc = connected_components(pairs, src_col, dst_col, max_iter=max_iter)
+    drop = cc.filter(~F.col("keep")).select(F.col("id").alias(id_col))
+    return df.join(drop, id_col, "left_anti")
+
+
 def simhash(df: DataFrame, id_col: str, text_col: str,
             bits: int = 48) -> DataFrame:
     """SimHash fingerprint: per-bit majority vote over token hashes.

@@ -284,3 +284,59 @@ def test_cosine_near_dup_sizing_and_guard(spark, emb):
                                 n_planes=5, n_tables=1,
                                 max_bucket_size=50)
     assert guarded.count() == 0              # bucket dropped, no blowup
+
+
+# ------------------------------------------- pairs → clusters → survivor
+
+def test_connected_components_clusters_and_survivors(spark):
+    """Transitive closure over a pair frame: chains merge into one
+    cluster keyed by the min id; keep marks exactly the canonical
+    member; ids absent from pairs are absent from the output."""
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (7, 9),      # {1,2,3} and {7,9}
+         (20, 21), (22, 21),          # {20,21,22} via shared 21
+         (30, 30)],                   # degenerate self-pair → singleton
+        "id_a long, id_b long")
+    cc = {r["id"]: (r["cluster_id"], r["keep"])
+          for r in D.connected_components(pairs).collect()}
+    assert cc == {
+        1: (1, True), 2: (1, False), 3: (1, False),
+        7: (7, True), 9: (7, False),
+        20: (20, True), 21: (20, False), 22: (20, False),
+        30: (30, True),
+    }
+
+
+def test_connected_components_long_chain_and_max_iter(spark):
+    """A 40-node path graph needs transitive merging well past one
+    propagation hop — pointer jumping collapses it in O(log n) rounds;
+    an impossible round budget raises NotConverged instead of silently
+    returning partial clusters."""
+    n = 40
+    pairs = spark.createDataFrame([(i, i + 1) for i in range(n)],
+                                  "id_a long, id_b long")
+    out = D.connected_components(pairs, max_iter=10).collect()
+    assert len(out) == n + 1
+    assert all(r["cluster_id"] == 0 for r in out)
+    assert [r["id"] for r in out if r["keep"]] == [0]
+
+    with pytest.raises(D.NotConverged):
+        D.connected_components(pairs, max_iter=1)
+
+
+def test_survivor_keep_list_drops_non_canonical(spark, docs):
+    """End-of-chain semantics: the keep-list equals the corpus minus
+    every non-canonical cluster member — unpaired documents pass
+    through untouched."""
+    pairs = D.minhash_dedup_pairs(docs, "doc_id", "text", num_hashes=8,
+                                  band_size=2, shingle_n=3, threshold=0.2)
+    kept = D.survivor_keep_list(docs, pairs, "doc_id")
+    cc = D.connected_components(pairs, id_out="doc_id")
+    drop = {r["doc_id"] for r in cc.filter(~F.col("keep")).collect()}
+    all_ids = {r["doc_id"] for r in docs.select("doc_id").collect()}
+    assert drop, "fixture corpus should contain near-dup clusters"
+    assert {r["doc_id"] for r in kept.select("doc_id").collect()} \
+        == all_ids - drop
+    # exactly one survivor per cluster remains
+    survivors = {r["doc_id"] for r in cc.filter(F.col("keep")).collect()}
+    assert survivors <= all_ids - drop
