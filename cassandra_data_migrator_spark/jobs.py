@@ -620,10 +620,12 @@ def cmd_migrate(args, spark) -> dict[str, Any]:
         # counter-table migration (reference S5: UPDATE SET c = c + ?,
         # TargetUpdateStatement.java:42-144). Increments are NOT
         # idempotent, so unlike the regular batch mode the stream id
-        # defaults to a STABLE value: a re-invocation must hit the
-        # fence and no-op rather than silently double-add (the same
-        # reason the reference forces batchSize=1 and warns against
-        # counter re-runs, schema/CqlTable.java:202-209).
+        # defaults to a STABLE value and applies through a per-stream
+        # SEQ HIGH-WATERMARK: a re-invocation applies only events past
+        # the recorded max(seq) — a byte-identical replay no-ops, a
+        # grown log applies exactly its new tail — never a silent
+        # double-add (the reason the reference forces batchSize=1 and
+        # warns against counter re-runs, schema/CqlTable.java:202-209).
         from pyspark.sql import functions as F
 
         from cassandra_data_migrator_spark.operators.filters import (
@@ -658,14 +660,23 @@ def cmd_migrate(args, spark) -> dict[str, Any]:
         if transform is not None:
             ev = transform(ev)
         stream_id = args.stream_id or "migrate-counter"
+        # seq high-watermark per stream (mirrors the epoch fence): a
+        # byte-identical replay filters to zero events and no-ops; a
+        # GROWN log applies exactly the new tail incrementally. The
+        # convergent repair path for anything else (out-of-order
+        # backfill, partial loss) is `validate --counter --autocorrect`
+        # (origin−target deltas).
         result = table.merge_counter_batch(
-            ev, seq_col=cfg.seq_col, stream_id=stream_id, epoch_id=0)
+            ev, seq_col=cfg.seq_col, stream_id=stream_id, watermark=True)
         out_json = {"job": "migrate", "mode": "counter",
                     "stream_id": stream_id,
                     "events_applied": int((result.counters or {})
                                           .get("events", 0)),
                     "buckets": int((result.counters or {})
                                    .get("buckets", 0))}
+        wm = table.counter_watermark(stream_id)
+        if wm is not None:
+            out_json["seq_watermark"] = int(wm)
         if n_deletes:
             out_json["deletes_ignored"] = int(n_deletes)
         if result.skipped:

@@ -611,11 +611,15 @@ class LakeTable:
         epoch_key: str | None,
         stream_id: str | None,
         epoch_id: int | None,
+        counter_watermark: tuple[str, int] | None = None,
     ) -> MergeResult:
         """Shared tail of every merge flavor: bucketed write (no extra
         shuffle — ``merged`` is already clustered by ``_bucket``),
         per-bucket lineage/checksum rows, atomic manifest commit with the
-        epoch fence advanced."""
+        epoch fence advanced (and, for watermarked counter merges, the
+        per-stream seq high-watermark recorded in the SAME atomic
+        commit — the watermark can never run ahead of or behind the
+        data it fences)."""
         rel, absdir = self._new_data_dir()
         # already clustered by _bucket: the partitionBy(_PB) write
         # splits per-bucket dirs with no extra shuffle, and each
@@ -678,6 +682,10 @@ class LakeTable:
             m["epoch_fence"][stream_id] = max(
                 epoch_id, m["epoch_fence"].get(stream_id, -1)
             )
+        if counter_watermark is not None:
+            sid, new_wm = counter_watermark
+            wms = m.setdefault("counter_watermarks", {})
+            wms[sid] = max(int(new_wm), int(wms.get(sid, new_wm)))
         m["lineage"] = lineage_rows
         # monotone: has ANY commit ever written tombstone rows? Cheap
         # durable gate for readers that only need to consult deleted
@@ -696,6 +704,11 @@ class LakeTable:
 
     # ------------------------------------------------- counter-table MERGE
 
+    def counter_watermark(self, stream_id: str) -> int | None:
+        """Highest event seq already applied to this counter stream
+        (None before the first watermarked merge)."""
+        return self.manifest.get("counter_watermarks", {}).get(stream_id)
+
     def merge_counter_batch(
         self,
         source: DataFrame,
@@ -703,6 +716,7 @@ class LakeTable:
         seq_col: str = "seq",
         stream_id: str | None = None,
         epoch_id: int | None = None,
+        watermark: bool = False,
     ) -> MergeResult:
         """Additive counter merge: ``stored = stored + Σ(deltas)`` per key.
 
@@ -718,6 +732,18 @@ class LakeTable:
         reference forces batchSize=1 for counters,
         ``schema/CqlTable.java:202-209``).
 
+        ``watermark=True`` (requires ``stream_id``) switches from the
+        whole-run epoch fence to a per-stream SEQ HIGH-WATERMARK kept in
+        the manifest (``counter_watermarks``), mirroring how the epoch
+        fence already works: only events with ``seq >`` the stored
+        watermark apply, the epoch id auto-advances past the fence, and
+        the commit records the new ``max(seq)`` atomically with the
+        data. A byte-identical replay filters to zero events and no-ops
+        (``skipped=True``); a GROWN log applies exactly the new tail —
+        the incremental-apply path a fence alone cannot offer. Events
+        must carry a totally-ordered non-null ``seq`` (null seqs never
+        satisfy ``seq > wm`` and are dropped once a watermark exists).
+
         Counter-table shape mirrors Cassandra's restriction: every
         non-key data column must be a counter (``counter_cols`` defaults
         to all data columns). ``ts_col`` tracks ``max`` event time per
@@ -725,8 +751,19 @@ class LakeTable:
         bucket, then a (bucket, key) aggregation that reuses the
         clustering.
         """
+        wm: int | None = None
+        if watermark:
+            if stream_id is None:
+                raise ValueError("watermark mode requires a stream_id")
+            wm = self.counter_watermark(stream_id)
+            if wm is not None:
+                source = source.filter(
+                    F.col(seq_col).cast("long") > F.lit(wm))
+            # the fence stays monotone but never blocks a watermarked
+            # merge — idempotence comes from the seq filter itself
+            epoch_id = self.manifest["epoch_fence"].get(stream_id, -1) + 1
         epoch_key = f"{stream_id}/{epoch_id}" if stream_id is not None else None
-        if stream_id is not None:
+        if stream_id is not None and not watermark:
             fence = self.manifest["epoch_fence"].get(stream_id)
             if fence is not None and epoch_id is not None and epoch_id <= fence:
                 return MergeResult(epoch_key=epoch_key, skipped=True,
@@ -750,7 +787,25 @@ class LakeTable:
 
         touched, offsets = self._probe_source(src)
         if not touched:
+            if watermark:
+                # nothing past the watermark: a byte-identical replay —
+                # true no-op, no empty-epoch commit (the watermark
+                # already proves this tail applied)
+                return MergeResult(epoch_key=epoch_key, skipped=True,
+                                   version=self.version)
             return self._commit_empty_epoch(epoch_key, stream_id, epoch_id)
+        wm_update = None
+        if watermark:
+            seqs = [o["max_seq"] for o in offsets.values()
+                    if o.get("max_seq") is not None]
+            if not seqs:
+                raise ValueError(
+                    "watermark mode requires events with a non-null "
+                    f"{seq_col!r} (the watermark IS the applied-seq "
+                    "frontier)")
+            new_wm = max(seqs)
+            wm_update = (stream_id, max(new_wm, wm) if wm is not None
+                         else new_wm)
 
         # stored rows contribute their current value as the base term;
         # tombstones previously written to a touched bucket (by
@@ -779,7 +834,8 @@ class LakeTable:
             .unionByName(tombstones)
         )
         return self._write_and_commit(
-            merged, offsets, touched, data_cols, epoch_key, stream_id, epoch_id)
+            merged, offsets, touched, data_cols, epoch_key, stream_id,
+            epoch_id, counter_watermark=wm_update)
 
     # ---------------------------------------------------- schema evolution
 

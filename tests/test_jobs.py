@@ -443,3 +443,61 @@ def test_evolve_then_migrate_with_rename_map(spark, tmpdir_path, capsys,
     got = {r["url"]: r["language"]
            for r in t.filter(F.col("url").isin(urls)).collect()}
     assert got and all(v == "xx_weird" for v in got.values())
+
+
+def test_migrate_counter_seq_watermark_incremental(spark, tmpdir_path,
+                                                   capsys):
+    """Counter seq high-watermark: a GROWN log's second migrate applies
+    exactly the new tail (seq > watermark) instead of fencing the whole
+    run; a byte-identical replay stays a no-op; the watermark rides the
+    same atomic commit as the data."""
+    import datetime as dt
+
+    rows = [(f"u{i % 3}", dt.datetime(2024, 1, 1, 0, 0, i), 10 + i,
+             "update", i) for i in range(9)]
+    df = spark.createDataFrame(
+        rows, "user string, ts timestamp, cents long, op string, seq long")
+    log = os.path.join(tmpdir_path, "wlog")
+    write_event_log(df, log, n_chunks=1)
+    table = os.path.join(tmpdir_path, "wt")
+    base = ["migrate", "--counter", "--log", log, "--table", table,
+            "--key-col", "user", "--ts-col", "ts",
+            "--event-schema",
+            "user string, ts timestamp, cents long, op string, seq long"]
+
+    out = _run(spark, capsys, base)
+    assert out["events_applied"] == 9 and out["seq_watermark"] == 8
+    want = {}
+    for i in range(9):
+        want[f"u{i % 3}"] = want.get(f"u{i % 3}", 0) + 10 + i
+    got = {r["user"]: r["cents"]
+           for r in LakeTable(spark, table).read().collect()}
+    assert got == want
+
+    # byte-identical replay: no-op, watermark unchanged
+    out2 = _run(spark, capsys, base)
+    assert out2.get("fenced") is True and out2["seq_watermark"] == 8
+    assert out2["events_applied"] == 0
+    got2 = {r["user"]: r["cents"]
+            for r in LakeTable(spark, table).read().collect()}
+    assert got2 == want
+
+    # grown log: two new events (seq 9, 10) — ONLY they apply, and the
+    # replayed prefix (seqs 0-8, present again in the same log) doesn't
+    extra = spark.createDataFrame(
+        [("u0", dt.datetime(2024, 1, 2), 100, "update", 9),
+         ("u9", dt.datetime(2024, 1, 2), 7, "update", 10)],
+        "user string, ts timestamp, cents long, op string, seq long")
+    write_event_log(extra, log, n_chunks=1, append=True)
+    out3 = _run(spark, capsys, base)
+    assert "fenced" not in out3
+    assert out3["events_applied"] == 2 and out3["seq_watermark"] == 10
+    want["u0"] += 100
+    want["u9"] = 7
+    got3 = {r["user"]: r["cents"]
+            for r in LakeTable(spark, table).read().collect()}
+    assert got3 == want
+
+    # and the grown log replays to a no-op once caught up
+    out4 = _run(spark, capsys, base)
+    assert out4.get("fenced") is True and out4["events_applied"] == 0
