@@ -485,6 +485,7 @@ def cmd_migrate(args, spark) -> dict[str, Any]:
     from cassandra_data_migrator_spark.operators.features import (
         SURROGATE_SEP,
     )
+    from cassandra_data_migrator_spark.operators import transforms as TR2
 
     import uuid
 
@@ -576,6 +577,18 @@ def cmd_migrate(args, spark) -> dict[str, Any]:
         inner, tschema = transform, table.schema()
         transform = lambda df: feat.codec_stage(  # noqa: E731
             (inner(df) if inner is not None else df), tschema)
+    # automatic UDT field-wise mapping (CqlConversion.java:290-326;
+    # SIT/features/04_udt_mapper): struct-shaped columns positionally
+    # rename/cast to the target's struct shape, with NO configuration —
+    # runs after the feature chain so renamed/exploded columns map too.
+    # Gated on the TARGET carrying struct columns at all: the standard
+    # web tables have none, and a non-None transform would needlessly
+    # turn off the streaming pipeline's combined row-preserving probe.
+    _am_schema = table.schema()
+    if any(TR2._struct_involved(f.dataType) for f in _am_schema.fields):
+        _am_inner = transform
+        transform = lambda df: TR2.auto_map_structs(  # noqa: E731
+            (_am_inner(df) if _am_inner is not None else df), _am_schema)
     if feat and feat.explode is not None:
         # delete fan-out: the feature chain keeps CDC deletes as one
         # placeholder row each (null explode key); expand them here —
@@ -820,6 +833,14 @@ def cmd_validate(args, spark) -> dict[str, Any]:
                                     ts_col=cfg.ts_col)
             origin = feat.codec_stage(origin, table.schema())
             key_col = feat.target_key_col(cfg.key_col)
+    from cassandra_data_migrator_spark.operators import transforms as TR2
+    _vschema = table.schema()
+    if any(TR2._struct_involved(f.dataType) for f in _vschema.fields):
+        # migrate auto-maps struct shapes to the target
+        # (CqlConversion.java:290-326) — the validation truth must run
+        # through the identical positional mapping or every
+        # struct-bearing row reports MISMATCH
+        origin = TR2.auto_map_structs(origin, _vschema)
     if "lang" in origin.columns:
         # the migrate pipeline normalizes lang on write; the diff must
         # apply the same transform origin-side

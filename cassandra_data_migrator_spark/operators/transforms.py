@@ -169,6 +169,75 @@ def map_struct_fields(
     return df.withColumn(out or col, s)
 
 
+def _struct_involved(dt) -> bool:
+    import pyspark.sql.types as T
+    if isinstance(dt, T.StructType):
+        return True
+    if isinstance(dt, T.ArrayType):
+        return _struct_involved(dt.elementType)
+    if isinstance(dt, T.MapType):
+        return _struct_involved(dt.keyType) or _struct_involved(dt.valueType)
+    return False
+
+
+def _positionally_alignable(src, tgt) -> bool:
+    """True when two types agree structurally enough for a positional
+    field-wise cast: struct arities match at every nesting level and
+    container kinds line up (scalar leaves are left to Cast's own
+    analysis-time rules)."""
+    import pyspark.sql.types as T
+    if isinstance(src, T.StructType) or isinstance(tgt, T.StructType):
+        return (isinstance(src, T.StructType)
+                and isinstance(tgt, T.StructType)
+                and len(src.fields) == len(tgt.fields)
+                and all(_positionally_alignable(a.dataType, b.dataType)
+                        for a, b in zip(src.fields, tgt.fields)))
+    if isinstance(src, T.ArrayType) or isinstance(tgt, T.ArrayType):
+        return (isinstance(src, T.ArrayType)
+                and isinstance(tgt, T.ArrayType)
+                and _positionally_alignable(src.elementType,
+                                            tgt.elementType))
+    if isinstance(src, T.MapType) or isinstance(tgt, T.MapType):
+        return (isinstance(src, T.MapType) and isinstance(tgt, T.MapType)
+                and _positionally_alignable(src.keyType, tgt.keyType)
+                and _positionally_alignable(src.valueType, tgt.valueType))
+    return True
+
+
+def auto_map_structs(df: DataFrame, target_schema) -> DataFrame:
+    """Automatic field-wise UDT mapping: every column whose source type
+    is a struct (or list/set/map of structs) that differs from the
+    same-named target column's struct shape is rebuilt POSITIONALLY —
+    field i renamed to the target's field i name and cast to its type,
+    recursively through collections.
+
+    The reference does this with no configuration at all
+    (``data/CqlConversion.java:290-326`` — origin UDT → target UDT
+    conversion by field index; ``SIT/features/04_udt_mapper`` exercises
+    it over a bare keyspaceTable-only properties file), so this stage
+    runs on every migrate/validate leg, independent of the feature
+    properties. Scalar column mismatches stay codec-gated
+    (:func:`apply_codecs`) — only struct-involving types auto-map,
+    because a UDT's identity is its SHAPE, not its (engine-less here)
+    type name. Shapes that don't align positionally (differing arity)
+    are left untouched for the sink's own loud schema error. Spark's
+    ``Cast`` handles struct→struct positionally, so the whole mapping
+    is one codegen'd projection — no extra shuffle, no Python.
+    ``map_struct_fields`` remains for explicit non-positional per-field
+    remaps."""
+    tmap = {f.name: f.dataType for f in target_schema.fields}
+    out_cols: dict[str, Column] = {}
+    for f in df.schema.fields:
+        tgt = tmap.get(f.name)
+        if tgt is None or tgt == f.dataType:
+            continue
+        if not (_struct_involved(f.dataType) and _struct_involved(tgt)):
+            continue
+        if _positionally_alignable(f.dataType, tgt):
+            out_cols[f.name] = F.col(f.name).cast(tgt)
+    return df.withColumns(out_cols) if out_cols else df
+
+
 def apply_codecs(df: DataFrame, target_schema, codecs: Sequence[str],
                  ts_format: str | None = None,
                  ts_zone: str = "UTC") -> DataFrame:

@@ -255,3 +255,122 @@ def test_sit08_column_subset_target(spark, tmpdir_path, capsys):
     out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert out["valid"] == 3 and out["mismatch"] == 0
     assert out["missing"] == 0 and out["extra_target"] == 0
+
+
+def test_sit04_udt_mapper_auto_struct_mapping(spark, tmpdir_path, capsys):
+    """SIT/features/04_udt_mapper with the scenario's OWN properties
+    keys (bare connect/keyspaceTable/numParts — NO feature keys): the
+    origin's UDT columns (a struct, a list/set of structs, a map of
+    structs) land in the target's differently-shaped UDT automatically,
+    field-by-field BY POSITION (CqlConversion.java:290-326) — here the
+    target struct renames every field. Then the scenario's full cycle:
+    validate clean → breakData (key2 deleted from target, key3's UDTs
+    corrupted) → fix.properties autocorrect (missing+mismatch) →
+    expected final state."""
+    import json
+
+    from cassandra_data_migrator_spark.jobs import main
+    from cassandra_data_migrator_spark.sources import write_event_log
+
+    props = os.path.join(tmpdir_path, "migrate.properties")
+    with open(props, "w") as f:
+        f.write("""
+spark.cdm.connect.origin.host                     cdm-sit-cass
+spark.cdm.connect.target.host                     cdm-sit-cass
+spark.cdm.schema.origin.keyspaceTable             origin.udt_mapper
+spark.cdm.schema.target.keyspaceTable             target.udt_mapper
+spark.cdm.perfops.numParts                        1
+""")
+    fix_props = os.path.join(tmpdir_path, "fix.properties")
+    with open(fix_props, "w") as f:
+        f.write(open(props).read() +
+                "spark.cdm.autocorrect.missing                     true\n"
+                "spark.cdm.autocorrect.mismatch                    true\n")
+
+    # origin UDT: (text_value, long_value, double_value); the target
+    # UDT renames every field (txt, num, dbl) — the Spark analog of the
+    # scenario's distinct origin/target UDT types
+    o_udt = "struct<text_value:string,long_value:bigint,double_value:double>"
+    t_udt = "struct<txt:string,num:bigint,dbl:double>"
+    table = os.path.join(tmpdir_path, "udt_t")
+    LakeTable.create(
+        spark, table,
+        T.StructType.fromDDL(
+            f"key string, warc_ts timestamp, val_udt {t_udt}, "
+            f"val_list array<{t_udt}>, val_set array<{t_udt}>, "
+            f"val_map map<string,{t_udt}>"),
+        EngineConfig(key_col="key", n_buckets=4))
+
+    def udt(k, i):
+        return (f"value{k}{i}", k * 1000000000 + i, k + i / 100.0)
+
+    rows = [
+        (f"key{k}", ts(k), udt(k, 0), [udt(k, 1), udt(k, 2)],
+         [udt(k, 3), udt(k, 4)],
+         {"map_key1": udt(k, 5), "map_key2": udt(k, 6)}, "update", k)
+        for k in (1, 2, 3)
+    ]
+    ev_ddl = (f"key string, warc_ts timestamp, val_udt {o_udt}, "
+              f"val_list array<{o_udt}>, val_set array<{o_udt}>, "
+              f"val_map map<string,{o_udt}>, op string, seq long")
+    ev = spark.createDataFrame(rows, ev_ddl)
+    log = os.path.join(tmpdir_path, "udt_log")
+    write_event_log(ev, log, n_chunks=1)
+
+    assert main(["migrate", "--log", log, "--table", table,
+                 "--key-col", "key", "--event-schema", ev_ddl,
+                 "--properties-file", props], spark=spark) == 0
+    cap = capsys.readouterr()
+    assert json.loads(cap.out.strip().splitlines()[-1])["events_applied"] == 3
+
+    t = LakeTable(spark, table)
+    got = {r["key"]: r for r in t.read().collect()}
+    assert len(got) == 3
+    for k in (1, 2, 3):
+        r = got[f"key{k}"]
+        assert r["val_udt"].asDict() == {
+            "txt": f"value{k}0", "num": k * 1000000000, "dbl": float(k)}
+        assert [x["txt"] for x in r["val_list"]] == [f"value{k}1",
+                                                     f"value{k}2"]
+        assert sorted(x["num"] for x in r["val_set"]) == [
+            k * 1000000000 + 3, k * 1000000000 + 4]
+        assert r["val_map"]["map_key2"].asDict() == {
+            "txt": f"value{k}6", "num": k * 1000000000 + 6,
+            "dbl": k + 0.06}
+
+    # validate clean: the origin truth runs through the SAME positional
+    # struct mapping
+    assert main(["validate", "--log", log, "--table", table,
+                 "--key-col", "key", "--event-schema", ev_ddl,
+                 "--properties-file", props], spark=spark) == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["valid"] == 3 and out["mismatch"] == 0
+
+    # breakData.cql: DELETE key2; corrupt every UDT of key3 (newer ts
+    # so plain LWW would keep the corruption — autocorrect must force)
+    bad = ("value999", 9990000000, 999.0)
+    t.merge_batch(spark.createDataFrame(
+        [("key2", ts(100), None, None, None, None, "delete", 100),
+         ("key3", ts(100), bad, [bad, bad], [bad, bad],
+          {"map_key1": bad, "map_key2": bad}, "update", 101)],
+        f"key string, warc_ts timestamp, val_udt {t_udt}, "
+        f"val_list array<{t_udt}>, val_set array<{t_udt}>, "
+        f"val_map map<string,{t_udt}>, op string, seq long"))
+
+    # cdm.fixData.assert: 1 mismatch corrected, 1 missing corrected,
+    # 1 valid
+    assert main(["validate", "--log", log, "--table", table,
+                 "--key-col", "key", "--event-schema", ev_ddl,
+                 "--properties-file", fix_props], spark=spark) == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["valid"] == 1 and out["mismatch"] == 1
+    assert out["missing"] == 1
+    assert out["corrected_missing"] == 1 and out["corrected_mismatch"] == 1
+
+    # cdm.validateData.assert after fix: all clean again
+    assert main(["validate", "--log", log, "--table", table,
+                 "--key-col", "key", "--event-schema", ev_ddl,
+                 "--properties-file", props], spark=spark) == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["valid"] == 3 and out["mismatch"] == 0 \
+        and out["missing"] == 0
