@@ -257,3 +257,76 @@ def test_merge_with_retry_converges_after_lost_race(spark, tmpdir_path):
     twin = merge_with_retry(spark, path, second, fs=ObjectStoreEmulatorFS(),
                             stream_id="victim", epoch_id=0)
     assert twin.skipped
+
+
+def test_maintain_races_live_stream(spark, tmpdir_path):
+    """Compaction + snapshot expiry racing a LIVE streaming tail on the
+    same table: the maintenance commit bumps the manifest version under
+    the stream's feet, the stream's next epoch loses the conditional
+    PUT with CommitConflict and converges via the reload+retry recipe
+    (maintenance never changes row state, the fence still skips twins),
+    and the final state equals a one-shot batch replay. Exactly-once
+    counters survive the race."""
+    log = os.path.join(tmpdir_path, "log")
+    ev = gen_change_events(spark, n_urls=80, n_events=400, seed=53)
+    write_event_log(ev.filter(F.col("seq") < 200), log, n_chunks=2)
+
+    path = os.path.join(tmpdir_path, "t")
+    t = LakeTable.create(spark, path, WEB_SCHEMA, EngineConfig(n_buckets=8))
+    p = CdcPipeline(spark, t, stream_id="tail")
+    q = p.run_stream(log, os.path.join(tmpdir_path, "ckpt"),
+                     max_files_per_trigger=1, available_now=False)
+    try:
+        def applied() -> int:
+            rows = (p.counters().agg(F.sum("events_applied").alias("n"))
+                    .collect())
+            return int(rows[0]["n"] or 0)
+
+        def wait_for(n: int, timeout: float = 120.0) -> None:
+            deadline = time.time() + timeout
+            while time.time() < deadline:
+                if applied() >= n:
+                    return
+                time.sleep(1.0)
+            raise AssertionError(
+                f"stream did not reach {n} applied events "
+                f"(at {applied()})")
+
+        wait_for(200)
+        # maintenance from a SEPARATE handle while the tail is live:
+        # compact every bucket, expire old snapshots (keep a window so
+        # the stream's in-flight stale reader still finds its files)
+        m = LakeTable(spark, path)
+        assert m.compact(min_files=1) is not None
+        m.expire_versions(keep_last=5)
+
+        # the log grows after the maintenance commit — the stream's
+        # next epochs MUST lose the manifest race at least once and
+        # retry through a reloaded snapshot
+        write_event_log(ev.filter(F.col("seq") >= 200), log, n_chunks=2,
+                        append=True)
+        wait_for(400)
+    finally:
+        q.stop()
+        q.awaitTermination(60)
+
+    assert applied() == 400                   # exactly-once across races
+    assert p.conflict_retries >= 1            # the race actually happened
+
+    ref = LakeTable.create(spark, os.path.join(tmpdir_path, "ref"),
+                           WEB_SCHEMA, EngineConfig(n_buckets=8))
+    CdcPipeline(spark, ref, stream_id="r").run_batch(
+        read_event_log(spark, log))
+    t2 = LakeTable(spark, path)
+    got = {r["url"]: (r["warc_ts"], r["text"]) for r in t2.read().collect()}
+    want = {r["url"]: (r["warc_ts"], r["text"])
+            for r in ref.read().collect()}
+    assert got == want
+
+    # post-race maintenance converges too: same state after another
+    # compact + aggressive expiry with the stream stopped
+    t2.compact(min_files=1)
+    t2.expire_versions(keep_last=1)
+    got2 = {r["url"]: (r["warc_ts"], r["text"])
+            for r in LakeTable(spark, path).read().collect()}
+    assert got2 == want
