@@ -674,6 +674,41 @@ GROUP BY user_id
 """
 
 
+def _q_counter_incremental_tail(spark, sf_dir):
+    """Counter SEQ high-watermark incremental apply (round 5, SURVEY
+    §2.12): run 1 applies a prefix of the log in watermark mode; run 2
+    is handed the WHOLE grown log — replayed prefix included — and must
+    apply exactly the ``seq > watermark`` tail, so the final counters
+    equal one clean pass over every event. A byte-identical third
+    delivery filters to zero events and no-ops on the watermark (no
+    fence gymnastics, no double-add — the failure mode the reference
+    avoids only by forbidding counter re-runs, CqlTable.java:202-209)."""
+    ev = _tbl(spark, sf_dir, "events")
+    incr = ev.filter(F.col("event_type") != "error").select(
+        F.col("user_id"), F.col("ts"),
+        _cents("value").alias("counter_cents"),
+        F.col("event_id").alias("seq"))
+    mid = _half_seq(spark, sf_dir)
+    schema = T.StructType([
+        T.StructField("user_id", T.LongType(), False),
+        T.StructField("ts", T.TimestampNTZType(), True),
+        T.StructField("counter_cents", T.LongType(), True),
+    ])
+    table = LakeTable.create(
+        spark, _tmpdir("counter_wm"), schema,
+        EngineConfig(n_buckets=16, key_col="user_id", ts_col="ts"))
+    table.merge_counter_batch(incr.filter(F.col("seq") < mid),
+                              stream_id="q_cwm", watermark=True)
+    # grown log: the full frame redelivered — only the new tail applies
+    r2 = table.merge_counter_batch(incr, stream_id="q_cwm", watermark=True)
+    assert not r2.skipped
+    # byte-identical replay: everything at/below the watermark → no-op
+    assert table.merge_counter_batch(
+        incr, stream_id="q_cwm", watermark=True).skipped
+    return table.read().select(
+        "user_id", "counter_cents", _ts_us("ts").alias("ts_us"))
+
+
 def _q_map_null_scrub(spark, sf_dir):
     """T8 map null-value scrub (CqlTable.java:348-350,369-373): map
     entries with null values are dropped before write."""
@@ -1769,6 +1804,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "autocorrect_replay": _q_autocorrect_replay,
         "schema_evolution_replay": _q_schema_evolution_replay,
         "counter_merge_replay": _q_counter_merge_replay,
+        "counter_incremental_tail": _q_counter_incremental_tail,
         "tracked_batch_replay": _q_tracked_batch_replay,
         "bucket_checksums": _q_bucket_checksums,
         # filters (§2.3)
@@ -1837,6 +1873,8 @@ GROUP BY diff_status
         "autocorrect_replay": _lww_state_sql(),
         "schema_evolution_replay": _SCHEMA_EVOLUTION_ORACLE,
         "counter_merge_replay": _COUNTER_MERGE_ORACLE,
+        # the grown-log replay converges to the same one-clean-pass sum
+        "counter_incremental_tail": _COUNTER_MERGE_ORACLE,
         "tracked_batch_replay": _FINAL_STATE_ORACLE,
         "bucket_checksums": _BUCKET_CHECKSUMS_ORACLE,
         "writetime_window_filter": """
