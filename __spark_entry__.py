@@ -1812,13 +1812,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "column_value_skip": _q_column_value_skip,
         "null_ts_default": _q_null_ts_default,
         "guardrail_large_rows": _q_guardrail_large_rows,
-        "guardrail_all_columns": _q_guardrail_all_columns,
         "guardrail_job_totals": _q_guardrail_job_totals,
         "custom_where_filter": _q_custom_where_filter,
         "sampled_validation": _q_sampled_validation,
         # transforms (§2.4) + metrics (§2.6)
         "extract_json": _q_extract_json,
-        "explode_map": _q_explode_map,
         "feature_chain": _q_feature_chain,
         "constant_rename_cast": _q_constant_rename_cast,
         "row_writetime": _q_row_writetime,
@@ -1826,7 +1824,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "timestamp_codec": _q_timestamp_codec,
         "counters_by_type": _q_counters_by_type,
         "row_ttl_expiry": _q_row_ttl_expiry,
-        "list_element_cast": _q_list_element_cast,
         "udt_collection_codec": _q_udt_collection_codec,
         "diff_virtual_columns": _q_diff_virtual_columns,
         "vector_merge": _q_vector_merge,
@@ -1836,11 +1833,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_meta": _q_media_meta,
         # training-data operators
         "exact_dedup": _q_exact_dedup,
-        "minhash_signatures": _q_minhash_signatures,
-        "jaccard_pairs": _q_jaccard_pairs,
         "minhash_lsh_dedup": _q_minhash_lsh_dedup,
         "dup_clusters": _q_dup_clusters,
-        "simhash": _q_simhash,
         "simhash_dup_pairs": _q_simhash_dup_pairs,
         "lang_id": _q_lang_id,
         "token_quality": _q_token_quality,
@@ -1850,6 +1844,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_topk": _q_ann_lsh_topk,
         "ann_scaled_topk": _q_ann_scaled_topk,
         "ivf_ann_topk": _q_ivf_ann_topk,
+        # ---- tail: the per-round driver artifact records the FIRST 50
+        # entries, so the entries past that line are chosen to be the
+        # ones whose OPERATOR is redundantly covered by an in-artifact
+        # sibling (every family keeps at least one oracled entry above):
+        # minhash_signatures / jaccard_pairs inside minhash_lsh_dedup;
+        # simhash inside simhash_dup_pairs; explode_map inside
+        # feature_chain + explode_cdc_replay; list_element_cast inside
+        # udt_collection_codec; guardrail_all_columns next to
+        # guardrail_large_rows/job_totals; ann_scaled_recall is the
+        # rows-only recall MEASUREMENT (its machinery is oracled by
+        # ann_lsh_topk/ann_scaled_topk). All remain fully runnable —
+        # tools/check_entry.py sweeps the complete dict every round.
+        "explode_map": _q_explode_map,
+        "list_element_cast": _q_list_element_cast,
+        "guardrail_all_columns": _q_guardrail_all_columns,
+        "minhash_signatures": _q_minhash_signatures,
+        "jaccard_pairs": _q_jaccard_pairs,
+        "simhash": _q_simhash,
         "ann_scaled_recall": _q_ann_scaled_recall,
     }
 
