@@ -109,6 +109,16 @@ def _parse_type(s: str) -> T.DataType:
     return T.StructType.fromDDL(f"`c` {s}").fields[0].dataType
 
 
+def watermark_tail_predicate(seq_col: str, wm: int) -> F.Column:
+    """The counter high-watermark's incremental-tail filter:
+    ``seq > wm``. Kept as a bare column comparison (the cast is a no-op
+    on long event logs, erased by SimplifyCasts) so it reaches the
+    parquet scan as a pushed ``GreaterThan`` row-group filter — a
+    grown-log re-run reads only the tail's row groups, not the whole
+    log (plan-asserted in tests/test_plans.py)."""
+    return F.col(seq_col).cast("long") > F.lit(int(wm))
+
+
 def _internal_struct_fields() -> list[T.StructField]:
     return [
         T.StructField(_BUCKET, T.IntegerType(), False),
@@ -757,8 +767,7 @@ class LakeTable:
                 raise ValueError("watermark mode requires a stream_id")
             wm = self.counter_watermark(stream_id)
             if wm is not None:
-                source = source.filter(
-                    F.col(seq_col).cast("long") > F.lit(wm))
+                source = source.filter(watermark_tail_predicate(seq_col, wm))
             # the fence stays monotone but never blocks a watermarked
             # merge — idempotence comes from the seq filter itself
             epoch_id = self.manifest["epoch_fence"].get(stream_id, -1) + 1

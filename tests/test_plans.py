@@ -110,3 +110,17 @@ def test_ivf_candidate_join_is_broadcast_equi(spark):
     assert "CartesianProduct" not in plan and \
         "BroadcastNestedLoopJoin" not in plan, plan
     assert "Python" not in plan, plan
+
+
+def test_counter_watermark_tail_filter_pushed_to_scan(spark, tmpdir_path):
+    """The counter SEQ high-watermark's grown-log tail filter
+    (``merge_counter_batch(watermark=True)`` re-run) must reach the
+    event-log parquet scan as a pushed GreaterThan — the incremental
+    apply's whole point is scanning only the tail's row groups."""
+    from cassandra_data_migrator_spark.lake.table import (
+        watermark_tail_predicate,
+    )
+
+    df = _log(spark, tmpdir_path).filter(watermark_tail_predicate("seq", 25))
+    pushed = plans.pushed_filters(df)
+    assert any("GreaterThan(seq,25)" in p for p in pushed), pushed
