@@ -340,3 +340,22 @@ def test_survivor_keep_list_drops_non_canonical(spark, docs):
     # exactly one survivor per cluster remains
     survivors = {r["doc_id"] for r in cc.filter(F.col("keep")).collect()}
     assert survivors <= all_ids - drop
+
+
+def test_connected_components_empty_and_null_pairs(spark):
+    """Degenerate inputs: an empty pair frame yields an empty cluster
+    frame (zero rounds, no NotConverged), and null endpoints are
+    dropped rather than clustering everything under NULL —
+    survivor_keep_list then passes the corpus through untouched."""
+    empty = spark.createDataFrame([], "id_a long, id_b long")
+    assert D.connected_components(empty).count() == 0
+
+    with_nulls = spark.createDataFrame(
+        [(1, 2), (None, 3), (4, None)], "id_a long, id_b long")
+    cc = {r["id"]: r["cluster_id"]
+          for r in D.connected_components(with_nulls).collect()}
+    assert cc == {1: 1, 2: 1}          # null-endpoint edges dropped
+
+    docs = spark.createDataFrame([(1, "a"), (2, "b")], "doc_id long, t string")
+    kept = D.survivor_keep_list(docs, empty, "doc_id")
+    assert kept.count() == 2
