@@ -146,6 +146,30 @@ def _burn(_):
     return time.time() - t0
 
 
+_BURN_UNIT: list = []        # [seconds/chunk] — one shared unit per invocation
+
+
+def _burn_unit() -> float:
+    """The calibration's single-task reference: seconds per burn chunk
+    on one pinned CPU, measured ONCE per invocation (min over 3 burns).
+
+    Measured once and SHARED by every calibrate() call: the capacity
+    RATIO between two levels is then exactly (work-rate hi)/(work-rate
+    lo) — a per-leg re-measured unit (the previous design) injects an
+    extra multiplicative noise term into every ratio, which on a bad
+    steal night produced physically impossible readings (21 "core-
+    equivalents" on 16 pinned CPUs) and capacity ratios of 0.5-10x for
+    a nominal 4x."""
+    if not _BURN_UNIT:
+        old = os.sched_getaffinity(0)
+        try:
+            os.sched_setaffinity(0, {0})
+            _BURN_UNIT.append(min(_burn(0) for _ in range(3)))
+        finally:
+            os.sched_setaffinity(0, old)
+    return _BURN_UNIT[0]
+
+
 def calibrate(cores: int) -> float:
     """Deliverable core-equivalents of this sandbox for `cores` pinned
     CPUs, measured with a mixed ALU + streaming-memory burn
@@ -153,22 +177,24 @@ def calibrate(cores: int) -> float:
 
     The sandbox is a shared-host VM: identical runs vary up to 3x, and
     both CPU time and memory bandwidth are shared with invisible
-    neighbors. Calibration lets the report separate the ENGINE's scaling
-    (speedup vs delivered capacity) from the HOST's ceiling (delivered
-    vs nominal cores).
+    neighbors (hypervisor steal — the guest's own /proc/stat shows the
+    CPUs idle). Calibration lets the report separate the ENGINE's
+    scaling (speedup vs delivered capacity) from the HOST's ceiling
+    (delivered vs nominal cores). Clamped at `cores`: a pinned set can
+    never truly deliver more than its pin count; readings above it are
+    unit-window noise.
     """
     import multiprocessing as mp
 
+    t1 = _burn_unit()
     old = os.sched_getaffinity(0)
     try:
         os.sched_setaffinity(0, set(range(cores)))
-        # single-task baseline on the pinned set
-        t1 = min(_burn(0), _burn(0))
         with mp.Pool(cores) as p:
             t0 = time.time()
             p.map(_burn, range(cores * 2))
             wall = time.time() - t0
-        return round((cores * 2 * t1) / wall, 2)
+        return round(min(float(cores), (cores * 2 * t1) / wall), 2)
     finally:
         os.sched_setaffinity(0, old)
 
