@@ -51,7 +51,9 @@ HEADLINE = [
     "simhash_dup_pairs",         # simhash + segment-bucket pairs
     "token_quality",             # text quality scoring
     "cosine_topk",               # brute-force ANN baseline
+    "cosine_near_dup",           # embedding-LSH near-dup pair chain
     "ann_lsh_topk",              # LSH ANN scale path
+    "ivf_ann_topk",              # IVF (centroid-probe) ANN scale path
     "ann_scaled_recall",         # ann_params-scaled LSH (9 planes, 20k
                                  # vectors) + measured recall@5 vs exact
 ]

@@ -3,7 +3,11 @@ the driver's CORRECTNESS gate: per query compare row count + sorted-
 column order-insensitive value hash between the Spark result and the
 oracle SQL run on the same parquet tables.
 
-Usage: python tools/check_entry.py [sf_dir] [query ...]
+Usage: python tools/check_entry.py [--json OUT.json] [sf_dir] [query ...]
+
+With --json the per-query results (status, rows, oracled flag,
+seconds) are also written as a committed-artifact JSON so a round's
+full-dictionary gate run needs no re-derivation (VERDICT r4 #4).
 """
 
 from __future__ import annotations
@@ -50,8 +54,14 @@ def table_sig(cols, rows):
 
 
 def main():
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    argv = list(sys.argv[1:])
+    json_out = None
+    if "--json" in argv:
+        i = argv.index("--json")
+        json_out = argv[i + 1]
+        del argv[i:i + 2]
+    sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
+    only = set(argv[1:])
 
     import __spark_entry__ as E
     from cassandra_data_migrator_spark.session import get_spark
@@ -70,6 +80,7 @@ def main():
 
     qs, oracles = E.queries(), E.oracle_sql()
     failures = []
+    results = {}
     for name, fn in qs.items():
         if only and name not in only:
             continue
@@ -81,6 +92,8 @@ def main():
         except Exception as ex:
             print(f"FAIL  {name}: spark error: {ex}")
             failures.append(name)
+            results[name] = {"status": "err", "err": f"spark: {ex}"[:300],
+                             "secs": round(time.time() - t0, 1)}
             continue
         sql = oracles.get(name)
         if sql is None:
@@ -88,6 +101,8 @@ def main():
                   f"[{time.time()-t0:.1f}s]")
             if len(rows) == 0:
                 print(f"  WARN {name}: empty result")
+            results[name] = {"status": "rows_only", "rows": len(rows),
+                             "secs": round(time.time() - t0, 1)}
             continue
         try:
             res = con.sql(sql)
@@ -99,6 +114,8 @@ def main():
         except Exception as ex:
             print(f"FAIL  {name}: duckdb error: {ex}")
             failures.append(name)
+            results[name] = {"status": "err", "err": f"duckdb: {ex}"[:300],
+                             "secs": round(time.time() - t0, 1)}
             continue
         ok = True
         if sorted(cols) != sorted(ocols):
@@ -124,8 +141,29 @@ def main():
             print(f"PASS  {name}: {len(rows)} rows [{time.time()-t0:.1f}s]")
             if len(rows) == 0:
                 print(f"  WARN {name}: empty result")
+            results[name] = {"status": "pass", "rows": len(rows),
+                             "oracle_rows": len(orows),
+                             "secs": round(time.time() - t0, 1)}
         else:
             failures.append(name)
+            results[name] = {"status": "fail", "rows": len(rows),
+                             "oracle_rows": len(orows),
+                             "secs": round(time.time() - t0, 1)}
+
+    if json_out:
+        import json
+        with open(json_out, "w") as f:
+            json.dump({
+                "sf_dir": sf_dir,
+                "n_queries": len(results),
+                "n_pass": sum(r["status"] == "pass" for r in results.values()),
+                "n_rows_only": sum(
+                    r["status"] == "rows_only" for r in results.values()),
+                "n_fail": len(failures),
+                "failures": failures,
+                "queries": results,
+            }, f, indent=1)
+        print(f"artifact written: {json_out}")
 
     print("=" * 60)
     if failures:
