@@ -1071,6 +1071,66 @@ def cmd_guardrail(args, spark) -> dict[str, Any]:
     return {"job": "guardrail", "col_size_kb": kb, **report.totals}
 
 
+def cmd_dedup(args, spark) -> dict[str, Any]:
+    """End-to-end near-duplicate removal over a document corpus — the
+    training-data pipeline's terminal dedup job, composing the
+    dedup-family operators into one CLI surface: pair generation
+    (minhash-LSH verified | simhash hamming | exact content hash) →
+    distributed connected components → survivor keep-list → deduped
+    corpus write.
+
+    Scale shape: candidates are LSH/segment-bucket bounded, connected
+    components shuffles only thin ``(id, label)`` rows, and the final
+    drop is a left-anti join of the corpus against the bounded
+    non-survivor id set — the document payload itself is never
+    shuffled (scan → anti-join → write).
+    """
+    from pyspark.sql import functions as F
+
+    from cassandra_data_migrator_spark.operators import dedup as D
+
+    df = spark.read.parquet(args.input)
+    n_in = df.count()
+    out: dict[str, Any] = {"job": "dedup", "method": args.method,
+                           "input_rows": n_in}
+    if args.method == "exact":
+        reps = D.exact_dedup(df, args.id_col, args.text_col)
+        kept_df = df.join(reps.select(args.id_col), args.id_col,
+                          "left_semi")
+    else:
+        if args.method == "minhash":
+            pairs = D.minhash_dedup_pairs(
+                df, args.id_col, args.text_col,
+                num_hashes=args.num_hashes, band_size=args.band_size,
+                shingle_n=args.shingle_n, threshold=args.threshold,
+                max_bucket_size=args.max_bucket_size)
+        else:
+            pairs = D.simhash_dup_pairs(
+                df, args.id_col, args.text_col, bits=args.bits,
+                max_hamming=args.max_hamming,
+                max_bucket_size=args.max_bucket_size)
+        pairs = pairs.persist()
+        out["dup_pairs"] = pairs.count()
+        cc = D.connected_components(pairs, max_iter=args.max_iter)
+        cc = cc.persist()
+        out["dup_clusters"] = cc.filter(F.col("keep")).count()
+        if args.pairs_out:
+            pairs.write.mode("overwrite").parquet(args.pairs_out)
+        if args.clusters_out:
+            cc.write.mode("overwrite").parquet(args.clusters_out)
+        drop = cc.filter(~F.col("keep")).select(
+            F.col("id").alias(args.id_col))
+        kept_df = df.join(drop, args.id_col, "left_anti")
+        # cc's labels are localCheckpoint-truncated, so the pair chain
+        # is not replayed by the write below
+        pairs.unpersist()
+    kept_df.write.mode("overwrite").parquet(args.output)
+    n_kept = spark.read.parquet(args.output).count()
+    out.update({"kept_rows": n_kept, "dropped_rows": n_in - n_kept,
+                "output": args.output})
+    return out
+
+
 # ---------------------------------------------------------------------------
 # CLI
 # ---------------------------------------------------------------------------
@@ -1178,6 +1238,39 @@ def build_parser() -> argparse.ArgumentParser:
     g.add_argument("--run-id", default=None,
                    help="record totals as a run_info row")
     g.set_defaults(fn=cmd_guardrail)
+
+    dd = sub.add_parser(
+        "dedup", help="near-duplicate removal over a document corpus: "
+                      "pairs → connected components → survivor "
+                      "keep-list → deduped parquet")
+    dd.add_argument("--input", required=True, help="corpus parquet path")
+    dd.add_argument("--output", required=True,
+                    help="deduped corpus parquet path")
+    dd.add_argument("--id-col", default="doc_id")
+    dd.add_argument("--text-col", default="text")
+    dd.add_argument("--method", default="minhash",
+                    choices=("minhash", "simhash", "exact"))
+    dd.add_argument("--threshold", type=float, default=0.8,
+                    help="minhash: exact-Jaccard verify floor")
+    dd.add_argument("--num-hashes", type=int, default=8)
+    dd.add_argument("--band-size", type=int, default=2)
+    dd.add_argument("--shingle-n", type=int, default=1)
+    dd.add_argument("--bits", type=int, default=48,
+                    help="simhash fingerprint width")
+    dd.add_argument("--max-hamming", type=int, default=3)
+    dd.add_argument("--max-bucket-size", type=int, default=None,
+                    help="drop degenerate LSH/segment buckets larger "
+                         "than this (skew guard; audit the would-drop "
+                         "set first with dedup.oversized_buckets)")
+    dd.add_argument("--max-iter", type=int, default=25,
+                    help="connected-components round budget")
+    dd.add_argument("--pairs-out", default=None,
+                    help="also write the verified pair frame")
+    dd.add_argument("--clusters-out", default=None,
+                    help="also write (id, cluster_id, keep)")
+    dd.add_argument("--master", default="local[*]")
+    dd.add_argument("--shuffle-partitions", type=int, default=32)
+    dd.set_defaults(fn=cmd_dedup)
     return ap
 
 

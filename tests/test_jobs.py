@@ -501,3 +501,72 @@ def test_migrate_counter_seq_watermark_incremental(spark, tmpdir_path,
     # and the grown log replays to a no-op once caught up
     out4 = _run(spark, capsys, base)
     assert out4.get("fenced") is True and out4["events_applied"] == 0
+
+
+# ---------------------------------------------------------------------------
+# dedup subcommand: the training-data pipeline's terminal near-dup job
+# ---------------------------------------------------------------------------
+
+@pytest.fixture()
+def dup_corpus(spark, tmpdir_path):
+    """9 docs: cluster A = {1,2,3} (near-identical long texts), cluster
+    B = {5,6} (exact dups), and 4 unrelated singletons."""
+    base = " ".join(f"tok{i}" for i in range(40))
+    rows = [
+        (1, base),
+        (2, base + " tail"),                   # near-dup of 1
+        (3, base.replace("tok7", "tokX")),     # near-dup of 1
+        (4, " ".join(f"alpha{i}" for i in range(40))),
+        (5, "short exact duplicate body"),
+        (6, "short exact duplicate body"),
+        (7, " ".join(f"beta{i}" for i in range(40))),
+        (8, " ".join(f"gamma{i}" for i in range(40))),
+        (9, " ".join(f"delta{i}" for i in range(40))),
+    ]
+    path = os.path.join(tmpdir_path, "corpus")
+    spark.createDataFrame(rows, "doc_id long, text string") \
+        .repartition(3).write.parquet(path)
+    return path
+
+
+def test_dedup_cli_minhash_end_to_end(spark, tmpdir_path, capsys,
+                                      dup_corpus):
+    outp = os.path.join(tmpdir_path, "deduped")
+    clus = os.path.join(tmpdir_path, "clusters")
+    out = _run(spark, capsys, [
+        "dedup", "--input", dup_corpus, "--output", outp,
+        "--clusters-out", clus, "--threshold", "0.7"])
+    assert out["job"] == "dedup" and out["method"] == "minhash"
+    assert out["input_rows"] == 9
+    # clusters {1,2,3} and {5,6} → min-id survivors 1 and 5
+    kept = {r["doc_id"] for r in spark.read.parquet(outp).collect()}
+    assert kept == {1, 4, 5, 7, 8, 9}
+    assert out["kept_rows"] == 6 and out["dropped_rows"] == 3
+    assert out["dup_clusters"] == 2
+    cc = {(r["id"], r["cluster_id"], r["keep"])
+          for r in spark.read.parquet(clus).collect()}
+    assert cc == {(1, 1, True), (2, 1, False), (3, 1, False),
+                  (5, 5, True), (6, 5, False)}
+
+
+def test_dedup_cli_simhash_and_exact(spark, tmpdir_path, capsys,
+                                     dup_corpus):
+    outp = os.path.join(tmpdir_path, "dd_sim")
+    out = _run(spark, capsys, [
+        "dedup", "--input", dup_corpus, "--output", outp,
+        "--method", "simhash", "--max-hamming", "6"])
+    kept = {r["doc_id"] for r in spark.read.parquet(outp).collect()}
+    # simhash at this hamming radius must at least fold the exact pair;
+    # near-dups of cluster A may or may not land within radius — but
+    # survivors are always canonical min-ids and singletons never drop
+    assert 5 in kept and 6 not in kept
+    assert {4, 7, 8, 9} <= kept and 1 in kept
+    assert out["kept_rows"] == len(kept)
+
+    outp2 = os.path.join(tmpdir_path, "dd_exact")
+    out2 = _run(spark, capsys, [
+        "dedup", "--input", dup_corpus, "--output", outp2,
+        "--method", "exact"])
+    kept2 = {r["doc_id"] for r in spark.read.parquet(outp2).collect()}
+    assert kept2 == {1, 2, 3, 4, 5, 7, 8, 9}   # only the exact pair folds
+    assert out2["kept_rows"] == 8 and out2["dropped_rows"] == 1
