@@ -1320,6 +1320,38 @@ FROM reach GROUP BY id
 """
 
 
+def _q_dedup_survivors(spark, sf_dir):
+    """The dedup family's terminal materialization: the survivor
+    keep-list APPLIED to the corpus — documents minus every
+    non-canonical cluster member (what the `dedup` CLI job writes,
+    as an oracled query). Same left-anti join shape as the CLI: the
+    corpus payload is never shuffled, only the bounded non-survivor
+    id set moves."""
+    docs = _tbl(spark, sf_dir, "documents")
+    pairs = D.minhash_dedup_pairs(docs, "doc_id", "text", num_hashes=8,
+                                  band_size=2, shingle_n=3, threshold=0.2)
+    return D.survivor_keep_list(docs, pairs, "doc_id").select("doc_id")
+
+
+# same transitive closure; survivors = corpus minus ids whose cluster
+# min is another document (unpaired docs pass through untouched)
+_DEDUP_SURVIVORS_ORACLE = f"""
+WITH RECURSIVE
+vpairs AS (SELECT id_a, id_b FROM ({_MINHASH_LSH_ORACLE})),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM vpairs
+  UNION
+  SELECT id_b AS src, id_a AS dst FROM vpairs),
+reach(id, r) AS (
+  SELECT DISTINCT src AS id, src AS r FROM edges
+  UNION
+  SELECT reach.id, e.dst FROM reach JOIN edges e ON e.src = reach.r),
+dropped AS (SELECT id FROM reach GROUP BY id HAVING min(r) <> id)
+SELECT d.doc_id FROM documents d
+WHERE d.doc_id NOT IN (SELECT id FROM dropped)
+"""
+
+
 def _q_simhash(spark, sf_dir):
     docs = _tbl(spark, sf_dir, "documents")
     return D.simhash(docs, "doc_id", "text", bits=48)
@@ -1862,6 +1894,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_signatures": _q_minhash_signatures,
         "jaccard_pairs": _q_jaccard_pairs,
         "simhash": _q_simhash,
+        "dedup_survivors": _q_dedup_survivors,
         "ann_scaled_recall": _q_ann_scaled_recall,
     }
 
@@ -1951,6 +1984,7 @@ FROM documents GROUP BY md5(text)
         "minhash_lsh_dedup": _MINHASH_LSH_ORACLE,
         "dup_clusters": _DUP_CLUSTERS_ORACLE,
         "simhash": _simhash_oracle(48),
+        "dedup_survivors": _DEDUP_SURVIVORS_ORACLE,
         "simhash_dup_pairs": _simhash_pairs_oracle(),
         "lang_id": _lang_id_oracle(),
         "token_quality": _TOKEN_QUALITY_ORACLE,
