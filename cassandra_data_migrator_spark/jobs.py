@@ -1120,6 +1120,12 @@ def cmd_dedup(args, spark) -> dict[str, Any]:
             cc.write.mode("overwrite").parquet(args.clusters_out)
         drop = cc.filter(~F.col("keep")).select(
             F.col("id").alias(args.id_col))
+        # the drop-set size is already known (cc is materialized), so
+        # make the broadcast explicit — checkpoint-backed frames carry
+        # no size stats for the static planner; past the threshold the
+        # shuffle anti-join is the physics of a mostly-duplicate corpus
+        if drop.count() <= 4_000_000:
+            drop = F.broadcast(drop)
         kept_df = df.join(drop, args.id_col, "left_anti")
         # cc's labels are localCheckpoint-truncated, so the pair chain
         # is not replayed by the write below

@@ -325,14 +325,25 @@ def connected_components(
 def survivor_keep_list(
     df: DataFrame, pairs: DataFrame, id_col: str,
     src_col: str = "id_a", dst_col: str = "id_b", max_iter: int = 25,
+    broadcast_rows: int = 4_000_000,
 ) -> DataFrame:
     """Drop every non-canonical duplicate: ``df`` minus the ids whose
     cluster survivor is another document. Unpaired documents pass
-    through untouched (they are their own clusters). The dropped-id set
-    is cluster-membership-bounded, joined as a left-anti on the id —
-    never a full-frame shuffle of ``df``'s payload columns."""
+    through untouched (they are their own clusters).
+
+    Plan shape: the labels behind the drop set are
+    localCheckpoint-materialized, so counting it costs one thin scan —
+    and buys the join choice the static planner can't make (a
+    checkpoint-backed frame has no size stats): at or under
+    ``broadcast_rows`` the drop set is explicitly broadcast, so the
+    anti-join never shuffles ``df``'s payload columns. Past the
+    threshold (a corpus that is mostly duplicates) it falls back to a
+    shuffle anti-join — at that density the payload shuffle is the
+    physics of the problem, not a plan miss; run exact dedup first."""
     cc = connected_components(pairs, src_col, dst_col, max_iter=max_iter)
     drop = cc.filter(~F.col("keep")).select(F.col("id").alias(id_col))
+    if drop.count() <= broadcast_rows:
+        drop = F.broadcast(drop)
     return df.join(drop, id_col, "left_anti")
 
 

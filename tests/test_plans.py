@@ -124,3 +124,24 @@ def test_counter_watermark_tail_filter_pushed_to_scan(spark, tmpdir_path):
     df = _log(spark, tmpdir_path).filter(watermark_tail_predicate("seq", 25))
     pushed = plans.pushed_filters(df)
     assert any("GreaterThan(seq,25)" in p for p in pushed), pushed
+
+
+def test_survivor_anti_join_broadcasts_bounded_drop_set(spark):
+    """The dedup survivor anti-join must broadcast the (bounded)
+    non-survivor id set — the corpus payload columns never shuffle on
+    the dedup terminal step. Checkpoint-backed drop frames have no size
+    stats, so the operator makes the broadcast explicit from the count
+    it already materialized."""
+    from cassandra_data_migrator_spark.operators import dedup as D
+
+    docs = spark.createDataFrame(
+        [(i, ("same text " * 10) if i < 6 else f"unique {i} " * 10)
+         for i in range(20)],
+        "doc_id long, text string")
+    pairs = D.minhash_dedup_pairs(docs, "doc_id", "text", threshold=0.5)
+    kept = D.survivor_keep_list(docs, pairs, "doc_id")
+    plan = plans.explain_str(kept, "simple")
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan, plan
+    # the corpus leg feeds the anti-join straight from the scan —
+    # no Exchange between the docs relation and the join
+    assert "SortMergeJoin" not in plan, plan
