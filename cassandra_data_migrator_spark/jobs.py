@@ -1087,9 +1087,17 @@ def cmd_dedup(args, spark) -> dict[str, Any]:
     """
     from pyspark.sql import functions as F
 
+    from cassandra_data_migrator_spark.lake import LakeTable
     from cassandra_data_migrator_spark.operators import dedup as D
 
-    df = spark.read.parquet(args.input)
+    # a lake-table input (the CDC-ingested corpus — the usual pipeline
+    # shape) must be read through its manifest: a raw parquet read of
+    # the directory would include superseded file versions and
+    # tombstone rows
+    try:
+        df = LakeTable(spark, args.input).read()
+    except FileNotFoundError:
+        df = spark.read.parquet(args.input)
     n_in = df.count()
     out: dict[str, Any] = {"job": "dedup", "method": args.method,
                            "input_rows": n_in}

@@ -570,3 +570,46 @@ def test_dedup_cli_simhash_and_exact(spark, tmpdir_path, capsys,
     kept2 = {r["doc_id"] for r in spark.read.parquet(outp2).collect()}
     assert kept2 == {1, 2, 3, 4, 5, 7, 8, 9}   # only the exact pair folds
     assert out2["kept_rows"] == 8 and out2["dropped_rows"] == 1
+
+
+def test_dedup_cli_reads_lake_table_through_manifest(spark, tmpdir_path,
+                                                     capsys):
+    """dedup --input on a LAKE TABLE (the CDC-ingested corpus) must read
+    through the manifest — a raw parquet read of the directory would see
+    superseded file versions (pre-update rows) and tombstones."""
+    import datetime as dt
+
+    table = os.path.join(tmpdir_path, "corpus_lake")
+    text_a = "the quick brown fox " * 10
+
+    def ev(url, day, text, op="update"):
+        return (url, dt.datetime(2024, 1, day), text.encode(), text,
+                "en", op, day)
+
+    log1 = os.path.join(tmpdir_path, "log1")
+    rows1 = [ev("u1", 1, text_a), ev("u2", 1, text_a + "tail"),
+             ev("u3", 1, "totally different words " * 10),
+             ev("u4", 1, "short lived row")]
+    schema = ("url string, warc_ts timestamp, html binary, text string, "
+              "lang string, op string, seq long")
+    from cassandra_data_migrator_spark.sources import write_event_log
+    write_event_log(spark.createDataFrame(rows1, schema), log1, n_chunks=1)
+    _run(spark, capsys, ["migrate", "--log", log1, "--table", table])
+
+    # second epoch: u3 rewritten (supersedes v1 file), u4 deleted
+    log2 = os.path.join(tmpdir_path, "log2")
+    rows2 = [ev("u3", 2, text_a + " tail tail"),
+             ev("u4", 2, "", op="delete")]
+    write_event_log(spark.createDataFrame(rows2, schema), log2, n_chunks=1)
+    _run(spark, capsys, ["migrate", "--log", log2, "--table", table])
+
+    outp = os.path.join(tmpdir_path, "lake_deduped")
+    out = _run(spark, capsys, [
+        "dedup", "--input", table, "--output", outp,
+        "--id-col", "url", "--threshold", "0.7"])
+    # live state: u1/u2/u3 now all near-dups of text_a, u4 gone.
+    # raw-parquet reading would have seen u4 and u3's old unique text.
+    assert out["input_rows"] == 3
+    kept = {r["url"] for r in spark.read.parquet(outp).collect()}
+    assert kept == {"u1"}
+    assert out["dropped_rows"] == 2
