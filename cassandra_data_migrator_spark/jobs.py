@@ -1102,6 +1102,10 @@ def cmd_dedup(args, spark) -> dict[str, Any]:
     out: dict[str, Any] = {"job": "dedup", "method": args.method,
                            "input_rows": n_in}
     if args.method == "exact":
+        if args.pairs_out or args.clusters_out:
+            print("WARN: --pairs-out/--clusters-out are not produced by "
+                  "--method exact (content-hash grouping emits no pair "
+                  "frame)", file=sys.stderr)
         reps = D.exact_dedup(df, args.id_col, args.text_col)
         kept_df = df.join(reps.select(args.id_col), args.id_col,
                           "left_semi")
