@@ -1075,9 +1075,9 @@ def cmd_dedup(args, spark) -> dict[str, Any]:
     """End-to-end near-duplicate removal over a document corpus — the
     training-data pipeline's terminal dedup job, composing the
     dedup-family operators into one CLI surface: pair generation
-    (minhash-LSH verified | simhash hamming | exact content hash) →
-    distributed connected components → survivor keep-list → deduped
-    corpus write.
+    (minhash-LSH verified | simhash hamming | exact content hash |
+    embedding-cosine LSH verified) → distributed connected components →
+    survivor keep-list → deduped corpus write.
 
     Scale shape: candidates are LSH/segment-bucket bounded, connected
     components shuffles only thin ``(id, label)`` rows, and the final
@@ -1114,7 +1114,33 @@ def cmd_dedup(args, spark) -> dict[str, Any]:
             pairs = D.minhash_dedup_pairs(
                 df, args.id_col, args.text_col,
                 num_hashes=args.num_hashes, band_size=args.band_size,
-                shingle_n=args.shingle_n, threshold=args.threshold,
+                shingle_n=args.shingle_n,
+                threshold=args.threshold
+                if args.threshold is not None else 0.8,
+                max_bucket_size=args.max_bucket_size)
+        elif args.method == "cosine":
+            # the vector-space family member: embedding-cosine near-dup
+            # pairs (hyperplane-LSH self-join + exact verify) feeding
+            # the same pairs → clusters → survivor terminal. The plane
+            # count is sized from the corpus so bucket occupancy stays
+            # constant at any scale (ann_params); dim comes from the
+            # data itself — one row's vector length, not a config knob
+            # that could silently disagree with it.
+            from cassandra_data_migrator_spark.operators.similarity import (
+                cosine_near_dup,
+            )
+            first = df.select(
+                F.size(F.col(args.vec_col)).alias("d")).first()
+            if first is None or first["d"] is None or first["d"] <= 0:
+                raise SystemExit(
+                    f"--method cosine requires a non-empty array column "
+                    f"{args.vec_col!r}")
+            pairs = cosine_near_dup(
+                df, threshold=args.threshold
+                if args.threshold is not None else 0.9,
+                id_col=args.id_col, vec_col=args.vec_col,
+                dim=int(first["d"]), n_tables=args.n_tables,
+                corpus_size=n_in,
                 max_bucket_size=args.max_bucket_size)
         else:
             pairs = D.simhash_dup_pairs(
@@ -1267,9 +1293,16 @@ def build_parser() -> argparse.ArgumentParser:
     dd.add_argument("--id-col", default="doc_id")
     dd.add_argument("--text-col", default="text")
     dd.add_argument("--method", default="minhash",
-                    choices=("minhash", "simhash", "exact"))
-    dd.add_argument("--threshold", type=float, default=0.8,
-                    help="minhash: exact-Jaccard verify floor")
+                    choices=("minhash", "simhash", "exact", "cosine"))
+    dd.add_argument("--threshold", type=float, default=None,
+                    help="exact-verify floor: Jaccard for minhash "
+                         "(default 0.8), cosine for cosine (default "
+                         "0.9)")
+    dd.add_argument("--vec-col", default="embedding",
+                    help="cosine: the array<float> embedding column")
+    dd.add_argument("--n-tables", type=int, default=2,
+                    help="cosine: hyperplane-LSH table count (recall "
+                         "vs cost; see BENCH/BASELINE.md recall curve)")
     dd.add_argument("--num-hashes", type=int, default=8)
     dd.add_argument("--band-size", type=int, default=2)
     dd.add_argument("--shingle-n", type=int, default=1)

@@ -572,6 +572,46 @@ def test_dedup_cli_simhash_and_exact(spark, tmpdir_path, capsys,
     assert out2["kept_rows"] == 8 and out2["dropped_rows"] == 1
 
 
+def test_dedup_cli_cosine(spark, tmpdir_path, capsys):
+    """--method cosine: the vector-space family member through the same
+    pairs → connected components → survivor terminal. dim is read from
+    the data; the plane count is ann_params-sized from the corpus."""
+    rows = [
+        (1, [1.0] * 8),
+        (2, [1.0] * 7 + [0.9]),          # near-dup of 1 (cos ≈ 0.999)
+        (4, [1.0] + [0.0] * 7),
+        (5, [1.0, -1.0] * 4),
+        (6, [1.0, -1.0] * 4),            # exact-direction dup of 5
+        (7, [0.0, 1.0] + [0.0] * 6),
+    ]
+    path = os.path.join(tmpdir_path, "emb")
+    spark.createDataFrame(rows, "vec_id long, embedding array<float>") \
+        .write.parquet(path)
+    outp = os.path.join(tmpdir_path, "dd_cos")
+    out = _run(spark, capsys, [
+        "dedup", "--input", path, "--output", outp,
+        "--method", "cosine", "--id-col", "vec_id"])
+    assert out["method"] == "cosine" and out["input_rows"] == 6
+    kept = {r["vec_id"] for r in spark.read.parquet(outp).collect()}
+    # min-id survivors: 1 for {1,2}, 5 for {5,6}; singletons untouched
+    assert kept == {1, 4, 5, 7}
+    assert out["dup_clusters"] == 2 and out["dropped_rows"] == 2
+
+
+def test_dedup_cli_cosine_rejects_missing_vectors(spark, tmpdir_path,
+                                                  capsys):
+    path = os.path.join(tmpdir_path, "emb_bad")
+    spark.createDataFrame([(1, None)],
+                          "vec_id long, embedding array<float>") \
+        .write.parquet(path)
+    rc = main(["dedup", "--input", path,
+               "--output", os.path.join(tmpdir_path, "o"),
+               "--method", "cosine", "--id-col", "vec_id"],
+              spark=spark)
+    assert rc == 1
+    assert "non-empty array column" in capsys.readouterr().err
+
+
 def test_dedup_cli_reads_lake_table_through_manifest(spark, tmpdir_path,
                                                      capsys):
     """dedup --input on a LAKE TABLE (the CDC-ingested corpus) must read
