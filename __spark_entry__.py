@@ -437,6 +437,59 @@ def _q_streaming_checkpoint_resume(spark, sf_dir):
     return _final_state_df(LakeTable(spark, table.path))
 
 
+def _q_skew_salted_replay(spark, sf_dir):
+    """Hot-domain skew salting end-to-end (P2; north_rule "salted
+    repartitioning to break hot-domain skew"; reference random-split
+    shuffle ``job/SplitPartitions.java:48-64``): 80% of the change
+    stream is deterministically collapsed onto ONE hot key
+    (``seq % 5 != 0 → user_id 1``), then replayed through the streaming
+    pipeline with the salted pre-transform repartition ENABLED
+    (``salt_transform_stage=True, lazy_extract=False`` — the
+    eager-transform configuration whose per-row stage the salt levels;
+    the entry queries otherwise run the lazy winner-side default where
+    salting is deliberately off). Salting is a physical-plan leveler
+    only — rows of one key spread across ``salt_buckets`` tasks for the
+    transform stage, then re-converge on the merge's (bucket, key)
+    shuffle — so the final LWW state must be byte-equal to the plain
+    window-SQL replay of the same skewed log."""
+    events = _change_events(spark, sf_dir).withColumn(
+        "user_id",
+        F.when(F.col("seq") % 5 != 0, F.lit(1).cast("long"))
+         .otherwise(F.col("user_id")))
+    log_path = _tmpdir("skew_log")
+    write_event_log(events, log_path, n_chunks=4)
+    table = LakeTable.create(
+        spark, _tmpdir("skew_tbl"), _STATE_SCHEMA,
+        EngineConfig(n_buckets=8, key_col="user_id", ts_col="ts",
+                     salt_buckets=4))
+    pipe = CdcPipeline(
+        spark, table,
+        EngineConfig(n_buckets=8, key_col="user_id", ts_col="ts",
+                     salt_buckets=4),
+        stream_id="q_skew", event_schema=events.schema,
+        salt_transform_stage=True, lazy_extract=False)
+    q = pipe.run_stream(log_path, _tmpdir("skew_ckpt"),
+                        max_files_per_trigger=2, available_now=True)
+    q.awaitTermination()
+    return _final_state_df(LakeTable(spark, table.path))
+
+
+_SKEW_SALTED_ORACLE = """
+WITH ev AS (
+  SELECT CASE WHEN event_id % 5 <> 0 THEN CAST(1 AS BIGINT)
+              ELSE user_id END AS user_id,
+         ts, event_type, value, event_id
+  FROM events),
+ranked AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+  FROM ev)
+SELECT user_id, epoch_us(ts) AS ts_us, event_type AS last_type,
+       CAST(round(value*100) AS BIGINT) AS value_cents
+FROM ranked WHERE rn = 1 AND event_type <> 'error'
+"""
+
+
 def _q_unset_null_merge(spark, sf_dir):
     """UNSET-null write semantics (T9, ``TargetInsertStatement.java:
     82-85``): null data columns in a newer event leave the older value
@@ -1829,6 +1882,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_replay_final_state": _q_cdc_replay_final_state,
         "streaming_cdc_replay": _q_streaming_cdc_replay,
         "streaming_checkpoint_resume": _q_streaming_checkpoint_resume,
+        "skew_salted_replay": _q_skew_salted_replay,
         "unset_null_merge": _q_unset_null_merge,
         "column_skip_list": _q_column_skip_list,
         "validation_diff": _q_validation_diff,
@@ -1874,7 +1928,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cosine_topk": _q_cosine_topk,
         "cosine_near_dup": _q_cosine_near_dup,
         "ann_lsh_topk": _q_ann_lsh_topk,
-        "ann_scaled_topk": _q_ann_scaled_topk,
         "ivf_ann_topk": _q_ivf_ann_topk,
         # ---- tail: the per-round driver artifact records the FIRST 50
         # entries, so the entries past that line are chosen to be the
@@ -1884,10 +1937,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # simhash inside simhash_dup_pairs; explode_map inside
         # feature_chain + explode_cdc_replay; list_element_cast inside
         # udt_collection_codec; guardrail_all_columns next to
-        # guardrail_large_rows/job_totals; ann_scaled_recall is the
-        # rows-only recall MEASUREMENT (its machinery is oracled by
-        # ann_lsh_topk/ann_scaled_topk). All remain fully runnable —
-        # tools/check_entry.py sweeps the complete dict every round.
+        # guardrail_large_rows/job_totals; ann_scaled_topk is the same
+        # LSH machinery as ann_lsh_topk at ann_params-sized plane
+        # counts; ann_scaled_recall is the rows-only recall MEASUREMENT
+        # (its machinery is oracled by ann_lsh_topk). All remain fully
+        # runnable — tools/check_entry.py sweeps the complete dict every
+        # round.
+        "ann_scaled_topk": _q_ann_scaled_topk,
         "explode_map": _q_explode_map,
         "list_element_cast": _q_list_element_cast,
         "guardrail_all_columns": _q_guardrail_all_columns,
@@ -1908,6 +1964,7 @@ def oracle_sql() -> dict[str, str]:
         "cdc_replay_final_state": _FINAL_STATE_ORACLE,
         "streaming_cdc_replay": _FINAL_STATE_ORACLE,
         "streaming_checkpoint_resume": _FINAL_STATE_ORACLE,
+        "skew_salted_replay": _SKEW_SALTED_ORACLE,
         "unset_null_merge": _UNSET_NULL_ORACLE,
         "column_skip_list": _COLUMN_SKIP_ORACLE,
         "validation_diff": _VALIDATION_DIFF_ORACLE,
