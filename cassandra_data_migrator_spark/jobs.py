@@ -694,6 +694,16 @@ def cmd_migrate(args, spark) -> dict[str, Any]:
             out_json["deletes_ignored"] = int(n_deletes)
         if result.skipped:
             out_json["fenced"] = True
+            if result.skip_reason == "legacy-fence":
+                out_json["legacy_fence"] = True
+                print("WARN: stream "
+                      f"{stream_id!r} was loaded by a pre-watermark "
+                      "release (epoch fence present, no seq watermark); "
+                      "nothing was applied — re-applying the log could "
+                      "double-add shared increments. Converge with "
+                      "`validate --counter --autocorrect`, or use a "
+                      "fresh --stream-id against an empty table.",
+                      file=sys.stderr)
         return out_json
 
     if job.get("track_run") or job.get("previous_run_id") \
@@ -1129,12 +1139,17 @@ def cmd_dedup(args, spark) -> dict[str, Any]:
             from cassandra_data_migrator_spark.operators.similarity import (
                 cosine_near_dup,
             )
-            first = df.select(
-                F.size(F.col(args.vec_col)).alias("d")).first()
-            if first is None or first["d"] is None or first["d"] <= 0:
+            # sample dim from the first NON-NULL, NON-EMPTY vector — a
+            # single bad row (null/empty embedding) must not abort or
+            # mis-size the hyperplanes for an otherwise-valid corpus
+            first = df.filter(
+                F.col(args.vec_col).isNotNull()
+                & (F.size(F.col(args.vec_col)) > 0)
+            ).select(F.size(F.col(args.vec_col)).alias("d")).first()
+            if first is None:
                 raise SystemExit(
                     f"--method cosine requires a non-empty array column "
-                    f"{args.vec_col!r}")
+                    f"{args.vec_col!r} (no row has one)")
             pairs = cosine_near_dup(
                 df, threshold=args.threshold
                 if args.threshold is not None else 0.9,
@@ -1156,15 +1171,10 @@ def cmd_dedup(args, spark) -> dict[str, Any]:
             pairs.write.mode("overwrite").parquet(args.pairs_out)
         if args.clusters_out:
             cc.write.mode("overwrite").parquet(args.clusters_out)
-        drop = cc.filter(~F.col("keep")).select(
-            F.col("id").alias(args.id_col))
-        # the drop-set size is already known (cc is materialized), so
-        # make the broadcast explicit — checkpoint-backed frames carry
-        # no size stats for the static planner; past the threshold the
-        # shuffle anti-join is the physics of a mostly-duplicate corpus
-        if drop.count() <= 4_000_000:
-            drop = F.broadcast(drop)
-        kept_df = df.join(drop, args.id_col, "left_anti")
+        # the shared dedup terminal: byte-priced explicit broadcast of
+        # the drop set (see operators.dedup.apply_keep_list for why the
+        # gate is bytes, not rows)
+        kept_df = D.apply_keep_list(df, cc, args.id_col)
         # cc's labels are localCheckpoint-truncated, so the pair chain
         # is not replayed by the write below
         pairs.unpersist()

@@ -44,6 +44,7 @@ from __future__ import annotations
 import json
 import os
 import uuid
+from collections.abc import Callable
 from dataclasses import dataclass, field
 from typing import Any
 
@@ -84,6 +85,13 @@ class CommitConflict(RuntimeError):
 class MergeResult:
     epoch_key: str | None
     skipped: bool                   # True iff epoch fence suppressed the merge
+    # why a skip happened, when the caller must distinguish: None (not
+    # skipped / plain fence), "watermark" (no events past the seq
+    # high-watermark), "legacy-fence" (watermark mode found a fenced
+    # stream with NO recorded watermark — a pre-watermark load whose
+    # applied extent is unknown, so nothing was applied; see
+    # merge_counter_batch)
+    skip_reason: str | None = None
     touched_buckets: list[int] = field(default_factory=list)
     counters: dict[str, int] = field(default_factory=dict)
     lineage: list[dict[str, Any]] = field(default_factory=list)
@@ -768,6 +776,23 @@ class LakeTable:
             wm = self.counter_watermark(stream_id)
             if wm is not None:
                 source = source.filter(watermark_tail_predicate(seq_col, wm))
+            elif self.manifest["epoch_fence"].get(stream_id) is not None:
+                # LEGACY-FENCE GUARD: this stream was loaded by a
+                # pre-watermark (fence-only) counter merge — the fence
+                # proves a prior apply happened but records nothing
+                # about its seq extent, so re-applying the current log
+                # would double-add every increment it shares with the
+                # original one. Refuse to guess: apply nothing, record
+                # nothing (inventing a watermark from the CURRENT log
+                # would wrongly bless any tail the old apply never saw).
+                # The convergent paths are `validate --counter
+                # --autocorrect` (origin−target deltas) or a fresh
+                # stream_id against an empty table.
+                return MergeResult(
+                    epoch_key=f"{stream_id}/"
+                              f"{self.manifest['epoch_fence'][stream_id]}",
+                    skipped=True, skip_reason="legacy-fence",
+                    version=self.version)
             # the fence stays monotone but never blocks a watermarked
             # merge — idempotence comes from the seq filter itself
             epoch_id = self.manifest["epoch_fence"].get(stream_id, -1) + 1
@@ -801,6 +826,7 @@ class LakeTable:
                 # true no-op, no empty-epoch commit (the watermark
                 # already proves this tail applied)
                 return MergeResult(epoch_key=epoch_key, skipped=True,
+                                   skip_reason="watermark",
                                    version=self.version)
             return self._commit_empty_epoch(epoch_key, stream_id, epoch_id)
         wm_update = None
@@ -1076,11 +1102,38 @@ def merge_with_retry(
     (stream_id, epoch_id) from a twin job, the reopened merge sees the
     fence and skips instead of double-applying.
     """
+    state: dict[str, LakeTable] = {}
+
+    def _reopen() -> None:
+        state["t"] = LakeTable(spark, path, fs=fs)
+
+    _reopen()
+    return retry_on_conflict(
+        lambda: state["t"].merge_batch(source, **merge_kw),
+        _reopen, attempts=attempts)
+
+
+def retry_on_conflict(
+    merge: Callable[[], MergeResult],
+    refresh: Callable[[], None],
+    attempts: int = 3,
+) -> MergeResult:
+    """The optimistic-concurrency retry loop itself: run ``merge``; on
+    :class:`CommitConflict` call ``refresh`` (reopen/reload the table so
+    the next attempt merges against the winner's state) and try again,
+    at most ``attempts`` times total, then re-raise — bounded so a
+    genuinely hot multi-writer loop still fails loudly. Shared by
+    :func:`merge_with_retry` (fresh handle per attempt) and the
+    streaming pipeline's per-epoch apply (reloads its long-lived handle
+    and counts retries); the safety argument — LWW idempotence + the
+    epoch fence skipping a twin of the same (stream, epoch) — lives on
+    :func:`merge_with_retry`."""
     last: CommitConflict | None = None
-    for _ in range(max(1, attempts)):
-        table = LakeTable(spark, path, fs=fs)
+    for i in range(max(1, attempts)):
         try:
-            return table.merge_batch(source, **merge_kw)
+            return merge()
         except CommitConflict as e:
             last = e
+            if i + 1 < attempts:
+                refresh()
     raise last  # type: ignore[misc]  # attempts >= 1 ⇒ last is set

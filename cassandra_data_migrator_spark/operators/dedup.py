@@ -322,29 +322,53 @@ def connected_components(
     )
 
 
+# explicit-broadcast budget for the dedup terminal's drop set: sized
+# for a few-GB driver/executor heap, far above autoBroadcastJoinThreshold
+# because a single-column id relation is cheap to build and ship
+BROADCAST_DROP_BYTES = 256 << 20
+
+
+def apply_keep_list(
+    df: DataFrame, cc: DataFrame, id_col: str,
+    broadcast_bytes: int = BROADCAST_DROP_BYTES,
+) -> DataFrame:
+    """The dedup terminal: anti-join ``df`` against ``cc``'s
+    non-survivors (``keep == false``), keeping exactly one canonical
+    member per duplicate cluster. ``cc`` is
+    :func:`connected_components` output (materialized — its labels are
+    localCheckpoint-truncated), so pricing the drop set costs one thin
+    aggregate — and buys the join choice the static planner can't make
+    (a checkpoint-backed frame has no size stats): at or under
+    ``broadcast_bytes`` the drop set is explicitly broadcast, so the
+    anti-join never shuffles ``df``'s payload columns. The gate is in
+    BYTES (count × mean id width + per-row overhead), not rows — wide
+    string ids (URLs) at a row-count gate could force a driver-OOM-sized
+    broadcast that a plain shuffle anti-join would survive. Past the
+    budget (a corpus that is mostly duplicates) the payload shuffle is
+    the physics of the problem, not a plan miss; run exact dedup
+    first."""
+    drop = cc.filter(~F.col("keep")).select(F.col("id").alias(id_col))
+    stats = drop.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.avg(F.length(F.col(id_col).cast("string"))).alias("w")).first()
+    est_bytes = int((stats["n"] or 0) * (float(stats["w"] or 8.0) + 16))
+    if est_bytes <= broadcast_bytes:
+        drop = F.broadcast(drop)
+    return df.join(drop, id_col, "left_anti")
+
+
 def survivor_keep_list(
     df: DataFrame, pairs: DataFrame, id_col: str,
     src_col: str = "id_a", dst_col: str = "id_b", max_iter: int = 25,
-    broadcast_rows: int = 4_000_000,
+    broadcast_bytes: int = BROADCAST_DROP_BYTES,
 ) -> DataFrame:
     """Drop every non-canonical duplicate: ``df`` minus the ids whose
     cluster survivor is another document. Unpaired documents pass
-    through untouched (they are their own clusters).
-
-    Plan shape: the labels behind the drop set are
-    localCheckpoint-materialized, so counting it costs one thin scan —
-    and buys the join choice the static planner can't make (a
-    checkpoint-backed frame has no size stats): at or under
-    ``broadcast_rows`` the drop set is explicitly broadcast, so the
-    anti-join never shuffles ``df``'s payload columns. Past the
-    threshold (a corpus that is mostly duplicates) it falls back to a
-    shuffle anti-join — at that density the payload shuffle is the
-    physics of the problem, not a plan miss; run exact dedup first."""
+    through untouched (they are their own clusters). Composition of
+    :func:`connected_components` and :func:`apply_keep_list` (which
+    documents the anti-join's broadcast pricing)."""
     cc = connected_components(pairs, src_col, dst_col, max_iter=max_iter)
-    drop = cc.filter(~F.col("keep")).select(F.col("id").alias(id_col))
-    if drop.count() <= broadcast_rows:
-        drop = F.broadcast(drop)
-    return df.join(drop, id_col, "left_anti")
+    return apply_keep_list(df, cc, id_col, broadcast_bytes=broadcast_bytes)
 
 
 def simhash(df: DataFrame, id_col: str, text_col: str,

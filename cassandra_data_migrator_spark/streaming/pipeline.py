@@ -41,9 +41,9 @@ from cassandra_data_migrator_spark.functions.hashing import (
 )
 from cassandra_data_migrator_spark.functions.udfs import extract_text, normalize_lang
 from cassandra_data_migrator_spark.lake.table import (
-    CommitConflict,
     LakeTable,
     MergeResult,
+    retry_on_conflict,
 )
 from cassandra_data_migrator_spark.operators.filters import (
     split_events,
@@ -340,39 +340,32 @@ class CdcPipeline:
         # full transformed batch would materialize the whole payload
         # (html+text) per epoch for no saved work.
         try:
-            attempts = 0
-            while True:
-                try:
-                    result = self.table.merge_batch(
-                        batch,
-                        seq_col=self.config.seq_col,
-                        stream_id=self.stream_id,
-                        epoch_id=epoch_id,
-                        unset_nulls=self.unset_nulls,
-                        finalize=self._finalize if self.lazy_extract
-                        else None,
-                        probed=probed,
-                        prereduce_max_events=self.config
-                        .lww_prereduce_max_events,
-                        prereduced=prereduced,
-                    )
-                    break
-                except CommitConflict:
-                    # a rival committed under this epoch's feet — the
-                    # normal cause is table MAINTENANCE (compact /
-                    # expire) racing the live tail, which never changes
-                    # row state. The loser's recipe (merge_with_retry):
-                    # reload the manifest and re-merge — LWW idempotence
-                    # makes the re-apply safe, the fence still skips a
-                    # twin of this very (stream, epoch), and the dead
-                    # attempt's data files are orphans for
-                    # expire_versions. Bounded so a genuinely hot
-                    # multi-writer loop still fails loudly.
-                    attempts += 1
-                    if attempts > 3:
-                        raise
-                    self.conflict_retries += 1
-                    self.table._load_latest()
+            # a rival commit under this epoch's feet — the normal cause
+            # is table MAINTENANCE (compact / expire) racing the live
+            # tail, which never changes row state — reloads the manifest
+            # and re-merges via the shared retry_on_conflict loop: LWW
+            # idempotence makes the re-apply safe, the fence still skips
+            # a twin of this very (stream, epoch), and the dead
+            # attempt's data files are orphans for expire_versions.
+            def _reload() -> None:
+                self.conflict_retries += 1
+                self.table._load_latest()
+
+            result = retry_on_conflict(
+                lambda: self.table.merge_batch(
+                    batch,
+                    seq_col=self.config.seq_col,
+                    stream_id=self.stream_id,
+                    epoch_id=epoch_id,
+                    unset_nulls=self.unset_nulls,
+                    finalize=self._finalize if self.lazy_extract
+                    else None,
+                    probed=probed,
+                    prereduce_max_events=self.config
+                    .lww_prereduce_max_events,
+                    prereduced=prereduced,
+                ),
+                _reload, attempts=4)
         finally:
             if perkey is not None:
                 perkey.unpersist()

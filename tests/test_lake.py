@@ -244,6 +244,33 @@ def test_counter_merge_epoch_fence(spark, tmpdir_path):
     assert t.read().collect()[0]["hits"] == 7
 
 
+def test_counter_watermark_refuses_legacy_fenced_stream(spark, tmpdir_path):
+    """Upgrade safety: a stream loaded by a pre-watermark (fence-only)
+    counter merge has an epoch fence but NO recorded seq watermark — its
+    applied extent is unknown, so a watermark-mode re-invocation must
+    apply NOTHING (skip_reason='legacy-fence') instead of double-adding
+    every increment the current log shares with the original apply."""
+    t = LakeTable.create(
+        spark, os.path.join(tmpdir_path, "c"), COUNTER_SCHEMA,
+        EngineConfig(n_buckets=8))
+    batch = mk_incr(spark, [(0, "a", 0, 7), (1, "b", 1, 2)])
+    # the old fence-only path (no watermark recorded)
+    t.merge_counter_batch(batch, stream_id="s", epoch_id=0)
+    assert t.counter_watermark("s") is None
+    # grown log, new release re-invokes in watermark mode
+    grown = mk_incr(spark, [(0, "a", 0, 7), (1, "b", 1, 2),
+                            (2, "a", 2, 5)])
+    r = t.merge_counter_batch(grown, stream_id="s", watermark=True)
+    assert r.skipped and r.skip_reason == "legacy-fence"
+    got = {row["url"]: row["hits"] for row in t.read().collect()}
+    assert got == {"a": 7, "b": 2}  # nothing double-added, tail untouched
+    # and no watermark was invented from the current log
+    assert t.counter_watermark("s") is None
+    # a FRESH stream id still applies normally in watermark mode
+    r2 = t.merge_counter_batch(grown, stream_id="s2", watermark=True)
+    assert not r2.skipped and t.counter_watermark("s2") == 2
+
+
 def test_counter_rejects_non_counter_columns(spark, tmpdir_path):
     t = LakeTable.create(
         spark, os.path.join(tmpdir_path, "c"), WEB_SCHEMA,
