@@ -359,3 +359,41 @@ def test_connected_components_empty_and_null_pairs(spark):
     docs = spark.createDataFrame([(1, "a"), (2, "b")], "doc_id long, t string")
     kept = D.survivor_keep_list(docs, empty, "doc_id")
     assert kept.count() == 2
+
+
+def test_connected_components_matches_union_find_on_random_graphs(spark):
+    """Randomized cross-check: for seeded random edge sets (varying
+    density, including disconnected singleton-free graphs), the
+    distributed min-label/pointer-jump result must equal a pure-Python
+    union-find's transitive closure — same node set, same min-id
+    cluster labels, same survivors."""
+    import random
+
+    for seed, n_nodes, n_edges in [(1, 30, 15), (2, 30, 45),
+                                   (3, 80, 40), (4, 80, 200)]:
+        rng = random.Random(seed)
+        edges = [(rng.randrange(n_nodes), rng.randrange(n_nodes))
+                 for _ in range(n_edges)]
+
+        parent = list(range(n_nodes))
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        touched = set()
+        for a, b in edges:
+            touched.add(a)
+            touched.add(b)
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        expect = {x: find(x) for x in touched}
+
+        pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+        got = {r["id"]: (r["cluster_id"], r["keep"])
+               for r in D.connected_components(pairs).collect()}
+        assert got == {x: (c, x == c) for x, c in expect.items()}, \
+            f"seed={seed}"
