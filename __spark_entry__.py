@@ -1472,6 +1472,32 @@ FROM s
 """
 
 
+def _q_bpe_token_count(spark, sf_dir):
+    """BPE-ish token counting (the LLM-pipeline token-budget stat):
+    GPT-2-style pre-tokenizer segments counted per document with a
+    lookahead-free regex that Java regex and RE2 segment identically,
+    so even the regex semantics are value-checked against DuckDB.
+    Alongside the whitespace count for the two standard denominators
+    (chars/BPE-token ≈ compression, ws-token/BPE-token ≈ wordiness)."""
+    docs = _tbl(spark, sf_dir, "documents")
+    out = TS.bpe_token_count(TS.token_count(docs, "text"), "text")
+    return out.select(
+        "doc_id",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.col("n_bpe_tokens").cast("long").alias("n_bpe_tokens"))
+
+
+_BPE_TOKEN_ORACLE = r"""
+SELECT doc_id,
+  CAST(len(list_filter(string_split(lower(text), ' '),
+                       x -> x <> '')) AS BIGINT) AS n_tokens,
+  CAST(len(regexp_extract_all(text,
+    '''(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+',
+    0)) AS BIGINT) AS n_bpe_tokens
+FROM documents
+"""
+
+
 def _q_token_quality(spark, sf_dir):
     docs = _tbl(spark, sf_dir, "documents")
     out = TS.token_count(docs, "text")
@@ -1950,6 +1976,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_signatures": _q_minhash_signatures,
         "jaccard_pairs": _q_jaccard_pairs,
         "simhash": _q_simhash,
+        "bpe_token_count": _q_bpe_token_count,
         "dedup_survivors": _q_dedup_survivors,
         "ann_scaled_recall": _q_ann_scaled_recall,
     }
@@ -2045,6 +2072,7 @@ FROM documents GROUP BY md5(text)
         "simhash_dup_pairs": _simhash_pairs_oracle(),
         "lang_id": _lang_id_oracle(),
         "token_quality": _TOKEN_QUALITY_ORACLE,
+        "bpe_token_count": _BPE_TOKEN_ORACLE,
         "doc_fingerprint": _DOC_FINGERPRINT_ORACLE,
         "cosine_topk": _COSINE_TOPK_ORACLE,
         "cosine_near_dup": _near_dup_oracle(),

@@ -46,6 +46,31 @@ def token_count(df: DataFrame, text_col: str,
     return df.withColumn(out_col, F.size(tokens_expr(text_col)))
 
 
+# GPT-2-style pre-tokenizer pattern, lookahead-free so Java regex
+# (Spark) and RE2 (DuckDB) segment identically: common contractions,
+# space-prefixed letter runs, space-prefixed digit runs, space-prefixed
+# punctuation runs, residual whitespace runs. Counting these segments
+# approximates a BPE tokenizer's pre-merge token budget — the number an
+# LLM-data pipeline filters and bills by — without shipping a vocab.
+BPE_ISH_PATTERN = (
+    r"'(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+"
+)
+
+
+def bpe_token_count(df: DataFrame, text_col: str,
+                    out_col: str = "n_bpe_tokens") -> DataFrame:
+    """BPE-ish token count: the number of GPT-2-style pre-tokenizer
+    segments in ``text_col`` (see :data:`BPE_ISH_PATTERN`). Stays
+    codegen'd (``regexp_extract_all`` + ``size``); null text counts 0,
+    matching the whitespace counter's empty-input behavior."""
+    return df.withColumn(
+        out_col,
+        F.coalesce(
+            F.size(F.regexp_extract_all(
+                F.col(text_col), F.lit(BPE_ISH_PATTERN), F.lit(0))),
+            F.lit(0)))
+
+
 def quality_score(df: DataFrame, text_col: str,
                   out_col: str = "quality",
                   round_digits: int | None = 4) -> DataFrame:

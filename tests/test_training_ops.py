@@ -397,3 +397,18 @@ def test_connected_components_matches_union_find_on_random_graphs(spark):
                for r in D.connected_components(pairs).collect()}
         assert got == {x: (c, x == c) for x, c in expect.items()}, \
             f"seed={seed}"
+
+
+def test_bpe_token_count_segments(spark):
+    """GPT-2-style pre-tokenizer segment counts on known strings —
+    contractions split off, letter/digit/punct runs each one segment
+    (space-prefixed), residual whitespace runs one segment; null and
+    empty text count 0."""
+    rows = [(0, "Hello, world! It's 2026."),   # Hello , _world ! _It 's _2026 .
+            (1, ""), (2, None),
+            (3, "don't you'll a1b2"),          # don 't _you 'll _a 1 b 2
+            (4, "tabs\tand\nnewlines  end ")]
+    df = spark.createDataFrame(rows, "i long, t string")
+    got = {r["i"]: r["n_bpe_tokens"]
+           for r in X.bpe_token_count(df, "t").collect()}
+    assert got == {0: 8, 1: 0, 2: 0, 3: 8, 4: 8}
