@@ -1405,6 +1405,39 @@ WHERE d.doc_id NOT IN (SELECT id FROM dropped)
 """
 
 
+def _q_online_dedup(spark, sf_dir):
+    """Online first-wins dedup — the ingest-time form of the dedup
+    family: documents arrive in ``doc_id`` order and each is kept iff
+    NO strictly-earlier document shares any minhash-LSH band bucket
+    with it (kept docs = bucket openers). The rule references arrival
+    order over ALL seen docs, so it is micro-batch-boundary-invariant:
+    this one-shot declarative plan (explode → min-per-bucket → join
+    back → anti-join) is provably what the streaming incremental form
+    (`incremental_dedup_batch` + fenced band-index table) computes for
+    ANY batching — the pytest asserts the equality, this entry
+    value-checks the shared semantics against DuckDB."""
+    docs = _tbl(spark, sf_dir, "documents")
+    return D.online_dedup_keep(docs, "doc_id", "text", num_hashes=8,
+                               band_size=2, shingle_n=3).select("doc_id")
+
+
+# same rule declaratively: a doc is dropped iff some band bucket of its
+# has an opener with a smaller doc_id (seq = doc_id here)
+_ONLINE_DEDUP_ORACLE = f"""
+WITH t AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents),
+sh AS (SELECT doc_id, unnest({_SQL_SHINGLES3}) AS shingle FROM t),
+sigs AS ({_sig_sql(8)}),
+bands AS (SELECT doc_id, unnest([{_LSH_BANDS}]) AS band_key FROM sigs),
+opener AS (SELECT band_key, min(doc_id) AS first_id
+           FROM bands GROUP BY band_key),
+dup AS (
+  SELECT DISTINCT b.doc_id FROM bands b
+  JOIN opener o USING (band_key) WHERE b.doc_id > o.first_id)
+SELECT d.doc_id FROM documents d
+WHERE d.doc_id NOT IN (SELECT doc_id FROM dup)
+"""
+
+
 def _q_simhash(spark, sf_dir):
     docs = _tbl(spark, sf_dir, "documents")
     return D.simhash(docs, "doc_id", "text", bits=48)
@@ -1947,10 +1980,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exact_dedup": _q_exact_dedup,
         "minhash_lsh_dedup": _q_minhash_lsh_dedup,
         "dup_clusters": _q_dup_clusters,
+        "online_dedup": _q_online_dedup,
         "simhash_dup_pairs": _q_simhash_dup_pairs,
         "lang_id": _q_lang_id,
         "token_quality": _q_token_quality,
-        "doc_fingerprint": _q_doc_fingerprint,
         "cosine_topk": _q_cosine_topk,
         "cosine_near_dup": _q_cosine_near_dup,
         "ann_lsh_topk": _q_ann_lsh_topk,
@@ -1966,10 +1999,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # guardrail_large_rows/job_totals; ann_scaled_topk is the same
         # LSH machinery as ann_lsh_topk at ann_params-sized plane
         # counts; ann_scaled_recall is the rows-only recall MEASUREMENT
-        # (its machinery is oracled by ann_lsh_topk). All remain fully
+        # (its machinery is oracled by ann_lsh_topk); doc_fingerprint is
+        # the textstats family's third pure-codegen expression next to
+        # the in-artifact lang_id + token_quality. All remain fully
         # runnable — tools/check_entry.py sweeps the complete dict every
         # round.
         "ann_scaled_topk": _q_ann_scaled_topk,
+        "doc_fingerprint": _q_doc_fingerprint,
         "explode_map": _q_explode_map,
         "list_element_cast": _q_list_element_cast,
         "guardrail_all_columns": _q_guardrail_all_columns,
@@ -2069,6 +2105,7 @@ FROM documents GROUP BY md5(text)
         "dup_clusters": _DUP_CLUSTERS_ORACLE,
         "simhash": _simhash_oracle(48),
         "dedup_survivors": _DEDUP_SURVIVORS_ORACLE,
+        "online_dedup": _ONLINE_DEDUP_ORACLE,
         "simhash_dup_pairs": _simhash_pairs_oracle(),
         "lang_id": _lang_id_oracle(),
         "token_quality": _TOKEN_QUALITY_ORACLE,

@@ -47,6 +47,7 @@ HEADLINE = [
     "lww_latest_state",          # window LWW dedup
     "extract_text_udf",          # Arrow pandas-UDF transform
     "minhash_lsh_dedup",         # minhash→LSH→verify chain
+    "online_dedup",              # first-wins ingest-time dedup (window)
     "dup_clusters",              # pairs→clusters connected components
     "simhash_dup_pairs",         # simhash + segment-bucket pairs
     "token_quality",             # text quality scoring

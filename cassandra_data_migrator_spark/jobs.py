@@ -1119,6 +1119,21 @@ def cmd_dedup(args, spark) -> dict[str, Any]:
         reps = D.exact_dedup(df, args.id_col, args.text_col)
         kept_df = df.join(reps.select(args.id_col), args.id_col,
                           "left_semi")
+    elif args.method == "online":
+        # order-sensitive first-wins dedup: keep a doc iff no
+        # strictly-earlier doc (by --order-col) shares an LSH band
+        # bucket — the one-shot form of the streaming incremental rule
+        # (streaming.dedupstream), same keep-set for any batching
+        if args.pairs_out or args.clusters_out:
+            print("WARN: --pairs-out/--clusters-out are not produced by "
+                  "--method online (the first-wins rule emits no pair "
+                  "frame — bucket openers survive directly)",
+                  file=sys.stderr)
+        kept_df = D.online_dedup_keep(
+            df, args.id_col, args.text_col,
+            seq_col=args.order_col or args.id_col,
+            num_hashes=args.num_hashes, band_size=args.band_size,
+            shingle_n=args.shingle_n)
     else:
         if args.method == "minhash":
             pairs = D.minhash_dedup_pairs(
@@ -1303,7 +1318,12 @@ def build_parser() -> argparse.ArgumentParser:
     dd.add_argument("--id-col", default="doc_id")
     dd.add_argument("--text-col", default="text")
     dd.add_argument("--method", default="minhash",
-                    choices=("minhash", "simhash", "exact", "cosine"))
+                    choices=("minhash", "simhash", "exact", "cosine",
+                             "online"))
+    dd.add_argument("--order-col", default=None,
+                    help="online: arrival-order column (unique, "
+                         "monotone; default --id-col) — earlier docs "
+                         "win their band buckets")
     dd.add_argument("--threshold", type=float, default=None,
                     help="exact-verify floor: Jaccard for minhash "
                          "(default 0.8), cosine for cosine (default "

@@ -23,7 +23,7 @@ inverted-index joins benefit from AQE skew handling on stop-shingles;
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from cassandra_data_migrator_spark.functions.hashing import md5_int48_expr
@@ -127,6 +127,20 @@ def oversized_buckets(
     )
 
 
+def _band_array(num_hashes: int, band_size: int):
+    """The LSH band-key array expression over ``sig_0..sig_{k-1}``:
+    band b = ``'b_sig..._sig...'`` (string keys so the same construction
+    is replayable as DuckDB string concat in the oracles)."""
+    n_bands = num_hashes // band_size
+    return F.array(*[
+        F.concat_ws("_", F.lit(b), *[
+            F.col(f"sig_{b * band_size + j}").cast("string")
+            for j in range(band_size)
+        ])
+        for b in range(n_bands)
+    ])
+
+
 def lsh_candidate_pairs(
     sig_df: DataFrame, id_col: str,
     num_hashes: int = 8, band_size: int = 2,
@@ -142,14 +156,7 @@ def lsh_candidate_pairs(
     candidate volume on duplicate-heavy corpora (see
     :func:`_drop_oversized_buckets`).
     """
-    n_bands = num_hashes // band_size
-    bands = F.array(*[
-        F.concat_ws("_", F.lit(b), *[
-            F.col(f"sig_{b * band_size + j}").cast("string")
-            for j in range(band_size)
-        ])
-        for b in range(n_bands)
-    ])
+    bands = _band_array(num_hashes, band_size)
     melted = sig_df.select(F.col(id_col), F.explode(bands).alias("band_key"))
     if max_bucket_size is not None:
         melted = _drop_oversized_buckets(melted, "band_key", max_bucket_size)
@@ -328,26 +335,22 @@ def connected_components(
 BROADCAST_DROP_BYTES = 256 << 20
 
 
-def apply_keep_list(
-    df: DataFrame, cc: DataFrame, id_col: str,
+def _anti_join_drop_ids(
+    df: DataFrame, drop: DataFrame, id_col: str,
     broadcast_bytes: int = BROADCAST_DROP_BYTES,
 ) -> DataFrame:
-    """The dedup terminal: anti-join ``df`` against ``cc``'s
-    non-survivors (``keep == false``), keeping exactly one canonical
-    member per duplicate cluster. ``cc`` is
-    :func:`connected_components` output (materialized — its labels are
-    localCheckpoint-truncated), so pricing the drop set costs one thin
-    aggregate — and buys the join choice the static planner can't make
-    (a checkpoint-backed frame has no size stats): at or under
-    ``broadcast_bytes`` the drop set is explicitly broadcast, so the
-    anti-join never shuffles ``df``'s payload columns. The gate is in
-    BYTES (count × mean id width + per-row overhead), not rows — wide
-    string ids (URLs) at a row-count gate could force a driver-OOM-sized
-    broadcast that a plain shuffle anti-join would survive. Past the
-    budget (a corpus that is mostly duplicates) the payload shuffle is
-    the physics of the problem, not a plan miss; run exact dedup
-    first."""
-    drop = cc.filter(~F.col("keep")).select(F.col("id").alias(id_col))
+    """Shared dedup terminal: anti-join ``df`` against a single-column
+    drop-id frame with byte-priced explicit broadcast. Pricing the drop
+    set costs one thin aggregate — and buys the join choice the static
+    planner can't make (checkpoint-/probe-backed frames have no size
+    stats): at or under ``broadcast_bytes`` the drop set is explicitly
+    broadcast, so the anti-join never shuffles ``df``'s payload
+    columns. The gate is in BYTES (count × mean id width + per-row
+    overhead), not rows — wide string ids (URLs) at a row-count gate
+    could force a driver-OOM-sized broadcast that a plain shuffle
+    anti-join would survive. Past the budget (a corpus that is mostly
+    duplicates) the payload shuffle is the physics of the problem, not
+    a plan miss; run exact dedup first."""
     stats = drop.agg(
         F.count(F.lit(1)).alias("n"),
         F.avg(F.length(F.col(id_col).cast("string"))).alias("w")).first()
@@ -355,6 +358,20 @@ def apply_keep_list(
     if est_bytes <= broadcast_bytes:
         drop = F.broadcast(drop)
     return df.join(drop, id_col, "left_anti")
+
+
+def apply_keep_list(
+    df: DataFrame, cc: DataFrame, id_col: str,
+    broadcast_bytes: int = BROADCAST_DROP_BYTES,
+) -> DataFrame:
+    """The batch-dedup terminal: anti-join ``df`` against ``cc``'s
+    non-survivors (``keep == false``), keeping exactly one canonical
+    member per duplicate cluster. ``cc`` is
+    :func:`connected_components` output (materialized — its labels are
+    localCheckpoint-truncated). Broadcast pricing:
+    :func:`_anti_join_drop_ids`."""
+    drop = cc.filter(~F.col("keep")).select(F.col("id").alias(id_col))
+    return _anti_join_drop_ids(df, drop, id_col, broadcast_bytes)
 
 
 def survivor_keep_list(
@@ -451,3 +468,191 @@ def simhash_dup_pairs(df: DataFrame, id_col: str, text_col: str,
         .filter(F.col("hamming") <= max_hamming)
     )
     return pairs.select("id_a", "id_b", "hamming")
+
+
+# ---------------------------------------------------------------------------
+# Online (order-sensitive, first-wins) dedup — batch + incremental forms
+# ---------------------------------------------------------------------------
+#
+# The batch chain above answers "which documents in THIS corpus are
+# near-dups of each other"; an ingest pipeline needs the other shape:
+# documents arrive in a stream, and each one must be kept or dropped
+# NOW, against everything already seen. The standard online rule:
+#
+#   a document is a duplicate iff any STRICTLY-EARLIER document (by a
+#   unique, monotone ``seq``) shares at least one minhash-LSH band
+#   bucket with it; kept documents are exactly the bucket openers.
+#
+# Because "earlier" refers to arrival order over ALL seen documents
+# (kept or dropped), the rule is independent of how the stream is cut
+# into micro-batches — the incremental implementation below provably
+# computes the same keep-set as the one-shot declarative form for ANY
+# batching, which is also what makes it replay-idempotent and
+# DuckDB-oracle-checkable. (Indexing dropped documents' buckets too is
+# deliberate: it gives the chain-transitivity a batch pipeline gets
+# from connected components — C near B near A collapses to A.)
+
+
+def _online_bands(
+    df: DataFrame, id_col: str, text_col: str, seq_col: str,
+    num_hashes: int = 8, band_size: int = 2, shingle_n: int = 3,
+) -> DataFrame:
+    """Melted LSH band buckets with arrival order:
+    ``(<id_col>, _seq, band_key)``. One explode + one groupBy (map-side
+    partial min) for the signatures; ``seq`` rides a thin (id, seq)
+    join when it is a separate column."""
+    sh = shingles(df, id_col, text_col, n=shingle_n)
+    aggs = [
+        F.min(md5_int48_expr(F.col("shingle"), salt=i)).alias(f"sig_{i}")
+        for i in range(num_hashes)
+    ]
+    sigs = sh.groupBy(id_col).agg(*aggs)
+    if seq_col != id_col:
+        sigs = sigs.join(df.select(id_col, seq_col), id_col)
+        seq_expr = F.col(seq_col)
+    else:
+        seq_expr = F.col(id_col)
+    return sigs.select(
+        F.col(id_col), seq_expr.cast("long").alias("_seq"),
+        F.explode(_band_array(num_hashes, band_size)).alias("band_key"),
+    )
+
+
+def online_dedup_keep(
+    df: DataFrame, id_col: str, text_col: str, seq_col: str | None = None,
+    num_hashes: int = 8, band_size: int = 2, shingle_n: int = 3,
+    broadcast_bytes: int = BROADCAST_DROP_BYTES,
+) -> DataFrame:
+    """One-shot declarative form of online first-wins dedup: the rows
+    of ``df`` whose every band bucket they themselves opened (no
+    strictly-earlier ``seq`` shares any bucket). ``seq_col`` defaults
+    to ``id_col`` (arrival order = id order); ties on ``seq`` break by
+    id, so the result is deterministic even with duplicate seqs.
+
+    Plan shape (all thin rows): explode → ONE shuffle on band_key
+    where a window ``min(struct(seq, id)) over (partition by
+    band_key)`` finds each bucket's opener in the same pass that
+    compares every member against it (a groupBy+join-back would
+    compute the melted-bands frame twice) → distinct dup-id set →
+    byte-priced anti-join against the corpus (the payload is never
+    shuffled). Band keys are md5-derived — uniformly distributed, so
+    the window partitioning has no inherent skew; a duplicate-heavy
+    corpus concentrates buckets by construction, and the same
+    trade-off notes as :func:`lsh_candidate_pairs` apply.
+
+    The incremental equivalent (identical keep-set for any micro-batch
+    cut of ``df`` in seq order): :func:`incremental_dedup_batch`.
+    """
+    seq_col = seq_col or id_col
+    bands = _online_bands(df, id_col, text_col, seq_col,
+                          num_hashes, band_size, shingle_n)
+    mine = F.struct(F.col("_seq"), F.col(id_col).cast("string"))
+    w = Window.partitionBy("band_key")
+    dup = (
+        bands.withColumn("_open", F.min(mine).over(w))
+        .filter(mine > F.col("_open"))
+        .select(id_col).distinct()
+    )
+    return _anti_join_drop_ids(df, dup, id_col, broadcast_bytes)
+
+
+def create_band_index(spark, path: str, n_buckets: int = 32):
+    """Initialise the persistent band-bucket index used by
+    :func:`incremental_dedup_batch`: a lake table keyed on ``band_key``
+    whose row per bucket records the bucket's OPENER —
+    ``(band_key, neg_seq, first_seq, first_id)``.
+
+    ``neg_seq`` (= ``-first_seq``) is the table's LWW timestamp column:
+    under max-wins merge order the SMALLEST seq wins, so concurrent or
+    re-applied batches converge on the true first opener without any
+    read-modify-write. The table's hash-bucket layout doubles as the
+    probe's pruning structure (band keys are md5-uniform — no skew)."""
+    from pyspark.sql import types as T
+
+    from cassandra_data_migrator_spark.config import EngineConfig
+    from cassandra_data_migrator_spark.lake import LakeTable
+
+    schema = T.StructType([
+        T.StructField("band_key", T.StringType(), False),
+        T.StructField("neg_seq", T.LongType(), True),
+        T.StructField("first_seq", T.LongType(), True),
+        T.StructField("first_id", T.StringType(), True),
+    ])
+    return LakeTable.create(
+        spark, path, schema,
+        EngineConfig(n_buckets=n_buckets, key_col="band_key",
+                     ts_col="neg_seq"))
+
+
+def incremental_dedup_batch(
+    index, batch_df: DataFrame, id_col: str, text_col: str, seq_col: str,
+    num_hashes: int = 8, band_size: int = 2, shingle_n: int = 3,
+    stream_id: str | None = None, epoch_id: int | None = None,
+    broadcast_bytes: int = BROADCAST_DROP_BYTES,
+) -> DataFrame:
+    """One micro-batch of online first-wins dedup against a persistent
+    band index (:func:`create_band_index`): returns the KEPT rows of
+    ``batch_df`` and records the batch's band buckets in the index.
+
+    Requires a globally unique ``seq_col`` across the whole stream
+    (CDC ``seq`` / ``doc_id`` are) — uniqueness is what makes the
+    result batching-invariant AND replay-idempotent. Equal seqs would
+    tie on "who opened the bucket" and both survive the probe.
+
+    Order of operations (crash-consistent, exactly-once):
+
+    1. MERGE the batch's per-bucket openers into the index, fenced on
+       ``(stream_id, epoch_id)``. Version order is ``neg_seq`` =
+       ``-seq``, so max-wins LWW keeps the smallest seq — the global
+       first opener — regardless of batch arrival order or replays
+       (a fenced re-delivery no-ops; the index already holds the
+       epoch's buckets).
+    2. Probe the index for the batch's buckets — pruned by the index's
+       own hash-bucket layout to exactly the touched buckets (the
+       driver sees only the bounded bucket-id list, never rows) — and
+       drop every doc whose bucket has an opener with a strictly
+       smaller seq. Probing AFTER the merge makes step 2 one rule for
+       both cross-batch and within-batch duplicates, and a replayed
+       epoch recomputes the identical keep-set from the fenced index.
+
+    A downstream sink fenced with the SAME ``(stream_id, epoch_id)``
+    (e.g. the kept-corpus table in
+    :func:`~cassandra_data_migrator_spark.streaming.dedupstream.run_online_dedup_stream`)
+    then gets end-to-end exactly-once: a crash between the index commit
+    and the sink commit replays into a fenced index no-op plus a
+    deterministic re-probe, and the sink applies once.
+    """
+    bands = _online_bands(batch_df, id_col, text_col, seq_col,
+                          num_hashes, band_size, shingle_n).persist()
+    try:
+        src = (
+            bands.groupBy("band_key")
+            .agg(F.min(F.struct(
+                F.col("_seq"),
+                F.col(id_col).cast("string").alias("_id"))).alias("_open"))
+            .select(
+                "band_key",
+                (-F.col("_open._seq")).alias("neg_seq"),
+                F.col("_open._seq").alias("first_seq"),
+                F.col("_open._id").alias("first_id"),
+                F.lit("upsert").alias("op"),
+                (-F.col("_open._seq")).alias("_mseq"),
+            )
+        )
+        index.merge_batch(src, op_col="op", seq_col="_mseq",
+                          stream_id=stream_id, epoch_id=epoch_id)
+        touched = [
+            r["b"] for r in bands.select(
+                index.bucket_of(F.col("band_key")).alias("b"))
+            .distinct().collect()
+        ]
+        idx = index.read(buckets=touched).select("band_key", "first_seq")
+        dup = (
+            bands.join(idx, "band_key")
+            .filter(F.col("first_seq") < F.col("_seq"))
+            .select(id_col).distinct()
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        bands.unpersist()
+    return _anti_join_drop_ids(batch_df, dup, id_col, broadcast_bytes)

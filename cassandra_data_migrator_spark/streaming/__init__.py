@@ -1,3 +1,7 @@
+from cassandra_data_migrator_spark.streaming.dedupstream import (  # noqa: F401
+    apply_dedup_epoch,
+    run_online_dedup_stream,
+)
 from cassandra_data_migrator_spark.streaming.pipeline import (  # noqa: F401
     CdcPipeline,
 )

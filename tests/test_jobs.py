@@ -572,6 +572,21 @@ def test_dedup_cli_simhash_and_exact(spark, tmpdir_path, capsys,
     assert out2["kept_rows"] == 8 and out2["dropped_rows"] == 1
 
 
+def test_dedup_cli_online(spark, tmpdir_path, capsys, dup_corpus):
+    """--method online: order-sensitive first-wins — bucket openers
+    survive; cluster A's opener 1 and the exact pair's opener 5 win
+    (same survivors as the batch chain here since min-id == first)."""
+    outp = os.path.join(tmpdir_path, "dd_online")
+    out = _run(spark, capsys, [
+        "dedup", "--input", dup_corpus, "--output", outp,
+        "--method", "online", "--shingle-n", "3"])
+    kept = {r["doc_id"] for r in spark.read.parquet(outp).collect()}
+    assert 1 in kept and 5 in kept and 6 not in kept
+    assert {4, 7, 8, 9} <= kept
+    assert out["kept_rows"] == len(kept)
+    assert out["dropped_rows"] == 9 - len(kept)
+
+
 def test_dedup_cli_cosine(spark, tmpdir_path, capsys):
     """--method cosine: the vector-space family member through the same
     pairs → connected components → survivor terminal. dim is read from

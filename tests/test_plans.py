@@ -126,6 +126,22 @@ def test_counter_watermark_tail_filter_pushed_to_scan(spark, tmpdir_path):
     assert any("GreaterThan(seq,25)" in p for p in pushed), pushed
 
 
+def test_online_dedup_anti_join_broadcasts_drop_set(spark):
+    """online_dedup_keep's terminal is the same byte-priced broadcast
+    anti-join as the batch survivor terminal: the corpus payload never
+    shuffles — only the thin melted-bands frames do."""
+    from cassandra_data_migrator_spark.operators import dedup as D
+
+    docs = spark.createDataFrame(
+        [(i, ("same text " * 10) if i < 6 else f"unique {i} " * 10)
+         for i in range(20)],
+        "doc_id long, text string")
+    kept = D.online_dedup_keep(docs, "doc_id", "text")
+    plan = plans.explain_str(kept, "simple")
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
 def test_survivor_anti_join_broadcasts_bounded_drop_set(spark):
     """The dedup survivor anti-join must broadcast the (bounded)
     non-survivor id set — the corpus payload columns never shuffle on
