@@ -1438,6 +1438,56 @@ WHERE d.doc_id NOT IN (SELECT doc_id FROM dup)
 """
 
 
+def _q_url_canonicalize(spark, sf_dir):
+    """URL canonicalization — the canonical-key transform of a
+    url-keyed CDC engine (host case, default ports, www, fragments,
+    tracking params, param order, trailing slash). Pure codegen
+    expression (`functions/urls.py`), value-checked against a DuckDB
+    replay of the same rules. The messy-URL fixture is built
+    deterministically from `documents.doc_id` with the IDENTICAL
+    expression on both sides (the testdata has no URL column), so
+    what's actually value-checked is the canonicalization itself."""
+    from cassandra_data_migrator_spark.functions.urls import (
+        canonical_url_expr,
+    )
+    docs = _tbl(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    s = lambda x: x.cast("string")  # noqa: E731
+    messy = F.concat(
+        F.lit("HTTP"),
+        F.when(i % 5 == 0, F.lit("")).otherwise(F.lit("S")),
+        F.lit("://WWW.Src"), s(i % 20), F.lit(".Example.COM"),
+        F.when(i % 4 == 0,
+               F.when(i % 5 == 0, F.lit(":80")).otherwise(F.lit(":443")))
+         .when(i % 4 == 1, F.lit(":8443")).otherwise(F.lit("")),
+        F.lit("/Docs/"), s(i),
+        F.when(i % 3 == 0, F.lit("?utm_source=feed&b=2&a=1#sec"))
+         .when(i % 3 == 1, F.lit("/?a=1&")).otherwise(F.lit("#Top")),
+    )
+    return docs.select(
+        F.col("doc_id"), messy.alias("url"),
+        canonical_url_expr(messy).alias("canon_url"))
+
+
+def _url_canon_oracle() -> str:
+    from cassandra_data_migrator_spark.functions.urls import (
+        canonical_url_sql,
+    )
+    messy = """
+'HTTP' || CASE WHEN doc_id % 5 = 0 THEN '' ELSE 'S' END ||
+'://WWW.Src' || (doc_id % 20) || '.Example.COM' ||
+CASE WHEN doc_id % 4 = 0 THEN
+       (CASE WHEN doc_id % 5 = 0 THEN ':80' ELSE ':443' END)
+     WHEN doc_id % 4 = 1 THEN ':8443' ELSE '' END ||
+'/Docs/' || doc_id ||
+CASE WHEN doc_id % 3 = 0 THEN '?utm_source=feed&b=2&a=1#sec'
+     WHEN doc_id % 3 = 1 THEN '/?a=1&' ELSE '#Top' END
+"""
+    return canonical_url_sql(
+        f"SELECT doc_id, ({messy}) AS url FROM documents",
+        "url", carry_cols=("doc_id", "url"))
+
+
 def _q_simhash(spark, sf_dir):
     docs = _tbl(spark, sf_dir, "documents")
     return D.simhash(docs, "doc_id", "text", bits=48)
@@ -1968,7 +2018,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "map_null_scrub": _q_map_null_scrub,
         "timestamp_codec": _q_timestamp_codec,
         "counters_by_type": _q_counters_by_type,
-        "row_ttl_expiry": _q_row_ttl_expiry,
+        "url_canonicalize": _q_url_canonicalize,
         "udt_collection_codec": _q_udt_collection_codec,
         "diff_virtual_columns": _q_diff_virtual_columns,
         "vector_merge": _q_vector_merge,
@@ -2001,11 +2051,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # counts; ann_scaled_recall is the rows-only recall MEASUREMENT
         # (its machinery is oracled by ann_lsh_topk); doc_fingerprint is
         # the textstats family's third pure-codegen expression next to
-        # the in-artifact lang_id + token_quality. All remain fully
-        # runnable — tools/check_entry.py sweeps the complete dict every
-        # round.
+        # the in-artifact lang_id + token_quality; row_ttl_expiry is the
+        # TTL half of the same WritetimeTTL aggregate as the in-artifact
+        # row_writetime + custom_writetime_ttl (which exercises both
+        # halves plus the property family). All remain fully runnable —
+        # tools/check_entry.py sweeps the complete dict every round.
         "ann_scaled_topk": _q_ann_scaled_topk,
         "doc_fingerprint": _q_doc_fingerprint,
+        "row_ttl_expiry": _q_row_ttl_expiry,
         "explode_map": _q_explode_map,
         "list_element_cast": _q_list_element_cast,
         "guardrail_all_columns": _q_guardrail_all_columns,
@@ -2063,6 +2116,7 @@ FROM events
         "custom_where_filter": _CUSTOM_WHERE_ORACLE,
         "sampled_validation": _SAMPLED_VALIDATION_ORACLE,
         "row_ttl_expiry": _ROW_TTL_ORACLE,
+        "url_canonicalize": _url_canon_oracle(),
         "list_element_cast": _LIST_CAST_ORACLE,
         "udt_collection_codec": _UDT_CODEC_ORACLE,
         "diff_virtual_columns": _DIFF_VIRTUAL_ORACLE,

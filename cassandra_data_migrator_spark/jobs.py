@@ -494,6 +494,18 @@ def cmd_migrate(args, spark) -> dict[str, Any]:
         print(f"WARN: {w}", file=sys.stderr)
     feat, ev_schema = _featureset(args, job)
     transform = None
+    if getattr(args, "canonicalize_urls", False):
+        # canonical-key ingest: collapse cosmetic URL variants (host
+        # case, default ports, www, fragments, tracking params, param
+        # order) into ONE merge key BEFORE any feature chain — variants
+        # of one page then LWW-resolve instead of fragmenting into
+        # separate keys (functions/urls.py; validate applies the same
+        # stage on its origin leg so the compare stays symmetric)
+        from cassandra_data_migrator_spark.functions.urls import (
+            canonical_url_expr,
+        )
+        transform = lambda df: df.withColumn(  # noqa: E731
+            cfg.key_col, canonical_url_expr(cfg.key_col))
     table_cfg = cfg
     schema_override = None
     if args.counter:
@@ -508,8 +520,10 @@ def cmd_migrate(args, spark) -> dict[str, Any]:
             ev_schema = None
     _require_event_schema(ev_schema, args.log_format)
     if feat:
+        _pre_feat = transform  # the canonical-url stage, when enabled
         transform = lambda df: feat.transform(  # noqa: E731
-            df, origin_key=cfg.key_col,
+            _pre_feat(df) if _pre_feat is not None else df,
+            origin_key=cfg.key_col,
             keep_cols=("op", cfg.seq_col, cfg.ts_col),
             ts_col=cfg.ts_col)
         if feat.reshapes:
@@ -813,6 +827,14 @@ def cmd_validate(args, spark) -> dict[str, Any]:
         fmt=args.log_format)
     ev, keep, valid_keys = split_predicates(ev, cfg)
     ev = ev.filter(keep & valid_keys)
+    if getattr(args, "canonicalize_urls", False):
+        # same canonical-key stage as the migration (post-filter, pre-
+        # feature — the positions match cmd_migrate's transform chain),
+        # so origin truth groups by the canonical key the target holds
+        from cassandra_data_migrator_spark.functions.urls import (
+            canonical_url_expr,
+        )
+        ev = ev.withColumn(cfg.key_col, canonical_url_expr(cfg.key_col))
     if feat:
         # the writetime override and type codecs must run BEFORE the
         # LWW window so validate orders events exactly as the
@@ -1256,6 +1278,11 @@ def build_parser() -> argparse.ArgumentParser:
                         " feature migrations infer automatically)")
     m.add_argument("--n-groups", type=int, default=8,
                    help="tracked-run group count")
+    m.add_argument("--canonicalize-urls", action="store_true",
+                   help="canonicalize the key column before the merge "
+                        "(host case, default ports, www, fragments, "
+                        "tracking params, param order) — cosmetic URL "
+                        "variants of one page LWW-resolve into one key")
     m.set_defaults(fn=cmd_migrate)
 
     v = sub.add_parser("validate", help="diff origin vs target "
@@ -1271,6 +1298,10 @@ def build_parser() -> argparse.ArgumentParser:
                         "corrections are origin−target increments, and "
                         "MISSING corrections additionally require "
                         "spark.cdm.autocorrect.missing.counter")
+    v.add_argument("--canonicalize-urls", action="store_true",
+                   help="apply the migration's canonical-key stage to "
+                        "the origin leg (must match the migrate flag, "
+                        "or every URL variant reports MISSING)")
     v.set_defaults(fn=cmd_validate)
 
     r = sub.add_parser("runs", help="dump run_info / run_details / "

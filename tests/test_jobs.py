@@ -87,6 +87,51 @@ def test_migrate_batch_then_validate_clean(spark, tmpdir_path, capsys,
     assert out["missing"] == 0 and out["extra_target"] == 0
 
 
+def test_migrate_canonicalize_urls_collapses_variants(spark, tmpdir_path,
+                                                      capsys):
+    """--canonicalize-urls: cosmetic URL variants (host case, www,
+    default port, tracking params, trailing slash) of one page merge
+    under ONE canonical key — the final state equals a replay of the
+    clean log — and validate with the same flag is symmetric (all
+    valid), while validating the messy log WITHOUT the flag is not."""
+    ev = gen_change_events(spark, n_urls=60, n_events=300, seed=23)
+    host = F.regexp_extract("url", "^https://([^/]*)", 1)
+    path = F.regexp_extract("url", "^https://[^/]*(/.*)$", 1)
+    m = F.col("seq") % 4
+    messy = (
+        F.when(m == 0, F.concat(F.lit("HTTPS://WWW."), F.upper(host),
+                                F.lit(":443"), path))
+        .when(m == 1, F.concat(F.col("url"),
+                               F.lit("?utm_source=x&utm_medium=y#f")))
+        .when(m == 2, F.concat(F.col("url"), F.lit("/")))
+        .otherwise(F.col("url")))
+    clean_log = os.path.join(tmpdir_path, "clean_log")
+    messy_log = os.path.join(tmpdir_path, "messy_log")
+    write_event_log(ev, clean_log, n_chunks=2)
+    write_event_log(ev.withColumn("url", messy), messy_log, n_chunks=2)
+
+    ref = os.path.join(tmpdir_path, "ref")
+    t = os.path.join(tmpdir_path, "t")
+    _run(spark, capsys, ["migrate", "--log", clean_log, "--table", ref])
+    _run(spark, capsys, ["migrate", "--log", messy_log, "--table", t,
+                         "--canonicalize-urls"])
+    a = sorted((r["url"], r["warc_ts"], r["lang"], r["text"])
+               for r in LakeTable(spark, ref).read().collect())
+    b = sorted((r["url"], r["warc_ts"], r["lang"], r["text"])
+               for r in LakeTable(spark, t).read().collect())
+    assert a == b and len(a) > 0
+
+    out = _run(spark, capsys, ["validate", "--log", messy_log,
+                               "--table", t, "--canonicalize-urls"])
+    assert out["valid"] == len(a) and out["mismatch"] == 0
+    assert out["missing"] == 0 and out["extra_target"] == 0
+
+    # without the flag the origin leg groups by RAW urls — asymmetric
+    out2 = _run(spark, capsys, ["validate", "--log", messy_log,
+                                "--table", t])
+    assert out2["missing"] > 0 or out2["mismatch"] > 0
+
+
 def test_migrate_tracked_resume_via_properties(spark, tmpdir_path, capsys,
                                                job_log):
     table = os.path.join(tmpdir_path, "t")
