@@ -1488,6 +1488,58 @@ CASE WHEN doc_id % 3 = 0 THEN '?utm_source=feed&b=2&a=1#sec'
         "url", carry_cols=("doc_id", "url"))
 
 
+def _q_pii_redact(spark, sf_dir):
+    """PII redaction — the compliance transform of a webtext ingest
+    pipeline (emails, phones, IPv4, SSN/card shapes → type tokens) as
+    one pure-codegen regexp_replace chain (`functions/pii.py`), plus
+    the per-kind audit counts, value-checked against a DuckDB replay
+    of the same rules. The PII-laced fixture appends deterministic
+    identifiers (built from `doc_id` with the IDENTICAL expression on
+    both sides) to each document's REAL text, so the rules are
+    exercised over the actual corpus, not just synthetic strings."""
+    from cassandra_data_migrator_spark.functions.pii import (
+        pii_count_expr,
+        redact_pii_expr,
+    )
+    docs = _tbl(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    s = lambda x: x.cast("string")  # noqa: E731
+    laced = F.concat(
+        F.col("text"),
+        F.lit(" reach u"), s(i % 97), F.lit("@ex"), s(i % 7),
+        F.lit(".com or 415-555-"), F.lpad(s(i % 10000), 4, "0"),
+        F.lit("; ip 10."), s(i % 256), F.lit(".0."), s(i % 250),
+        F.when(i % 3 == 0,
+               F.concat(F.lit("; ssn 123-45-"),
+                        F.lpad(s(i % 10000), 4, "0")))
+         .otherwise(F.lit("")))
+    return docs.select(
+        F.col("doc_id"),
+        redact_pii_expr(laced).alias("redacted"),
+        pii_count_expr(laced, "email").alias("n_email"),
+        pii_count_expr(laced, "phone").alias("n_phone"),
+        pii_count_expr(laced, "ipv4").alias("n_ipv4"),
+        pii_count_expr(laced, "ssn").alias("n_ssn"))
+
+
+def _pii_redact_oracle() -> str:
+    from cassandra_data_migrator_spark.functions.pii import (
+        redact_pii_sql,
+    )
+    laced = """
+text || ' reach u' || (doc_id % 97) || '@ex' || (doc_id % 7) ||
+'.com or 415-555-' || lpad((doc_id % 10000)::VARCHAR, 4, '0') ||
+'; ip 10.' || (doc_id % 256) || '.0.' || (doc_id % 250) ||
+CASE WHEN doc_id % 3 = 0
+     THEN '; ssn 123-45-' || lpad((doc_id % 10000)::VARCHAR, 4, '0')
+     ELSE '' END
+"""
+    return redact_pii_sql(
+        "SELECT doc_id, text FROM documents", laced,
+        carry_cols=("doc_id",), out_col="redacted",
+        count_kinds=("email", "phone", "ipv4", "ssn"))
+
+
 def _q_simhash(spark, sf_dir):
     docs = _tbl(spark, sf_dir, "documents")
     return D.simhash(docs, "doc_id", "text", bits=48)
@@ -2019,6 +2071,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "timestamp_codec": _q_timestamp_codec,
         "counters_by_type": _q_counters_by_type,
         "url_canonicalize": _q_url_canonicalize,
+        "pii_redact": _q_pii_redact,
         "udt_collection_codec": _q_udt_collection_codec,
         "diff_virtual_columns": _q_diff_virtual_columns,
         "vector_merge": _q_vector_merge,
@@ -2117,6 +2170,7 @@ FROM events
         "sampled_validation": _SAMPLED_VALIDATION_ORACLE,
         "row_ttl_expiry": _ROW_TTL_ORACLE,
         "url_canonicalize": _url_canon_oracle(),
+        "pii_redact": _pii_redact_oracle(),
         "list_element_cast": _LIST_CAST_ORACLE,
         "udt_collection_codec": _UDT_CODEC_ORACLE,
         "diff_virtual_columns": _DIFF_VIRTUAL_ORACLE,

@@ -250,6 +250,15 @@ def _cfg(args) -> tuple[EngineConfig, dict[str, Any], list[str]]:
     return apply_properties(base, props)
 
 
+def _redact_cols(args) -> tuple[str, ...]:
+    """Columns named by ``--redact-pii`` (bare flag → the derived
+    ``text`` column)."""
+    raw = getattr(args, "redact_pii", None)
+    if not raw:
+        return ()
+    return tuple(c.strip() for c in raw.split(",") if c.strip())
+
+
 def _featureset(args, job):
     """Compile the feature properties (if any) plus the event-schema
     choice for this invocation."""
@@ -506,6 +515,7 @@ def cmd_migrate(args, spark) -> dict[str, Any]:
         )
         transform = lambda df: df.withColumn(  # noqa: E731
             cfg.key_col, canonical_url_expr(cfg.key_col))
+    redact_cols = _redact_cols(args)
     table_cfg = cfg
     schema_override = None
     if args.counter:
@@ -629,7 +639,8 @@ def cmd_migrate(args, spark) -> dict[str, Any]:
         stream_id = args.stream_id or "migrate"
         pipe = CdcPipeline(
             spark, table, cfg, stream_id=stream_id, transform=transform,
-            event_schema=None if ev_schema == "default" else ev_schema)
+            event_schema=None if ev_schema == "default" else ev_schema,
+            redact_cols=redact_cols)
         pipe.run_stream(args.log, args.checkpoint,
                         available_now=not args.continuous,
                         processing_time=args.trigger_interval,
@@ -759,7 +770,8 @@ def cmd_migrate(args, spark) -> dict[str, Any]:
         if transform is not None:
             events = transform(events)
         fin = CdcPipeline(spark, table, cfg,
-                          stream_id=args.stream_id or "migrate")._finalize
+                          stream_id=args.stream_id or "migrate",
+                          redact_cols=redact_cols)._finalize
         merge_kw = {"finalize": fin, "seq_col": cfg.seq_col}
         if job.get("previous_run_id") or job.get("auto_rerun"):
             tracker.resume(events, run_id,
@@ -779,7 +791,7 @@ def cmd_migrate(args, spark) -> dict[str, Any]:
     # (e.g. an at-least-once scheduler re-launching the same job).
     stream_id = args.stream_id or f"migrate-{uuid.uuid4().hex[:12]}"
     pipe = CdcPipeline(spark, table, cfg, stream_id=stream_id,
-                       transform=transform)
+                       transform=transform, redact_cols=redact_cols)
     result = pipe.run_batch(events)
     out = {"job": "migrate", "mode": "batch", "stream_id": stream_id,
            **finalize_stream_run(pipe)}
@@ -880,6 +892,17 @@ def cmd_validate(args, spark) -> dict[str, Any]:
             normalize_lang,
         )
         origin = origin.withColumn("lang", normalize_lang(F.col("lang")))
+    redact_cols = _redact_cols(args)
+    if redact_cols:
+        # the migration scrubbed these columns winner-side; origin
+        # truth must carry the same redaction or every PII-bearing row
+        # reports MISMATCH (same symmetry rule as --canonicalize-urls)
+        from cassandra_data_migrator_spark.functions.pii import (
+            redact_pii_expr,
+        )
+        for c in redact_cols:
+            if c in origin.columns:
+                origin = origin.withColumn(c, redact_pii_expr(c))
 
     target = table.read()
     compare = [c for c in target.columns
@@ -915,7 +938,8 @@ def cmd_validate(args, spark) -> dict[str, Any]:
             # without the finalize, a force_overwrite re-upsert of
             # origin rows (which carry no text column) would null out
             # the extracted text the migration wrote
-            fin = CdcPipeline(spark, table, cfg)._finalize
+            fin = CdcPipeline(spark, table, cfg,
+                              redact_cols=redact_cols)._finalize
             _, corrected = DIFF.autocorrect(
                 table, origin.select(key_col, *compare), picked,
                 key_cols=(key_col,), finalize=fin)
@@ -1283,6 +1307,12 @@ def build_parser() -> argparse.ArgumentParser:
                         "(host case, default ports, www, fragments, "
                         "tracking params, param order) — cosmetic URL "
                         "variants of one page LWW-resolve into one key")
+    m.add_argument("--redact-pii", nargs="?", const="text", default=None,
+                   metavar="COLS",
+                   help="scrub PII (emails, phones, IPv4, SSN/card "
+                        "shapes) from the named comma-separated text "
+                        "columns, winner-side (bare flag: the derived "
+                        "'text' column)")
     m.set_defaults(fn=cmd_migrate)
 
     v = sub.add_parser("validate", help="diff origin vs target "
@@ -1302,6 +1332,11 @@ def build_parser() -> argparse.ArgumentParser:
                    help="apply the migration's canonical-key stage to "
                         "the origin leg (must match the migrate flag, "
                         "or every URL variant reports MISSING)")
+    v.add_argument("--redact-pii", nargs="?", const="text", default=None,
+                   metavar="COLS",
+                   help="apply the migration's PII scrub to the origin "
+                        "leg's named columns (must match the migrate "
+                        "flag, or PII-bearing rows report MISMATCH)")
     v.set_defaults(fn=cmd_validate)
 
     r = sub.add_parser("runs", help="dump run_info / run_details / "

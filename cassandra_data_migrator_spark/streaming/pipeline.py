@@ -120,6 +120,7 @@ class CdcPipeline:
         salt_transform_stage: bool = True,
         lazy_extract: bool = True,
         event_schema=None,
+        redact_cols: tuple[str, ...] = (),
     ):
         self.spark = spark
         self.table = table
@@ -131,6 +132,13 @@ class CdcPipeline:
         self.conflict_retries = 0
         self.transform = transform
         self.salt_transform_stage = salt_transform_stage
+        # PII redaction (functions/pii.py) rides the winner-side scalar
+        # stage next to text extraction: pure + idempotent codegen, so
+        # redacting the merged winner once is byte-identical to
+        # redacting every change event — and for the DERIVED text
+        # column (filled from html post-merge) winner-side is the only
+        # point where there is text to redact at all
+        self.redact_cols = tuple(redact_cols)
         # lazy_extract: run the Arrow html→text extraction on the merged
         # LWW WINNERS (once per surviving key) instead of on every
         # change event pre-merge. At K events/key/epoch this divides the
@@ -184,9 +192,23 @@ class CdcPipeline:
             if "lang" in batch.columns:
                 batch = batch.withColumn("lang",
                                          normalize_lang(F.col("lang")))
+            batch = self._redact(batch)
         if self.transform is not None:
             batch = self.transform(batch)
         return batch, n_skip, n_quar
+
+    def _redact(self, df: DataFrame) -> DataFrame:
+        """PII scrub of the configured columns (no-op when unset or
+        the column is absent). Idempotent — safe to hit a row via both
+        the eager pre-merge path and a later finalize re-run."""
+        if self.redact_cols:
+            from cassandra_data_migrator_spark.functions.pii import (
+                redact_pii_expr,
+            )
+            for c in self.redact_cols:
+                if c in df.columns:
+                    df = df.withColumn(c, redact_pii_expr(c))
+        return df
 
     def _finalize(self, merged: DataFrame) -> DataFrame:
         """Winner-side transforms (see ``lazy_extract``): fill text for
@@ -207,7 +229,7 @@ class CdcPipeline:
         if "lang" in cols:
             merged = merged.withColumn("lang",
                                        normalize_lang(F.col("lang")))
-        return merged
+        return self._redact(merged)
 
     def _side_sink(self, df: DataFrame, path: str, epoch_id: int) -> int:
         """Persist rejected rows for this epoch; returns their count.

@@ -132,6 +132,107 @@ def test_migrate_canonicalize_urls_collapses_variants(spark, tmpdir_path,
     assert out2["missing"] > 0 or out2["mismatch"] > 0
 
 
+def test_canonicalize_urls_composes_with_feature_chain(spark, tmpdir_path,
+                                                       capsys):
+    """--canonicalize-urls runs BEFORE the feature chain (it rewrites
+    cfg.key_col, which a rename feature then renames): a messy log
+    migrated with canon + rename + constant equals the clean log
+    through the same features, and validate with both stays clean."""
+    ev = gen_change_events(spark, n_urls=40, n_events=200, seed=31)
+    messy = F.when(
+        F.col("seq") % 2 == 0,
+        F.concat(F.lit("HTTPS://WWW."),
+                 F.upper(F.regexp_extract("url", "^https://([^/]*)", 1)),
+                 F.lit(":443"),
+                 F.regexp_extract("url", "^https://[^/]*(/.*)$", 1),
+                 F.lit("?utm_source=t#frag"))).otherwise(F.col("url"))
+    clean_log = os.path.join(tmpdir_path, "clean_log")
+    messy_log = os.path.join(tmpdir_path, "messy_log")
+    write_event_log(ev, clean_log, n_chunks=2)
+    write_event_log(ev.withColumn("url", messy), messy_log, n_chunks=2)
+    pf = os.path.join(tmpdir_path, "f.properties")
+    with open(pf, "w") as f:
+        f.write(
+            "spark.cdm.schema.origin.column.names.to.target  "
+            "url:page_url\n"
+            "spark.cdm.feature.constantColumns.names         source\n"
+            "spark.cdm.feature.constantColumns.values        'crawl'\n")
+
+    ref = os.path.join(tmpdir_path, "ref")
+    t = os.path.join(tmpdir_path, "t")
+    _run(spark, capsys, ["migrate", "--log", clean_log, "--table", ref,
+                         "--properties-file", pf])
+    _run(spark, capsys, ["migrate", "--log", messy_log, "--table", t,
+                         "--properties-file", pf, "--canonicalize-urls"])
+    cols = ("page_url", "warc_ts", "lang", "source")
+    a = sorted(tuple(r[c] for c in cols)
+               for r in LakeTable(spark, ref).read().collect())
+    b = sorted(tuple(r[c] for c in cols)
+               for r in LakeTable(spark, t).read().collect())
+    assert a == b and len(a) > 0 and all(r[3] == "crawl" for r in b)
+
+    out = _run(spark, capsys, ["validate", "--log", messy_log,
+                               "--table", t, "--properties-file", pf,
+                               "--canonicalize-urls"])
+    assert out["mismatch"] == 0 and out["missing"] == 0
+    assert out["extra_target"] == 0 and out["valid"] == len(a)
+
+
+def test_migrate_redact_pii_scrubs_derived_and_carried_text(
+        spark, tmpdir_path, capsys):
+    """--redact-pii scrubs BOTH text forms: the derived column (text
+    extracted winner-side from html — the only point where there is
+    text to redact) and an event-carried text column; validate with
+    the same flag is symmetric, without it the carried PII mismatches."""
+    ev = gen_change_events(spark, n_urls=30, n_events=150, seed=41)
+    pii_html = F.concat(
+        F.col("html"),
+        F.encode(F.concat(F.lit("<p>contact agent"),
+                          (F.col("seq") % 7).cast("string"),
+                          F.lit("@example.com or 415-555-0123</p>")),
+                 "utf-8"))
+    log = os.path.join(tmpdir_path, "log")
+    write_event_log(ev.withColumn("html", pii_html), log, n_chunks=2)
+
+    # derived text: winner-side extraction feeds the redactor
+    t1 = os.path.join(tmpdir_path, "t1")
+    _run(spark, capsys, ["migrate", "--log", log, "--table", t1,
+                         "--redact-pii"])
+    txt = [r["text"] for r in LakeTable(spark, t1).read().collect()]
+    assert len(txt) > 0
+    assert all("<EMAIL>" in s and "<PHONE>" in s for s in txt)
+    assert not any("@example.com" in s or "555-0123" in s for s in txt)
+    # sanity: without the flag the raw PII lands in the lake
+    t2 = os.path.join(tmpdir_path, "t2")
+    _run(spark, capsys, ["migrate", "--log", log, "--table", t2])
+    assert any("@example.com" in r["text"]
+               for r in LakeTable(spark, t2).read().collect())
+
+    # event-CARRIED text: redacted winner-side too, validate symmetric
+    ddl = ("url string, warc_ts timestamp, html binary, text string, "
+           "lang string, op string, seq long")
+    carried = ev.withColumn(
+        "text", F.concat(F.lit("reach me at u"),
+                         (F.col("seq") % 5).cast("string"),
+                         F.lit("@mail.org")))
+    log2 = os.path.join(tmpdir_path, "log2")
+    write_event_log(carried, log2, n_chunks=2)
+    t3 = os.path.join(tmpdir_path, "t3")
+    _run(spark, capsys, ["migrate", "--log", log2, "--table", t3,
+                         "--redact-pii", "text", "--event-schema", ddl])
+    rows = LakeTable(spark, t3).read().collect()
+    assert len(rows) > 0
+    assert all(r["text"] == "reach me at <EMAIL>" for r in rows)
+    out = _run(spark, capsys, ["validate", "--log", log2, "--table", t3,
+                               "--redact-pii", "text",
+                               "--event-schema", ddl])
+    assert out["mismatch"] == 0 and out["missing"] == 0
+    assert out["extra_target"] == 0 and out["valid"] == len(rows)
+    out2 = _run(spark, capsys, ["validate", "--log", log2, "--table", t3,
+                                "--event-schema", ddl])
+    assert out2["mismatch"] > 0
+
+
 def test_migrate_tracked_resume_via_properties(spark, tmpdir_path, capsys,
                                                job_log):
     table = os.path.join(tmpdir_path, "t")
