@@ -1674,6 +1674,128 @@ FROM t
 """
 
 
+def _dup_bp_sql(arr: str) -> str:
+    """DuckDB twin of ``textstats._dup_frac_bp`` — same IEEE tree."""
+    return (f"CASE WHEN len({arr}) > 0 THEN CAST(floor("
+            f"(CAST(1.0 AS DOUBLE) - CAST(len(list_distinct({arr})) AS "
+            f"DOUBLE) / CAST(len({arr}) AS DOUBLE)) * 10000 + 0.5) "
+            f"AS BIGINT) ELSE 0 END")
+
+
+#: 2-/3-gram list twins of ``textstats._ngrams_expr`` (range is
+#: empty-safe in DuckDB, so no size guard is needed on this side)
+_SQL_G2 = ("list_transform(range(1, len(toks)), "
+           "i -> array_to_string(toks[i:i+1], ' '))")
+_SQL_G3 = ("list_transform(range(1, len(toks)-1), "
+           "i -> array_to_string(toks[i:i+2], ' '))")
+
+
+def _q_repetition_stats(spark, sf_dir):
+    """Gopher-style repetition signals (`textstats.repetition_stats`):
+    duplicate fraction of lines / word 2-grams / 3-grams per document.
+    The corpus has no newlines, so the fixture laces each document's
+    REAL text with deterministic extra lines (one always-duplicated
+    header, plus a third copy on every doc_id % 3 == 0) — built from
+    the IDENTICAL expression on both sides — so the line-dup rule is
+    exercised with varying values while the n-gram rules run over the
+    actual corpus text."""
+    docs = _tbl(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    s = lambda x: x.cast("string")  # noqa: E731
+    hdr = F.concat(F.lit("header line "), s(i % 5))
+    laced = F.concat_ws(
+        "\n", F.col("text"), hdr, hdr,
+        F.when(i % 3 == 0, hdr)
+         .otherwise(F.concat(F.lit("unique tail "), s(i))))
+    d = docs.select("doc_id", laced.alias("text"))
+    return TS.repetition_stats(d, "text").select(
+        "doc_id", "n_lines", "dup_line_bp", "dup_2gram_bp",
+        "dup_3gram_bp")
+
+
+_REPETITION_ORACLE = f"""
+WITH src AS (SELECT doc_id,
+    text || chr(10) || 'header line ' || (doc_id % 5) || chr(10) ||
+    'header line ' || (doc_id % 5) || chr(10) ||
+    CASE WHEN doc_id % 3 = 0 THEN 'header line ' || (doc_id % 5)
+         ELSE 'unique tail ' || doc_id END AS text
+  FROM documents),
+t AS (SELECT doc_id, {_SQL_TOKS} AS toks,
+        list_filter(string_split(text, chr(10)), x -> x <> '') AS lines
+      FROM src),
+g AS (SELECT doc_id, lines, {_SQL_G2} AS g2, {_SQL_G3} AS g3 FROM t)
+SELECT doc_id,
+  CAST(len(lines) AS BIGINT) AS n_lines,
+  {_dup_bp_sql('lines')} AS dup_line_bp,
+  {_dup_bp_sql('g2')} AS dup_2gram_bp,
+  {_dup_bp_sql('g3')} AS dup_3gram_bp
+FROM g
+"""
+
+
+def _q_corpus_curation(spark, sf_dir):
+    """The composite training-corpus keep/drop terminal
+    (`textstats.curate_corpus`): language gate → quality floor →
+    repetition ceiling → exact-dup removal (min doc_id per fingerprint
+    survives), with the full per-document audit trail. Every signal
+    AND the final decision are value-checked against a DuckDB replay
+    of the identical rule stack."""
+    docs = _tbl(spark, sf_dir, "documents")
+    out = TS.curate_corpus(docs, "doc_id", "text",
+                           min_quality_bp=4500, max_dup_2gram_bp=2500)
+    return out.select("doc_id", "lang_pred", "quality_bp",
+                      "dup_2gram_bp", "fingerprint", "reject_reason",
+                      "keep")
+
+
+def _corpus_curation_oracle() -> str:
+    en = [w for w in TS.STOPWORDS["en"]]
+    hits = {
+        lang: f"len(list_intersect(dt, {[w for w in TS.STOPWORDS[lang]]}))"
+        for lang in ["en", "de", "fr", "es"]
+    }
+    s = ", ".join(f"{v} AS s_{k}" for k, v in hits.items())
+    quality = f"""CAST(floor((CAST(0.4 AS DOUBLE)
+    * least(CAST(1.0 AS DOUBLE), n / CAST(64.0 AS DOUBLE))
+  + CAST(0.3 AS DOUBLE)
+    * (CASE WHEN n > 0 THEN nd / n ELSE CAST(0.0 AS DOUBLE) END)
+  + CAST(0.3 AS DOUBLE)
+    * least(CAST(1.0 AS DOUBLE),
+            CAST(len(list_intersect(dt, {en})) AS DOUBLE)
+            / CAST(4.0 AS DOUBLE)))
+  * 10000 + 0.5) AS BIGINT)"""
+    return f"""
+WITH t AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents),
+m AS (SELECT doc_id, toks, list_distinct(toks) AS dt,
+        CAST(len(toks) AS DOUBLE) AS n,
+        CAST(len(list_distinct(toks)) AS DOUBLE) AS nd,
+        {_SQL_G2} AS g2
+      FROM t),
+s AS (SELECT doc_id, {s}, {quality} AS quality_bp,
+        {_dup_bp_sql('g2')} AS dup_2gram_bp,
+        {md5_int48_sql("array_to_string(toks, ' ')")} AS fingerprint
+      FROM m),
+c AS (SELECT doc_id, quality_bp, dup_2gram_bp, fingerprint,
+        CASE WHEN s_en >= 1 AND s_en >= s_de AND s_en >= s_fr
+                  AND s_en >= s_es THEN 'en'
+             WHEN s_de >= 1 AND s_de >= s_fr AND s_de >= s_es THEN 'de'
+             WHEN s_fr >= 1 AND s_fr >= s_es THEN 'fr'
+             WHEN s_es >= 1 THEN 'es'
+             ELSE 'und' END AS lang_pred,
+        min(doc_id) OVER (PARTITION BY fingerprint) AS canon
+      FROM s),
+r AS (SELECT doc_id, lang_pred, quality_bp, dup_2gram_bp, fingerprint,
+        CASE WHEN lang_pred NOT IN ('en') THEN 'lang'
+             WHEN quality_bp < 4500 THEN 'quality'
+             WHEN dup_2gram_bp > 2500 THEN 'repetition'
+             WHEN doc_id <> canon THEN 'duplicate' END AS reject_reason
+      FROM c)
+SELECT doc_id, lang_pred, quality_bp, dup_2gram_bp, fingerprint,
+       reject_reason, (reject_reason IS NULL) AS keep
+FROM r
+"""
+
+
 def _q_cosine_topk(spark, sf_dir):
     """Exact brute-force ANN baseline: broadcast queries × corpus,
     codegen'd zip_with/aggregate dot products, window top-k."""
@@ -2072,6 +2194,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "counters_by_type": _q_counters_by_type,
         "url_canonicalize": _q_url_canonicalize,
         "pii_redact": _q_pii_redact,
+        "repetition_stats": _q_repetition_stats,
+        "corpus_curation": _q_corpus_curation,
         "udt_collection_codec": _q_udt_collection_codec,
         "diff_virtual_columns": _q_diff_virtual_columns,
         "vector_merge": _q_vector_merge,
@@ -2171,6 +2295,8 @@ FROM events
         "row_ttl_expiry": _ROW_TTL_ORACLE,
         "url_canonicalize": _url_canon_oracle(),
         "pii_redact": _pii_redact_oracle(),
+        "repetition_stats": _REPETITION_ORACLE,
+        "corpus_curation": _corpus_curation_oracle(),
         "list_element_cast": _LIST_CAST_ORACLE,
         "udt_collection_codec": _UDT_CODEC_ORACLE,
         "diff_virtual_columns": _DIFF_VIRTUAL_ORACLE,

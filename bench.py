@@ -51,6 +51,7 @@ HEADLINE = [
     "dup_clusters",              # pairs→clusters connected components
     "simhash_dup_pairs",         # simhash + segment-bucket pairs
     "token_quality",             # text quality scoring
+    "corpus_curation",           # composite keep/drop curation terminal
     "cosine_topk",               # brute-force ANN baseline
     "cosine_near_dup",           # embedding-LSH near-dup pair chain
     "ann_lsh_topk",              # LSH ANN scale path

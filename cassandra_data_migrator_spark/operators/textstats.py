@@ -102,3 +102,101 @@ def doc_fingerprint(df: DataFrame, text_col: str,
     token stream (whitespace-insensitive, case-insensitive)."""
     normalized = F.concat_ws(" ", tokens_expr(text_col))
     return df.withColumn(out_col, md5_int48_expr(normalized))
+
+
+def _ngrams_expr(toks: Column, n: int) -> Column:
+    """Word n-grams of a token array as space-joined strings; empty
+    array below n tokens (the Spark-side guard matters: an unguarded
+    ``sequence(0, size-n)`` with size < n would DESCEND). DuckDB twin:
+    ``list_transform(range(1, len(toks) - (n-2)),
+    i -> array_to_string(toks[i:i+(n-1)], ' '))`` — ``range`` is
+    empty-safe there, no guard needed."""
+    grams = F.transform(
+        F.sequence(F.lit(0), F.size(toks) - n),
+        lambda i: F.concat_ws(
+            " ", *[F.get(toks, i + j) for j in range(n)]))
+    return F.when(F.size(toks) >= n, grams) \
+            .otherwise(F.array().cast("array<string>"))
+
+
+def _dup_frac_bp(arr: Column) -> Column:
+    """Duplicate fraction of an array in basis points:
+    ``floor((1 - distinct/total)·1e4 + 0.5)``, 0 for an empty array.
+    One fixed IEEE expression tree → bit-deterministic across Spark
+    and DuckDB (same reasoning as ``quality_score``'s basis points)."""
+    n = F.size(arr)
+    nd = F.size(F.array_distinct(arr))
+    return F.when(
+        n > 0,
+        F.floor((F.lit(1.0) - nd.cast("double") / n.cast("double"))
+                * 10000 + 0.5)
+    ).otherwise(F.lit(0)).cast("long")
+
+
+def repetition_stats(df: DataFrame, text_col: str) -> DataFrame:
+    """Gopher-style repetition signals (Rae et al. 2021, "Scaling
+    Language Models", table A1 — the public repetition-filter family a
+    webtext curation pipeline applies before training): per document,
+    the non-empty line count and the duplicate fraction (basis points)
+    of lines, word 2-grams, and word 3-grams. All pure-codegen array
+    expressions — no shuffle, no UDF; the fractions are
+    cross-engine-exact (see ``_dup_frac_bp``).
+
+    Adds ``n_lines``, ``dup_line_bp``, ``dup_2gram_bp``,
+    ``dup_3gram_bp``.
+    """
+    toks = tokens_expr(text_col)
+    lines = F.filter(F.split(F.col(text_col), "\n"), lambda x: x != "")
+    return (df
+            .withColumn("n_lines", F.size(lines).cast("long"))
+            .withColumn("dup_line_bp", _dup_frac_bp(lines))
+            .withColumn("dup_2gram_bp", _dup_frac_bp(_ngrams_expr(toks, 2)))
+            .withColumn("dup_3gram_bp", _dup_frac_bp(_ngrams_expr(toks, 3))))
+
+
+def curate_corpus(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    langs: tuple[str, ...] = ("en",),
+    min_quality_bp: int = 4500,
+    max_dup_2gram_bp: int = 2500,
+) -> DataFrame:
+    """End-to-end corpus curation — the composite keep/drop decision a
+    training-data pipeline runs over a crawled corpus (C4/Gopher-style
+    rule stack): language gate (``lang_id``), quality floor
+    (``quality_score`` basis points), repetition ceiling
+    (``dup_2gram_bp``), then exact-duplicate removal (lowest ``id_col``
+    per content ``fingerprint`` survives). Emits the full audit trail —
+    every signal plus ``keep`` and ``reject_reason`` (the FIRST failing
+    check in the fixed order lang → quality → repetition → duplicate;
+    NULL when kept) — so downstream can both filter and account for
+    drop rates per reason.
+
+    Scale shape: the signals are one codegen projection; the only
+    shuffle is the duplicate window, partitioned by ``fingerprint``
+    (md5-derived 48-bit — uniformly distributed, no hot keys by
+    construction). Canonical-survivor choice is min-id over the WHOLE
+    corpus, independent of the other gates, so the decision is stable
+    under re-partitioning and incremental re-runs.
+    """
+    from pyspark.sql import Window
+
+    d = lang_id(df, text_col)
+    d = quality_score(d, text_col, round_digits=None)
+    d = d.withColumn(
+        "quality_bp",
+        F.floor(F.col("quality") * 10000 + 0.5).cast("long")
+    ).drop("quality")
+    d = d.withColumn(
+        "dup_2gram_bp", _dup_frac_bp(_ngrams_expr(tokens_expr(text_col), 2)))
+    d = doc_fingerprint(d, text_col)
+    canon = F.min(id_col).over(Window.partitionBy("fingerprint"))
+    reason = (
+        F.when(~F.col("lang_pred").isin(*langs), F.lit("lang"))
+         .when(F.col("quality_bp") < min_quality_bp, F.lit("quality"))
+         .when(F.col("dup_2gram_bp") > max_dup_2gram_bp,
+               F.lit("repetition"))
+         .when(F.col(id_col) != canon, F.lit("duplicate")))
+    return (d.withColumn("reject_reason", reason)
+             .withColumn("keep", reason.isNull()))

@@ -412,3 +412,55 @@ def test_bpe_token_count_segments(spark):
     got = {r["i"]: r["n_bpe_tokens"]
            for r in X.bpe_token_count(df, "t").collect()}
     assert got == {0: 8, 1: 0, 2: 0, 3: 8, 4: 8}
+
+
+def test_repetition_stats_known_fractions(spark):
+    """Hand-computed duplicate fractions (basis points, floor(x+0.5)):
+    lines, word 2-grams, 3-grams; sub-n texts hit the Spark-side
+    sequence guard (an unguarded sequence would DESCEND) and yield 0;
+    null text propagates NULL n_lines but 0 fractions (both engines)."""
+    rows = [(0, "a b\na b\nc d"), (1, "x"), (2, ""), (3, None),
+            (4, "a b a b c")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: (r["n_lines"], r["dup_line_bp"],
+                         r["dup_2gram_bp"], r["dup_3gram_bp"])
+           for r in X.repetition_stats(df, "text").collect()}
+    # doc 0: lines 3, 2 distinct → 3333; tokens split on SPACE only, so
+    # the newlines stay inside tokens ([a, b\na, b\nc, d]) and all its
+    # 2-/3-grams are distinct → 0
+    assert got[0] == (3, 3333, 0, 0)
+    assert got[1] == (1, 0, 0, 0)
+    assert got[2] == (0, 0, 0, 0)
+    assert got[3] == (None, 0, 0, 0)
+    # doc 4: g2 [a b, b a, a b, b c] → 4/3 distinct → 2500.5 → 2500;
+    # g3 all distinct → 0
+    assert got[4] == (1, 0, 2500, 0)
+
+
+def test_repetition_stats_pure_codegen(spark, docs):
+    from cassandra_data_migrator_spark import plans
+    out = X.repetition_stats(docs, "text")
+    assert plans.python_eval_nodes(out) == 0
+
+
+def test_curate_corpus_reasons_and_survivor(spark):
+    """Each gate fires in the documented precedence order (lang →
+    quality → repetition → duplicate); the min-id holder of a shared
+    fingerprint survives, its twin reports 'duplicate'."""
+    good = ("the of and to in is that for apple banana cherry date "
+            "egg fig grape house ink jug kite lemon mango nest onion "
+            "pear quilt rose sun tree under vine wolf xray yarn zebra")
+    rows = [
+        (1, good),                       # kept
+        (2, good),                       # exact dup of 1 → 'duplicate'
+        (3, "der die und das ist nicht ein mit"),   # → 'lang'
+        (4, "zzz unknown words only"),              # und → 'lang'
+        (5, "the"),                                 # en but short → 'quality'
+        (6, "the of and to " * 4),                  # repetitive → 'repetition'
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: (r["reject_reason"], r["keep"])
+           for r in X.curate_corpus(df, "doc_id", "text").collect()}
+    assert out == {1: (None, True), 2: ("duplicate", False),
+                   3: ("lang", False), 4: ("lang", False),
+                   5: ("quality", False), 6: ("repetition", False)}
