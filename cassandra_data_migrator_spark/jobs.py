@@ -1246,6 +1246,61 @@ def cmd_dedup(args, spark) -> dict[str, Any]:
     return out
 
 
+def cmd_curate(args, spark) -> dict[str, Any]:
+    """Corpus curation terminal (`textstats.curate_corpus` as a job):
+    language gate → quality floor → repetition ceiling → exact-dup
+    removal over a document corpus (lake table or raw parquet),
+    writing the curated corpus, per-reason drop counts, and optionally
+    the full per-document audit frame.
+
+    Scale shape: the audit frame is computed NARROW (id + signals —
+    the text payload prunes out of its one fingerprint-window shuffle,
+    see PLANS.md), and the corpus itself is filtered by a byte-priced
+    anti-join against the drop-id set (`dedup._anti_join_drop_ids`,
+    same terminal as the dedup job) — document payloads are never
+    shuffled: scan → anti-join → write.
+    """
+    from pyspark.sql import functions as F
+
+    from cassandra_data_migrator_spark.lake import LakeTable
+    from cassandra_data_migrator_spark.operators.dedup import (
+        _anti_join_drop_ids,
+    )
+    from cassandra_data_migrator_spark.operators.textstats import (
+        curate_corpus,
+    )
+
+    try:
+        df = LakeTable(spark, args.input).read()
+    except FileNotFoundError:
+        df = spark.read.parquet(args.input)
+    n_in = df.count()
+    langs = tuple(x.strip() for x in args.langs.split(",") if x.strip())
+    if not langs:
+        raise SystemExit("--langs must name at least one language tag")
+    audit = curate_corpus(
+        df.select(args.id_col, args.text_col), args.id_col,
+        args.text_col, langs=langs,
+        min_quality_bp=args.min_quality_bp,
+        max_dup_2gram_bp=args.max_dup_2gram_bp,
+    ).select(args.id_col, "lang_pred", "quality_bp", "dup_2gram_bp",
+             "fingerprint", "reject_reason", "keep").persist()
+    reasons = {
+        (r["reject_reason"] or "kept"): r["n"]
+        for r in audit.groupBy("reject_reason")
+                      .agg(F.count(F.lit(1)).alias("n")).collect()}
+    if args.audit_out:
+        audit.write.mode("overwrite").parquet(args.audit_out)
+    drop = audit.filter(~F.col("keep")).select(args.id_col)
+    kept_df = _anti_join_drop_ids(df, drop, args.id_col)
+    kept_df.write.mode("overwrite").parquet(args.output)
+    n_kept = spark.read.parquet(args.output).count()
+    audit.unpersist()
+    return {"job": "curate", "input_rows": n_in, "kept_rows": n_kept,
+            "dropped_rows": n_in - n_kept, "reasons": reasons,
+            "output": args.output}
+
+
 # ---------------------------------------------------------------------------
 # CLI
 # ---------------------------------------------------------------------------
@@ -1418,6 +1473,30 @@ def build_parser() -> argparse.ArgumentParser:
     dd.add_argument("--master", default="local[*]")
     dd.add_argument("--shuffle-partitions", type=int, default=32)
     dd.set_defaults(fn=cmd_dedup)
+
+    cu = sub.add_parser(
+        "curate", help="corpus curation: language gate + quality floor "
+                       "+ repetition ceiling + exact-dup removal → "
+                       "curated parquet (+ optional audit frame)")
+    cu.add_argument("--input", required=True,
+                    help="corpus path (lake table or raw parquet)")
+    cu.add_argument("--output", required=True,
+                    help="curated corpus parquet path")
+    cu.add_argument("--id-col", default="doc_id")
+    cu.add_argument("--text-col", default="text")
+    cu.add_argument("--langs", default="en",
+                    help="comma-separated lang_id tags to keep")
+    cu.add_argument("--min-quality-bp", type=int, default=4500,
+                    help="quality_score floor in basis points")
+    cu.add_argument("--max-dup-2gram-bp", type=int, default=2500,
+                    help="duplicate-2-gram-fraction ceiling in basis "
+                         "points (Gopher-style repetition gate)")
+    cu.add_argument("--audit-out", default=None,
+                    help="also write the per-document audit frame "
+                         "(id, signals, keep, reject_reason)")
+    cu.add_argument("--master", default="local[*]")
+    cu.add_argument("--shuffle-partitions", type=int, default=32)
+    cu.set_defaults(fn=cmd_curate)
     return ap
 
 

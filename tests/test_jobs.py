@@ -814,3 +814,50 @@ def test_dedup_cli_reads_lake_table_through_manifest(spark, tmpdir_path,
     kept = {r["url"] for r in spark.read.parquet(outp).collect()}
     assert kept == {"u1"}
     assert out["dropped_rows"] == 2
+
+
+def test_curate_cli_end_to_end(spark, tmpdir_path, capsys):
+    """`curate` writes the corpus minus every gated doc, reports
+    per-reason drop counts, and the optional audit frame carries one
+    row per input doc with the decision trail."""
+    good = ("the of and to in is that for apple banana cherry date "
+            "egg fig grape house ink jug kite lemon mango nest onion "
+            "pear quilt rose sun tree under vine wolf xray yarn zebra")
+    rows = [
+        (1, good),                                   # kept
+        (2, good),                                   # dup of 1
+        (3, "der die und das ist nicht ein mit"),    # lang
+        (4, "the"),                                  # quality
+        (5, "the of and to " * 4),                   # repetition
+        (6, good + " extra closing words here"),     # kept (distinct)
+    ]
+    corpus = os.path.join(tmpdir_path, "corpus")
+    spark.createDataFrame(rows, "doc_id long, text string") \
+        .repartition(2).write.parquet(corpus)
+
+    outp = os.path.join(tmpdir_path, "curated")
+    audit = os.path.join(tmpdir_path, "audit")
+    out = _run(spark, capsys, [
+        "curate", "--input", corpus, "--output", outp,
+        "--audit-out", audit])
+    assert out["job"] == "curate" and out["input_rows"] == 6
+    assert out["kept_rows"] == 2 and out["dropped_rows"] == 4
+    assert out["reasons"] == {"kept": 2, "duplicate": 1, "lang": 1,
+                              "quality": 1, "repetition": 1}
+    kept = {r["doc_id"] for r in spark.read.parquet(outp).collect()}
+    assert kept == {1, 6}
+    a = {r["doc_id"]: (r["reject_reason"], r["keep"])
+         for r in spark.read.parquet(audit).collect()}
+    assert a == {1: (None, True), 2: ("duplicate", False),
+                 3: ("lang", False), 4: ("quality", False),
+                 5: ("repetition", False), 6: (None, True)}
+
+    # a permissive re-run through different thresholds keeps more
+    outp2 = os.path.join(tmpdir_path, "curated2")
+    out2 = _run(spark, capsys, [
+        "curate", "--input", corpus, "--output", outp2,
+        "--langs", "en,de", "--min-quality-bp", "0",
+        "--max-dup-2gram-bp", "10000"])
+    kept2 = {r["doc_id"] for r in spark.read.parquet(outp2).collect()}
+    assert kept2 == {1, 3, 4, 5, 6}
+    assert out2["reasons"] == {"kept": 5, "duplicate": 1}
