@@ -1173,6 +1173,30 @@ WHERE {FL.sample_predicate_sql("user_id", 37.0)}
 """
 
 
+#: per-language retention budgets for the stratified-sampling entry
+_STRATA_RATES = {"en": 80.0, "de": 50.0, "fr": 20.0}
+
+
+def _q_stratified_sample(spark, sf_dir):
+    """Per-stratum deterministic corpus subsampling (the per-language
+    retention-budget step of a training-data pipeline): keep-rate by
+    lang via a CASE threshold against the shared key hash — one
+    codegen predicate, no join, reproducible and engine-independent
+    (`filters.stratified_sample_predicate`). Unlisted strata (es/zh
+    here) fall to the 10% default."""
+    docs = _tbl(spark, sf_dir, "documents")
+    return docs.filter(FL.stratified_sample_predicate(
+        "doc_id", "lang", _STRATA_RATES, default_percent=10.0)
+    ).select("doc_id", "lang")
+
+
+_STRATIFIED_SAMPLE_ORACLE = f"""
+SELECT doc_id, lang FROM documents
+WHERE {FL.stratified_sample_sql("doc_id", "lang", _STRATA_RATES,
+                                default_percent=10.0)}
+"""
+
+
 def _q_diff_virtual_columns(spark, sf_dir):
     """Feature-aware diff (DiffJobSession.java:243-330): constant and
     extracted-JSON target columns have no physical origin counterpart —
@@ -2196,6 +2220,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_redact": _q_pii_redact,
         "repetition_stats": _q_repetition_stats,
         "corpus_curation": _q_corpus_curation,
+        "stratified_sample": _q_stratified_sample,
         "udt_collection_codec": _q_udt_collection_codec,
         "diff_virtual_columns": _q_diff_virtual_columns,
         "vector_merge": _q_vector_merge,
@@ -2297,6 +2322,7 @@ FROM events
         "pii_redact": _pii_redact_oracle(),
         "repetition_stats": _REPETITION_ORACLE,
         "corpus_curation": _corpus_curation_oracle(),
+        "stratified_sample": _STRATIFIED_SAMPLE_ORACLE,
         "list_element_cast": _LIST_CAST_ORACLE,
         "udt_collection_codec": _UDT_CODEC_ORACLE,
         "diff_virtual_columns": _DIFF_VIRTUAL_ORACLE,

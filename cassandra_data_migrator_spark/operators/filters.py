@@ -44,6 +44,47 @@ def sample_predicate_sql(key_expr: str, percent: float,
     return f"(({h}) % 10000 < {int(round(percent * 100))})"
 
 
+def stratified_sample_predicate(
+    key_col: str, stratum_col: str, rates: dict[str, float],
+    default_percent: float = 0.0, salt: str = "strata",
+) -> Column:
+    """Per-stratum deterministic sampling — the training-corpus
+    subsampling step (e.g. per-language retention budgets): keep a row
+    iff ``hash(key#salt) % 10000 < rate(stratum)·100``, with
+    ``default_percent`` for strata not named in ``rates``.
+
+    Same contract as :func:`sample_predicate` (reference analog
+    ``job/SplitPartitions.java:66-68``), lifted per-stratum: hash-based
+    so the sample is reproducible run-over-run, engine-independent
+    (DuckDB-oracle-checkable), and all events of one key land on the
+    same side. One codegen predicate — a CASE over the stratum column
+    against the shared key hash; no join against a rates table, so
+    nothing shuffles regardless of stratum skew.
+    """
+    thr: Column = F.lit(int(round(default_percent * 100)))
+    for k in sorted(rates, reverse=True):   # chain is order-free; fixed
+        thr = F.when(F.col(stratum_col) == k,                 # for plan
+                     F.lit(int(round(rates[k] * 100)))).otherwise(thr)
+    h = md5_int48_expr(
+        F.concat(F.col(key_col).cast("string"), F.lit(f"#{salt}")))
+    return F.pmod(h, F.lit(10_000)) < thr
+
+
+def stratified_sample_sql(
+    key_expr: str, stratum_expr: str, rates: dict[str, float],
+    default_percent: float = 0.0, salt: str = "strata",
+) -> str:
+    """DuckDB rendering of :func:`stratified_sample_predicate` — kept
+    adjacent so the two rule sets cannot drift apart silently."""
+    from cassandra_data_migrator_spark.functions.hashing import md5_int48_sql
+    whens = "".join(
+        f" WHEN {stratum_expr} = '{k}' THEN {int(round(rates[k] * 100))}"
+        for k in sorted(rates, reverse=True))
+    case = f"CASE{whens} ELSE {int(round(default_percent * 100))} END"
+    h = md5_int48_sql(f"CAST({key_expr} AS VARCHAR) || '#{salt}'")
+    return f"(({h}) % 10000 < {case})"
+
+
 _RING_MAX = (1 << 48) - 1
 
 

@@ -238,3 +238,37 @@ def test_diff_virtual_columns(spark):
            for r in d.collect()}
     assert got[1] == ("valid", [])
     assert got[2] == ("mismatch", ["k"])
+
+
+def test_stratified_sample_rates_and_determinism(spark):
+    """Per-stratum keep rates land near their budgets, the default
+    covers unlisted strata (0% default drops them entirely), rerun is
+    identical, and the DuckDB rendering picks the same rows."""
+    import duckdb
+
+    rows = [(i, ["en", "de", "zz"][i % 3]) for i in range(3000)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    rates = {"en": 80.0, "de": 20.0}
+    pred = FL.stratified_sample_predicate("doc_id", "lang", rates,
+                                          default_percent=0.0)
+    got = df.filter(pred).groupBy("lang").count().collect()
+    by = {r["lang"]: r["count"] for r in got}
+    assert "zz" not in by                       # 0% default
+    assert 0.70 < by["en"] / 1000 < 0.90        # ~80%
+    assert 0.12 < by["de"] / 1000 < 0.28        # ~20%
+    # deterministic: identical keep-set run-over-run
+    a = sorted(r["doc_id"] for r in df.filter(pred).collect())
+    b = sorted(r["doc_id"] for r in df.filter(pred).collect())
+    assert a == b
+    # the SQL twin picks the IDENTICAL rows
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (doc_id BIGINT, lang VARCHAR)")
+    con.executemany("INSERT INTO t VALUES (?, ?)", rows)
+    sql = FL.stratified_sample_sql("doc_id", "lang", rates,
+                                   default_percent=0.0)
+    duck = sorted(r[0] for r in con.execute(
+        f"SELECT doc_id FROM t WHERE {sql}").fetchall())
+    assert duck == a
+    # keys stay whole: same key in two strata only differs via stratum
+    from cassandra_data_migrator_spark import plans
+    assert plans.python_eval_nodes(df.filter(pred)) == 0
