@@ -110,7 +110,13 @@ def _ngrams_expr(toks: Column, n: int) -> Column:
     ``sequence(0, size-n)`` with size < n would DESCEND). DuckDB twin:
     ``list_transform(range(1, len(toks) - (n-2)),
     i -> array_to_string(toks[i:i+(n-1)], ' '))`` — ``range`` is
-    empty-safe there, no guard needed."""
+    empty-safe there, no guard needed.
+
+    ``toks`` MUST be a cheap reference (a materialized column, not the
+    raw ``tokens_expr`` chain): the ``transform`` lambda re-evaluates
+    ``toks`` on EVERY element access, so an inlined tokenization makes
+    the gram build O(tokens²) per document — measured 417 s vs seconds
+    at 50k docs before the callers materialized their arrays."""
     grams = F.transform(
         F.sequence(F.lit(0), F.size(toks) - n),
         lambda i: F.concat_ws(
@@ -145,13 +151,25 @@ def repetition_stats(df: DataFrame, text_col: str) -> DataFrame:
     Adds ``n_lines``, ``dup_line_bp``, ``dup_2gram_bp``,
     ``dup_3gram_bp``.
     """
-    toks = tokens_expr(text_col)
-    lines = F.filter(F.split(F.col(text_col), "\n"), lambda x: x != "")
-    return (df
-            .withColumn("n_lines", F.size(lines).cast("long"))
-            .withColumn("dup_line_bp", _dup_frac_bp(lines))
-            .withColumn("dup_2gram_bp", _dup_frac_bp(_ngrams_expr(toks, 2)))
-            .withColumn("dup_3gram_bp", _dup_frac_bp(_ngrams_expr(toks, 3))))
+    # materialize every array ONCE per row: tokens feed the gram
+    # lambdas (which re-evaluate their input per element — see
+    # _ngrams_expr) and each gram/line array is read 3× by
+    # _dup_frac_bp. CollapseProject keeps multi-use non-cheap aliases
+    # as separate projections, so these stay materialized in the plan.
+    d = (df
+         .withColumn("_rs_toks", tokens_expr(text_col))
+         .withColumn("_rs_lines",
+                     F.filter(F.split(F.col(text_col), "\n"),
+                              lambda x: x != "")))
+    d = (d
+         .withColumn("_rs_g2", _ngrams_expr(F.col("_rs_toks"), 2))
+         .withColumn("_rs_g3", _ngrams_expr(F.col("_rs_toks"), 3)))
+    return (d
+            .withColumn("n_lines", F.size(F.col("_rs_lines")).cast("long"))
+            .withColumn("dup_line_bp", _dup_frac_bp(F.col("_rs_lines")))
+            .withColumn("dup_2gram_bp", _dup_frac_bp(F.col("_rs_g2")))
+            .withColumn("dup_3gram_bp", _dup_frac_bp(F.col("_rs_g3")))
+            .drop("_rs_toks", "_rs_lines", "_rs_g2", "_rs_g3"))
 
 
 def curate_corpus(
@@ -188,8 +206,12 @@ def curate_corpus(
         "quality_bp",
         F.floor(F.col("quality") * 10000 + 0.5).cast("long")
     ).drop("quality")
-    d = d.withColumn(
-        "dup_2gram_bp", _dup_frac_bp(_ngrams_expr(tokens_expr(text_col), 2)))
+    # tokens and grams materialized once per row (see _ngrams_expr:
+    # an inlined tokenization is O(tokens²) inside the gram lambda)
+    d = d.withColumn("_cc_toks", tokens_expr(text_col))
+    d = d.withColumn("_cc_g2", _ngrams_expr(F.col("_cc_toks"), 2))
+    d = (d.withColumn("dup_2gram_bp", _dup_frac_bp(F.col("_cc_g2")))
+          .drop("_cc_toks", "_cc_g2"))
     d = doc_fingerprint(d, text_col)
     canon = F.min(id_col).over(Window.partitionBy("fingerprint"))
     reason = (
