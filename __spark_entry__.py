@@ -437,6 +437,93 @@ def _q_streaming_checkpoint_resume(spark, sf_dir):
     return _final_state_df(LakeTable(spark, table.path))
 
 
+def _two_epoch_table(spark, sf_dir, tag: str) -> tuple[LakeTable, int]:
+    """Replay the change stream in two deterministic epochs split at
+    half the max seq; returns (table, version-after-epoch-0)."""
+    half = _half_seq(spark, sf_dir)
+    ev = _change_events(spark, sf_dir)
+    table = LakeTable.create(
+        spark, _tmpdir(tag), _STATE_SCHEMA,
+        EngineConfig(n_buckets=16, key_col="user_id", ts_col="ts"))
+    table.merge_batch(ev.filter(F.col("seq") <= half),
+                      stream_id=f"q_{tag}", epoch_id=0)
+    v1 = table.version
+    table.merge_batch(ev.filter(F.col("seq") > half),
+                      stream_id=f"q_{tag}", epoch_id=1)
+    return table, v1
+
+
+def _q_time_travel_read(spark, sf_dir):
+    """Time travel: read the snapshot committed after the FIRST of two
+    replay epochs via read_version — must equal an LWW replay of only
+    the first-half events. Retention window = expire_versions keep_last
+    (Iceberg expireSnapshots semantics); the reference has no lake-side
+    history, this replaces its re-run-the-copy workflow."""
+    table, v1 = _two_epoch_table(spark, sf_dir, "ttravel")
+    return table.read_version(v1).select(
+        F.col("user_id"),
+        _ts_us("ts").alias("ts_us"),
+        F.col("event_type").alias("last_type"),
+        _cents("value").alias("value_cents"),
+    )
+
+
+_TIME_TRAVEL_ORACLE = f"""
+WITH ranked AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events WHERE event_id <= {_HALF_SEQ_SQL})
+SELECT user_id, epoch_us(ts) AS ts_us, event_type AS last_type,
+       CAST(round(value*100) AS BIGINT) AS value_cents
+FROM ranked WHERE rn = 1 AND event_type <> 'error'
+"""
+
+
+def _q_changelog_read(spark, sf_dir):
+    """Incremental changelog (CDC-out): changes_between two snapshot
+    versions — inserts/updates carry the v_to image, deletes the v_from
+    pre-image; untouched buckets are pruned by the manifest file-diff
+    before any scan (the Iceberg-incremental-scan / Delta-CDF analog)."""
+    table, v1 = _two_epoch_table(spark, sf_dir, "chlog")
+    ch = table.changes_between(v1)
+    return ch.select(
+        F.col("user_id"),
+        F.col("_change_type").alias("change_type"),
+        _ts_us("ts").alias("ts_us"),
+        F.col("event_type").alias("last_type"),
+        _cents("value").alias("value_cents"),
+    )
+
+
+_CHANGELOG_ORACLE = f"""
+WITH r1 AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events WHERE event_id <= {_HALF_SEQ_SQL}),
+s1 AS (SELECT user_id, ts, event_id, event_type, value
+       FROM r1 WHERE rn = 1 AND event_type <> 'error'),
+r2 AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events),
+s2 AS (SELECT user_id, ts, event_id, event_type, value
+       FROM r2 WHERE rn = 1 AND event_type <> 'error')
+SELECT
+  coalesce(s2.user_id, s1.user_id) AS user_id,
+  CASE WHEN s1.user_id IS NULL THEN 'insert'
+       WHEN s2.user_id IS NULL THEN 'delete'
+       ELSE 'update_postimage' END AS change_type,
+  epoch_us(CASE WHEN s2.user_id IS NULL THEN s1.ts ELSE s2.ts END) AS ts_us,
+  CASE WHEN s2.user_id IS NULL THEN s1.event_type
+       ELSE s2.event_type END AS last_type,
+  CAST(round((CASE WHEN s2.user_id IS NULL THEN s1.value
+                   ELSE s2.value END) * 100) AS BIGINT) AS value_cents
+FROM s1 FULL OUTER JOIN s2 ON s1.user_id = s2.user_id
+WHERE s1.user_id IS NULL OR s2.user_id IS NULL
+   OR s1.event_id <> s2.event_id OR s1.ts <> s2.ts
+"""
+
+
 def _q_skew_salted_replay(spark, sf_dir):
     """Hot-domain skew salting end-to-end (P2; north_rule "salted
     repartitioning to break hot-domain skew"; reference random-split
@@ -2189,6 +2276,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_replay_final_state": _q_cdc_replay_final_state,
         "streaming_cdc_replay": _q_streaming_cdc_replay,
         "streaming_checkpoint_resume": _q_streaming_checkpoint_resume,
+        "time_travel_read": _q_time_travel_read,
+        "changelog_read": _q_changelog_read,
         "skew_salted_replay": _q_skew_salted_replay,
         "unset_null_merge": _q_unset_null_merge,
         "column_skip_list": _q_column_skip_list,
@@ -2197,7 +2286,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "autocorrect_replay": _q_autocorrect_replay,
         "schema_evolution_replay": _q_schema_evolution_replay,
         "counter_merge_replay": _q_counter_merge_replay,
-        "counter_incremental_tail": _q_counter_incremental_tail,
         "tracked_batch_replay": _q_tracked_batch_replay,
         "bucket_checksums": _q_bucket_checksums,
         # filters (§2.3)
@@ -2232,7 +2320,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exact_dedup": _q_exact_dedup,
         "minhash_lsh_dedup": _q_minhash_lsh_dedup,
         "dup_clusters": _q_dup_clusters,
-        "online_dedup": _q_online_dedup,
         "simhash_dup_pairs": _q_simhash_dup_pairs,
         "lang_id": _q_lang_id,
         "token_quality": _q_token_quality,
@@ -2256,8 +2343,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # the in-artifact lang_id + token_quality; row_ttl_expiry is the
         # TTL half of the same WritetimeTTL aggregate as the in-artifact
         # row_writetime + custom_writetime_ttl (which exercises both
-        # halves plus the property family). All remain fully runnable —
+        # halves plus the property family); counter_incremental_tail is
+        # the same additive merge as the in-artifact counter_merge_replay
+        # with the watermark tail filter (plan-contract pytest +
+        # test_jobs coverage); online_dedup's first-wins hash dedup sits
+        # next to the in-artifact exact_dedup / dup_clusters terminals
+        # (its online-vs-offline convergence is pytest-covered in
+        # test_online_dedup). All remain fully runnable —
         # tools/check_entry.py sweeps the complete dict every round.
+        "counter_incremental_tail": _q_counter_incremental_tail,
+        "online_dedup": _q_online_dedup,
         "ann_scaled_topk": _q_ann_scaled_topk,
         "doc_fingerprint": _q_doc_fingerprint,
         "row_ttl_expiry": _q_row_ttl_expiry,
@@ -2282,6 +2377,8 @@ def oracle_sql() -> dict[str, str]:
         "cdc_replay_final_state": _FINAL_STATE_ORACLE,
         "streaming_cdc_replay": _FINAL_STATE_ORACLE,
         "streaming_checkpoint_resume": _FINAL_STATE_ORACLE,
+        "time_travel_read": _TIME_TRAVEL_ORACLE,
+        "changelog_read": _CHANGELOG_ORACLE,
         "skew_salted_replay": _SKEW_SALTED_ORACLE,
         "unset_null_merge": _UNSET_NULL_ORACLE,
         "column_skip_list": _COLUMN_SKIP_ORACLE,

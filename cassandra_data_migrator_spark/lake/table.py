@@ -284,40 +284,178 @@ class LakeTable:
         expiry means the row never expires. The predicate is a plain
         Catalyst comparison, so it pushes down to the parquet scan.
         """
+        return self._read_snapshot(
+            self.manifest, buckets=buckets, include_deleted=include_deleted,
+            include_internal=include_internal, as_of=as_of)
+
+    def manifest_at(self, version: int) -> dict:
+        """The committed manifest of ``version``; raises ``LookupError``
+        when that snapshot has been expired (``expire_versions``) or was
+        never committed."""
+        p = self._manifest_path(int(version))
+        if not self.fs.exists(p):
+            raise LookupError(
+                f"version {version} is not available on {self.path} "
+                f"(expired by expire_versions, or never committed; "
+                f"retained versions: {self.history()})")
+        return json.loads(self.fs.read_text(p))
+
+    def read_version(
+        self,
+        version: int,
+        buckets: list[int] | None = None,
+        include_deleted: bool = False,
+        include_internal: bool = False,
+    ) -> DataFrame:
+        """Time travel: the table exactly as of an earlier commit.
+
+        The snapshot is read with ITS OWN schema (Iceberg semantics —
+        a snapshot pins the schema id it was committed under), so a
+        column renamed after ``version`` surfaces under its old name
+        and columns added later are absent. Retention is governed by
+        ``expire_versions(keep_last=...)``; reading an expired version
+        raises ``LookupError`` rather than resurrecting partial state.
+
+        Reference analog: the migrator has no lake-side history (a
+        Cassandra origin is mutable in place); this is the Spark-lake
+        feature that replaces its "re-run the copy to reproduce a past
+        state" workflow.
+        """
+        return self._read_snapshot(
+            self.manifest_at(version), buckets=buckets,
+            include_deleted=include_deleted,
+            include_internal=include_internal)
+
+    def _read_snapshot(
+        self,
+        manifest: dict,
+        buckets: list[int] | None = None,
+        include_deleted: bool = False,
+        include_internal: bool = False,
+        as_of: Any | None = None,
+        current: list[dict] | None = None,
+        schemas: dict | None = None,
+    ) -> DataFrame:
+        """Read any committed manifest. ``current``/``schemas`` override
+        the field list the files are reconciled to (used by
+        ``changes_between`` to align an old snapshot onto the newer
+        snapshot's schema by column id)."""
+        if schemas is None:
+            schemas = manifest["schemas"]
+        if current is None:
+            current = schemas[str(manifest["schema_version"])]
         file_groups: dict[int, list[str]] = {}
         sel = None if buckets is None else {int(b) for b in buckets}
-        for b, entries in self.manifest["files"].items():
+        for b, entries in manifest["files"].items():
             if sel is not None and int(b) not in sel:
                 continue
             for e in entries:
                 file_groups.setdefault(e["schema_version"], []).append(
                     os.path.join(self.path, e["path"])
                 )
-        current = self.current_fields()
         out: DataFrame | None = None
         for sv, paths in sorted(file_groups.items()):
-            df = self._read_files_as_current(paths, sv, current)
+            df = self._read_files_as_current(paths, sv, current,
+                                             schemas=schemas)
             out = df if out is None else out.unionByName(df)
         if out is None:
             out = self.spark.createDataFrame(
-                [], T.StructType(list(self.schema().fields) + _internal_struct_fields())
+                [], T.StructType(list(_fields_to_schema(current).fields)
+                                 + _internal_struct_fields())
             )
         if not include_deleted:
             out = out.filter(~F.col(_DELETED))
-        if as_of is not None and self.expires_col is not None:
-            ec = F.col(self.expires_col)
+        expires_col = manifest["config"].get("expires_col")
+        if as_of is not None and expires_col is not None:
+            ec = F.col(expires_col)
             # literal cast to the column's own type: timestamp_ntz
             # expiry columns stay ntz (no session-TZ coupling)
-            lit = F.lit(as_of).cast(self.schema()[self.expires_col].dataType)
-            out = out.filter(ec.isNull() | (ec > lit))
+            etype = _fields_to_schema(current)[expires_col].dataType
+            out = out.filter(ec.isNull() | (ec > F.lit(as_of).cast(etype)))
         if not include_internal:
             out = out.drop(*INTERNAL_COLS)
         return out
 
-    def _read_files_as_current(
-        self, paths: list[str], schema_version: int, current: list[dict]
+    def changes_between(
+        self,
+        v_from: int,
+        v_to: int | None = None,
+        change_col: str = "_change_type",
     ) -> DataFrame:
-        old = self.manifest["schemas"][str(schema_version)]
+        """Incremental changelog (CDC-out): the row-level changes between
+        two committed snapshots, as a DataFrame in the ``v_to`` schema
+        plus a ``change_col`` ∈ {'insert', 'update_postimage', 'delete'}.
+        Insert/update rows carry the ``v_to`` image, delete rows the
+        ``v_from`` pre-image. This is the downstream half of a CDC
+        engine — the analog of an Iceberg incremental scan / Delta CDF
+        read — letting consumers tail the lake table itself.
+
+        Scale shape: buckets are copy-on-write, so a bucket untouched
+        between the two versions has an IDENTICAL file list in both
+        manifests and is pruned out here without scanning (driver-side
+        manifest diff, no data I/O). Only changed buckets are read, and
+        the two sides join on (bucket, key) — co-partitioned by
+        construction, no broadcast needed, no full-table pass. A
+        ``compact``/``overwrite`` between the versions rewrites files
+        without changing rows; those buckets are scanned but emit no
+        change rows (classification compares the stored LWW winner
+        ``(ts, _seq)``, which a rewrite preserves).
+        """
+        v_to = self.version if v_to is None else int(v_to)
+        v_from = int(v_from)
+        if v_from > v_to:
+            raise ValueError(f"v_from={v_from} is newer than v_to={v_to}")
+        mt = self.manifest_at(v_to)
+        cur = mt["schemas"][str(mt["schema_version"])]
+        out_schema = T.StructType(
+            list(_fields_to_schema(cur).fields)
+            + [T.StructField(change_col, T.StringType(), False)])
+        if v_from == v_to:
+            return self.spark.createDataFrame([], out_schema)
+        mf = self.manifest_at(v_from)
+        changed = sorted(
+            int(b) for b in set(mf["files"]) | set(mt["files"])
+            if mf["files"].get(str(b)) != mt["files"].get(str(b)))
+        if not changed:
+            return self.spark.createDataFrame([], out_schema)
+        # both sides reconciled (by column id) onto the v_to field list,
+        # so renamed columns line up and later-added columns read null
+        # on the old side; schemas accumulate monotonically, so mt's
+        # registry covers every schema_version mf's files reference.
+        old = self._read_snapshot(mf, buckets=changed, include_internal=True,
+                                  current=cur, schemas=mt["schemas"]).alias("f")
+        new = self._read_snapshot(mt, buckets=changed,
+                                  include_internal=True).alias("t")
+        key = self.key_col
+        ts = self.ts_col
+        j = old.join(
+            new,
+            on=[F.col(f"f.{_BUCKET}") == F.col(f"t.{_BUCKET}"),
+                F.col(f"f.{key}") == F.col(f"t.{key}")],
+            how="full_outer")
+        f_absent = F.col(f"f.{key}").isNull()
+        t_absent = F.col(f"t.{key}").isNull()
+        winner_moved = (
+            ~F.col(f"f.{ts}").eqNullSafe(F.col(f"t.{ts}"))
+            | ~F.col(f"f.{_SEQ}").eqNullSafe(F.col(f"t.{_SEQ}")))
+        change = (
+            F.when(f_absent, F.lit("insert"))
+            .when(t_absent, F.lit("delete"))
+            .when(winner_moved, F.lit("update_postimage")))
+        cols = [
+            F.when(t_absent, F.col(f"f.{f['name']}"))
+            .otherwise(F.col(f"t.{f['name']}")).alias(f["name"])
+            for f in cur
+        ]
+        return (j.withColumn(change_col, change)
+                 .filter(F.col(change_col).isNotNull())
+                 .select(*cols, F.col(change_col)))
+
+    def _read_files_as_current(
+        self, paths: list[str], schema_version: int, current: list[dict],
+        schemas: dict | None = None,
+    ) -> DataFrame:
+        old = (schemas or self.manifest["schemas"])[str(schema_version)]
         old_by_id = {f["id"]: f for f in old}
         physical = T.StructType(
             list(_fields_to_schema(old).fields) + _internal_struct_fields()
