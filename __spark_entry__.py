@@ -524,6 +524,34 @@ WHERE s1.user_id IS NULL OR s2.user_id IS NULL
 """
 
 
+def _q_changelog_replication(spark, sf_dir):
+    """Cascaded CDC (streaming/changelog.py): replay the change stream
+    into a SOURCE lake table in two epochs, after each one catching a
+    REPLICA up through the checkpointed changelog consumer
+    (poll → changes_to_events → fenced merge_batch → offset commit).
+    The replica's final state must equal the one-hop LWW oracle — in
+    particular cascaded deletes must carry the tombstone's (ts, seq),
+    not the pre-image's, or late updates would resurrect deleted keys.
+    Reference analog: the migrator's second hop is "re-run the whole
+    copy" (trackRun.previousRunId); this hop moves only the version
+    delta, bucket-pruned by the manifest file diff."""
+    from cassandra_data_migrator_spark.streaming.changelog import replicate
+
+    half = _half_seq(spark, sf_dir)
+    ev = _change_events(spark, sf_dir)
+    src = LakeTable.create(
+        spark, _tmpdir("crep_src"), _STATE_SCHEMA,
+        EngineConfig(n_buckets=16, key_col="user_id", ts_col="ts"))
+    dst, ckpt = _tmpdir("crep_dst"), _tmpdir("crep_ckpt")
+    src.merge_batch(ev.filter(F.col("seq") <= half),
+                    stream_id="q_crep", epoch_id=0)
+    replicate(spark, src, dst, ckpt)
+    src.merge_batch(ev.filter(F.col("seq") > half),
+                    stream_id="q_crep", epoch_id=1)
+    replicate(spark, src, LakeTable(spark, dst), ckpt)
+    return _final_state_df(LakeTable(spark, dst))
+
+
 def _q_skew_salted_replay(spark, sf_dir):
     """Hot-domain skew salting end-to-end (P2; north_rule "salted
     repartitioning to break hot-domain skew"; reference random-split
@@ -2278,6 +2306,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_checkpoint_resume": _q_streaming_checkpoint_resume,
         "time_travel_read": _q_time_travel_read,
         "changelog_read": _q_changelog_read,
+        "changelog_replication": _q_changelog_replication,
         "skew_salted_replay": _q_skew_salted_replay,
         "unset_null_merge": _q_unset_null_merge,
         "column_skip_list": _q_column_skip_list,
@@ -2379,6 +2408,7 @@ def oracle_sql() -> dict[str, str]:
         "streaming_checkpoint_resume": _FINAL_STATE_ORACLE,
         "time_travel_read": _TIME_TRAVEL_ORACLE,
         "changelog_read": _CHANGELOG_ORACLE,
+        "changelog_replication": _FINAL_STATE_ORACLE,
         "skew_salted_replay": _SKEW_SALTED_ORACLE,
         "unset_null_merge": _UNSET_NULL_ORACLE,
         "column_skip_list": _COLUMN_SKIP_ORACLE,

@@ -1301,6 +1301,50 @@ def cmd_curate(args, spark) -> dict[str, Any]:
             "output": args.output}
 
 
+def cmd_changes(args, spark) -> dict[str, Any]:
+    """Cascaded CDC terminal: export a lake table's changelog between
+    two versions, or replicate it into a downstream lake table through
+    the checkpointed consumer (streaming/changelog.py).
+
+    The reference's second-hop story is "re-run the whole copy"
+    (``trackRun.previousRunId``); this consumes only the version delta,
+    bucket-pruned by the manifest file diff."""
+    from pyspark.sql import functions as F
+
+    from cassandra_data_migrator_spark.lake import LakeTable
+    from cassandra_data_migrator_spark.streaming.changelog import (
+        replicate,
+    )
+
+    table = LakeTable(spark, args.table)
+    out: dict[str, Any] = {"job": "changes", "table": args.table,
+                           "version": table.version}
+    if args.replicate_to:
+        if not args.checkpoint:
+            raise SystemExit("error: --replicate-to requires --checkpoint")
+        res = replicate(spark, table, args.replicate_to, args.checkpoint,
+                        stream_id=args.stream_id,
+                        max_versions=args.max_versions)
+        out.update(res)
+        return out
+    if args.from_version is None:
+        raise SystemExit("error: need --from-version (export mode) or "
+                         "--replicate-to (replication mode)")
+    ch = table.changes_between(args.from_version, args.to_version,
+                               with_ordering=args.ordering)
+    if args.output:
+        ch.write.mode("overwrite").parquet(args.output)
+        out["output"] = args.output
+    counts = {r["_change_type"]: r["n"] for r in
+              ch.groupBy("_change_type").agg(F.count("*").alias("n"))
+              .collect()}
+    out["changes"] = counts
+    out["v_from"] = args.from_version
+    out["v_to"] = (args.to_version if args.to_version is not None
+                   else table.version)
+    return out
+
+
 # ---------------------------------------------------------------------------
 # CLI
 # ---------------------------------------------------------------------------
@@ -1497,6 +1541,33 @@ def build_parser() -> argparse.ArgumentParser:
     cu.add_argument("--master", default="local[*]")
     cu.add_argument("--shuffle-partitions", type=int, default=32)
     cu.set_defaults(fn=cmd_curate)
+
+    ch = sub.add_parser(
+        "changes", help="changelog export / cascaded-CDC replication "
+                        "(changes_between + checkpointed consumer)")
+    ch.add_argument("--table", required=True, help="source lake table")
+    ch.add_argument("--from-version", type=int, default=None,
+                    help="export mode: changelog since this version")
+    ch.add_argument("--to-version", type=int, default=None,
+                    help="export mode: up to this version (default "
+                         "current)")
+    ch.add_argument("--ordering", action="store_true",
+                    help="append _change_ts/_change_seq (the change's "
+                         "own LWW ordering — required to replay the "
+                         "export through merge_batch)")
+    ch.add_argument("--output", default=None,
+                    help="export mode: write the changelog as parquet")
+    ch.add_argument("--replicate-to", default=None,
+                    help="replication mode: target lake table path "
+                         "(created from the source schema when absent)")
+    ch.add_argument("--checkpoint", default=None,
+                    help="replication mode: consumer offset directory")
+    ch.add_argument("--stream-id", default="changelog")
+    ch.add_argument("--max-versions", type=int, default=None,
+                    help="bound one replication epoch's version span")
+    ch.add_argument("--master", default="local[*]")
+    ch.add_argument("--shuffle-partitions", type=int, default=32)
+    ch.set_defaults(fn=cmd_changes)
     return ap
 
 

@@ -196,6 +196,12 @@ class LakeTable:
         _write_manifest(path, manifest, expect_new_table=True, fs=fs)
         return cls(spark, path, fs=fs)
 
+    def refresh(self) -> None:
+        """Re-read LATEST so this handle sees commits made by other
+        writers (the changelog consumer's poll loop and any long-lived
+        handle racing a second process use this)."""
+        self._load_latest()
+
     def _load_latest(self) -> None:
         latest = os.path.join(self.path, "_manifests", "LATEST")
         if not self.fs.exists(latest):
@@ -381,6 +387,7 @@ class LakeTable:
         v_from: int,
         v_to: int | None = None,
         change_col: str = "_change_type",
+        with_ordering: bool = False,
     ) -> DataFrame:
         """Incremental changelog (CDC-out): the row-level changes between
         two committed snapshots, as a DataFrame in the ``v_to`` schema
@@ -400,6 +407,14 @@ class LakeTable:
         without changing rows; those buckets are scanned but emit no
         change rows (classification compares the stored LWW winner
         ``(ts, _seq)``, which a rewrite preserves).
+
+        ``with_ordering=True`` appends ``_change_ts`` / ``_change_seq``
+        — the LWW ordering of the change itself: for upserts the new
+        winner's (ts, seq); for deletes the TOMBSTONE's, not the
+        pre-image's. A downstream replica must merge on these (see
+        ``streaming.changelog.changes_to_events``): applying a delete
+        at the pre-image's older timestamp would lose against the very
+        row it is supposed to remove.
         """
         v_to = self.version if v_to is None else int(v_to)
         v_from = int(v_from)
@@ -409,7 +424,11 @@ class LakeTable:
         cur = mt["schemas"][str(mt["schema_version"])]
         out_schema = T.StructType(
             list(_fields_to_schema(cur).fields)
-            + [T.StructField(change_col, T.StringType(), False)])
+            + [T.StructField(change_col, T.StringType(), False)]
+            + ([T.StructField("_change_ts",
+                              _fields_to_schema(cur)[self.ts_col].dataType),
+                T.StructField("_change_seq", T.LongType())]
+               if with_ordering else []))
         if v_from == v_to:
             return self.spark.createDataFrame([], out_schema)
         mf = self.manifest_at(v_from)
@@ -422,9 +441,10 @@ class LakeTable:
         # so renamed columns line up and later-added columns read null
         # on the old side; schemas accumulate monotonically, so mt's
         # registry covers every schema_version mf's files reference.
-        old = self._read_snapshot(mf, buckets=changed, include_internal=True,
+        old = self._read_snapshot(mf, buckets=changed, include_deleted=True,
+                                  include_internal=True,
                                   current=cur, schemas=mt["schemas"]).alias("f")
-        new = self._read_snapshot(mt, buckets=changed,
+        new = self._read_snapshot(mt, buckets=changed, include_deleted=True,
                                   include_internal=True).alias("t")
         key = self.key_col
         ts = self.ts_col
@@ -433,23 +453,39 @@ class LakeTable:
             on=[F.col(f"f.{_BUCKET}") == F.col(f"t.{_BUCKET}"),
                 F.col(f"f.{key}") == F.col(f"t.{key}")],
             how="full_outer")
-        f_absent = F.col(f"f.{key}").isNull()
-        t_absent = F.col(f"t.{key}").isNull()
+        # tombstones are stored rows (they carry delete LWW time); a key
+        # is LIVE on a side iff present there and not tombstoned
+        f_live = F.col(f"f.{key}").isNotNull() & ~F.col(f"f.{_DELETED}")
+        t_live = F.col(f"t.{key}").isNotNull() & ~F.col(f"t.{_DELETED}")
         winner_moved = (
             ~F.col(f"f.{ts}").eqNullSafe(F.col(f"t.{ts}"))
             | ~F.col(f"f.{_SEQ}").eqNullSafe(F.col(f"t.{_SEQ}")))
         change = (
-            F.when(f_absent, F.lit("insert"))
-            .when(t_absent, F.lit("delete"))
-            .when(winner_moved, F.lit("update_postimage")))
+            F.when(~f_live & t_live, F.lit("insert"))
+            .when(f_live & ~t_live, F.lit("delete"))
+            .when(f_live & t_live & winner_moved,
+                  F.lit("update_postimage")))
+        is_delete = f_live & ~t_live
         cols = [
-            F.when(t_absent, F.col(f"f.{f['name']}"))
+            F.when(is_delete, F.col(f"f.{f['name']}"))
             .otherwise(F.col(f"t.{f['name']}")).alias(f["name"])
             for f in cur
         ]
+        extra = [F.col(change_col)]
+        if with_ordering:
+            # the change's own LWW ordering: the t-side stored row — the
+            # new winner for upserts, the tombstone for deletes (the
+            # t row always exists for a change; coalesce is belt-and-
+            # braces for a hypothetical tombstone-GC'd side)
+            extra += [
+                F.coalesce(F.col(f"t.{ts}"), F.col(f"f.{ts}"))
+                 .alias("_change_ts"),
+                F.coalesce(F.col(f"t.{_SEQ}"), F.col(f"f.{_SEQ}"))
+                 .alias("_change_seq"),
+            ]
         return (j.withColumn(change_col, change)
                  .filter(F.col(change_col).isNotNull())
-                 .select(*cols, F.col(change_col)))
+                 .select(*cols, *extra))
 
     def _read_files_as_current(
         self, paths: list[str], schema_version: int, current: list[dict],

@@ -1,3 +1,9 @@
+from cassandra_data_migrator_spark.streaming.changelog import (  # noqa: F401
+    ChangelogConsumer,
+    changes_to_events,
+    ensure_replica,
+    replicate,
+)
 from cassandra_data_migrator_spark.streaming.dedupstream import (  # noqa: F401
     apply_dedup_epoch,
     run_online_dedup_stream,

@@ -1,0 +1,272 @@
+"""Cascaded CDC: tail a lake table's own commit history as a change
+stream and replay it into a downstream replica.
+
+The reference migrator is a one-hop copier (``Migrate.java`` reads a
+mutable Cassandra origin, writes a target); a downstream consumer in
+that world re-reads the whole target per run (``spark.cdm.trackRun.
+previousRunId`` reruns). Here the lake's manifest chain IS a changelog:
+``LakeTable.changes_between`` already emits the row-level delta between
+two commits with manifest-level bucket pruning, so a replica can follow
+the table incrementally — the Delta-CDF / Iceberg-incremental-scan
+pattern, expressed over this engine's own format.
+
+Three pieces:
+
+- :func:`changes_to_events` — lower a ``changes_between(...,
+  with_ordering=True)`` frame into the engine's CDC event shape
+  (op/ts/seq), so the delta is replayable through the SAME
+  ``merge_batch`` LWW operator that built the source. Deletes are
+  stamped with the TOMBSTONE's (ts, seq) — not the pre-image's — so a
+  cascaded delete beats the row it removes (see the ordering-columns
+  note on ``changes_between``).
+- :class:`ChangelogConsumer` — a checkpointed cursor over the source's
+  commit versions: ``poll()`` returns the next unconsumed delta,
+  ``commit()`` durably advances the offset (atomic replace through the
+  FS seam, same discipline as the manifest commit).
+- :func:`replicate` — the loop: poll → lower → ``merge_batch`` into the
+  replica with ``epoch_id = v_to`` → commit the offset. Exactly-once
+  end-to-end comes from TWO independent guards: the replica's epoch
+  fence suppresses a byte-identical replay of an already-applied range,
+  and even a WIDER re-polled range (crash after merge, before offset
+  commit, plus new source commits) re-applies cleanly because the LWW
+  merge is idempotent — cumulative deltas of the same history converge
+  to the same winners.
+
+Scale shape: one poll reads only the buckets whose file lists differ
+between the two manifests (no full-table scan on quiet tables), the
+delta flows through merge_batch's single (bucket, key) shuffle with
+LWW pre-reduction, and the offset state is O(1) JSON — no driver-side
+row buffering anywhere.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from dataclasses import dataclass
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cassandra_data_migrator_spark.config import EngineConfig
+from cassandra_data_migrator_spark.lake.fs import get_fs
+from cassandra_data_migrator_spark.lake.table import LakeTable, MergeResult
+
+_ORDERING_COLS = ("_change_ts", "_change_seq")
+
+
+@dataclass
+class ChangeBatch:
+    """One polled delta: the rows changed in ``(v_from, v_to]``."""
+
+    df: DataFrame
+    v_from: int
+    v_to: int
+
+
+def changes_to_events(
+    changes: DataFrame,
+    ts_col: str,
+    op_col: str = "op",
+    seq_col: str = "seq",
+    change_col: str = "_change_type",
+) -> DataFrame:
+    """Lower a changelog frame into the merge_batch event shape.
+
+    Input must carry the ordering columns (``with_ordering=True``):
+    for upserts they equal the new winner's (ts, seq); for deletes the
+    tombstone's. The event's ``ts_col``/``seq`` are taken from THOSE —
+    using the delete pre-image's own (older) timestamp would make the
+    cascaded delete lose LWW against the very row it must remove.
+    """
+    missing = [c for c in (*_ORDERING_COLS, change_col)
+               if c not in changes.columns]
+    if missing:
+        raise ValueError(
+            f"changelog frame lacks {missing}; produce it with "
+            f"changes_between(..., with_ordering=True)")
+    data_cols = [c for c in changes.columns
+                 if c not in (change_col, ts_col, *_ORDERING_COLS)]
+    op = (
+        F.when(F.col(change_col) == F.lit("delete"), F.lit("delete"))
+        .when(F.col(change_col) == F.lit("insert"), F.lit("insert"))
+        .otherwise(F.lit("update"))
+    )
+    return changes.select(
+        *[F.col(c) for c in data_cols],
+        F.col("_change_ts").alias(ts_col),
+        F.col("_change_seq").alias(seq_col),
+        op.alias(op_col),
+    )
+
+
+class ChangelogConsumer:
+    """A durable cursor over a lake table's commit chain.
+
+    ``position`` is the last FULLY CONSUMED version (the replica state
+    reflects everything up to and including it); ``poll()`` hands back
+    the delta ``(position, v_to]`` and the caller advances with
+    ``commit(v_to)`` once the delta is durably applied. The offset
+    lives in ``<checkpoint>/offset.json``, written with the FS seam's
+    atomic replace — a crash between apply and commit re-polls the same
+    (or a wider) range, which the replica-side guards absorb (see
+    module docstring).
+
+    ``start_version`` defaults to the table's initial empty commit
+    (version 1), so the first poll is a FULL bootstrap: every live row
+    arrives as an ``insert``. If retention (``expire_versions``) has
+    already dropped the start manifest, ``poll`` raises ``LookupError``
+    — re-seed the replica from ``read_version(earliest retained)`` and
+    ``seek(earliest)`` instead of silently missing rows.
+    """
+
+    def __init__(
+        self,
+        table: LakeTable,
+        checkpoint: str,
+        start_version: int = 1,
+        fs: Any | None = None,
+    ):
+        self.table = table
+        self.checkpoint = checkpoint
+        self.fs = fs if fs is not None else get_fs(checkpoint)
+        self.fs.makedirs(checkpoint)
+        self._offset_path = os.path.join(checkpoint, "offset.json")
+        self._start = int(start_version)
+
+    @property
+    def position(self) -> int:
+        if self.fs.exists(self._offset_path):
+            return int(json.loads(
+                self.fs.read_text(self._offset_path))["version"])
+        return self._start
+
+    def seek(self, version: int) -> None:
+        """Force the cursor (bootstrap-after-expiry, replays)."""
+        self.commit(int(version))
+
+    def commit(self, v_to: int) -> None:
+        self.fs.replace(self._offset_path, json.dumps(
+            {"version": int(v_to), "table": self.table.path}))
+
+    def poll(
+        self,
+        max_versions: int | None = None,
+        with_ordering: bool = True,
+    ) -> ChangeBatch | None:
+        """The next unconsumed delta, or None when caught up.
+
+        Refreshes the source handle first so commits from other writers
+        are visible. ``max_versions`` bounds one batch's span (smaller
+        replica epochs on a long-idle consumer); the delta itself is
+        version-diff-based, so cost scales with touched buckets, not
+        with the number of spanned commits.
+        """
+        self.table.refresh()
+        pos = self.position
+        v_to = self.table.version
+        if max_versions is not None:
+            v_to = min(v_to, pos + int(max_versions))
+        if v_to <= pos:
+            return None
+        try:
+            df = self.table.changes_between(
+                pos, v_to, with_ordering=with_ordering)
+        except LookupError as e:
+            raise LookupError(
+                f"changelog position v{pos} of {self.table.path} has "
+                f"been expired (retained: {self.table.history()}); "
+                f"re-seed the replica from read_version(earliest) and "
+                f"seek(earliest)") from e
+        return ChangeBatch(df=df, v_from=pos, v_to=v_to)
+
+
+def _follow_schema(source: LakeTable, target: LakeTable) -> int:
+    """Apply source-side schema evolution to the replica: renames are
+    matched by field id (a replica created by :func:`replicate` shares
+    the source's id assignment), new fields appended by name. Returns
+    the number of DDL commits made. Type changes are not followed —
+    the engine's own evolution path casts at read, so files keep
+    working; a replica wanting the new type re-creates from a snapshot.
+    """
+    changed = 0
+    src = {f["id"]: f for f in source.current_fields()}
+    tgt_by_id = {f["id"]: f for f in target.current_fields()}
+    for fid, sf in sorted(src.items()):
+        tf = tgt_by_id.get(fid)
+        if tf is not None and tf["name"] != sf["name"]:
+            target.rename_column(tf["name"], sf["name"])
+            changed += 1
+    tgt_names = {f["name"] for f in target.current_fields()}
+    for fid, sf in sorted(src.items()):
+        if fid not in tgt_by_id and sf["name"] not in tgt_names:
+            target.add_column(sf["name"], sf["type"])
+            changed += 1
+    return changed
+
+
+def ensure_replica(
+    spark: SparkSession,
+    source: LakeTable,
+    target_path: str,
+    fs: Any | None = None,
+) -> LakeTable:
+    """Open the replica at ``target_path``, creating it with the
+    source's CURRENT schema and layout config when absent. Bucket
+    count/key/ts mirror the source so per-bucket reasoning (checksums,
+    pruning) lines up across the hop."""
+    fs = fs if fs is not None else get_fs(target_path)
+    if fs.exists(os.path.join(target_path, "_manifests", "LATEST")):
+        return LakeTable(spark, target_path, fs=fs)
+    cfg = source.manifest["config"]
+    return LakeTable.create(
+        spark, target_path, source.schema(),
+        EngineConfig(
+            n_buckets=cfg["n_buckets"], key_col=cfg["key_col"],
+            ts_col=cfg["ts_col"], expires_col=cfg.get("expires_col"),
+            bucket_prefix_sep=cfg.get("bucket_prefix_sep")),
+        fs=fs)
+
+
+def replicate(
+    spark: SparkSession,
+    source: LakeTable,
+    target: LakeTable | str,
+    checkpoint: str,
+    stream_id: str = "changelog",
+    max_versions: int | None = None,
+    max_batches: int | None = None,
+) -> dict[str, Any]:
+    """Catch the replica up to the source's current version.
+
+    Each polled delta becomes one fenced merge epoch on the replica
+    (``epoch_id = v_to``), then the offset commits. Loops until
+    ``poll()`` returns None (or ``max_batches``). Returns a summary
+    dict (applied ranges, rows per change type are NOT counted here —
+    counting would force an extra pass; use the replica's lineage).
+    """
+    if isinstance(target, str):
+        target = ensure_replica(spark, source, target)
+    consumer = ChangelogConsumer(source, checkpoint)
+    applied: list[dict[str, Any]] = []
+    while max_batches is None or len(applied) < max_batches:
+        batch = consumer.poll(max_versions=max_versions)
+        if batch is None:
+            break
+        _follow_schema(source, target)
+        events = changes_to_events(batch.df, ts_col=source.ts_col)
+        res: MergeResult = target.merge_batch(
+            events, stream_id=stream_id, epoch_id=batch.v_to)
+        consumer.commit(batch.v_to)
+        applied.append({
+            "v_from": batch.v_from, "v_to": batch.v_to,
+            "skipped": res.skipped,
+            "target_version": res.version,
+        })
+    return {
+        "source": source.path, "target": target.path,
+        "batches": applied,
+        "position": consumer.position,
+        "target_version": target.version,
+    }

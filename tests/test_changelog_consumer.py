@@ -1,0 +1,229 @@
+"""Cascaded CDC: the checkpointed changelog consumer and the
+replicate loop (streaming/changelog.py) — a replica table follows the
+source's commit chain incrementally and converges to the same state.
+
+Reference analog: the migrator re-runs the whole copy per refresh
+(Migrate.java + trackRun.previousRunId); here the second hop consumes
+only the delta. The LWW-critical case is the delete ordering: a
+cascaded delete must carry the TOMBSTONE's (ts, seq), not the
+pre-image's, or it loses against the row it removes.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import os
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from cassandra_data_migrator_spark.config import EngineConfig
+from cassandra_data_migrator_spark.lake import LakeTable
+from cassandra_data_migrator_spark.streaming.changelog import (
+    ChangelogConsumer,
+    changes_to_events,
+    ensure_replica,
+    replicate,
+)
+
+UTC = dt.timezone.utc
+
+WEB_SCHEMA = T.StructType([
+    T.StructField("url", T.StringType(), False),
+    T.StructField("warc_ts", T.TimestampType(), False),
+    T.StructField("html", T.BinaryType(), True),
+    T.StructField("text", T.StringType(), True),
+    T.StructField("lang", T.StringType(), True),
+])
+
+_EVENT_SCHEMA = T.StructType([
+    T.StructField("seq", T.LongType(), False),
+    T.StructField("op", T.StringType(), False),
+    T.StructField("url", T.StringType(), True),
+    T.StructField("warc_ts", T.TimestampType(), True),
+    T.StructField("html", T.BinaryType(), True),
+    T.StructField("text", T.StringType(), True),
+    T.StructField("lang", T.StringType(), True),
+])
+
+
+def ts(s: int) -> dt.datetime:
+    return dt.datetime(2024, 1, 1, tzinfo=UTC) + dt.timedelta(seconds=s)
+
+
+def mk_events(spark, rows):
+    data = [
+        (seq, op, url, ts(t),
+         (f"<p>{body}</p>".encode() if body is not None else None),
+         body, "en" if body is not None else None)
+        for (seq, op, url, t, body) in rows
+    ]
+    return spark.createDataFrame(data, _EVENT_SCHEMA)
+
+
+@pytest.fixture()
+def paths(tmpdir_path):
+    return (os.path.join(tmpdir_path, "src"),
+            os.path.join(tmpdir_path, "dst"),
+            os.path.join(tmpdir_path, "ckpt"))
+
+
+@pytest.fixture()
+def source(spark, paths):
+    return LakeTable.create(spark, paths[0], WEB_SCHEMA,
+                            EngineConfig(n_buckets=8))
+
+
+def _state(df):
+    return {r["url"]: (r["warc_ts"], r["text"]) for r in df.collect()}
+
+
+def test_delete_carries_tombstone_ordering(spark, source):
+    source.merge_batch(mk_events(spark, [(1, "insert", "a", 100, "a1")]))
+    v1 = source.version
+    source.merge_batch(mk_events(spark, [(2, "delete", "a", 500, None)]))
+    ch = source.changes_between(v1, with_ordering=True).collect()
+    assert len(ch) == 1 and ch[0]["_change_type"] == "delete"
+    # pre-image columns, tombstone ordering
+    assert ch[0]["text"] == "a1"
+    assert ch[0]["warc_ts"] == ts(100).replace(tzinfo=None)
+    assert ch[0]["_change_ts"] == ts(500).replace(tzinfo=None)
+    assert ch[0]["_change_seq"] == 2
+    ev = changes_to_events(
+        source.changes_between(v1, with_ordering=True), ts_col="warc_ts")
+    row = ev.collect()[0]
+    assert (row["op"], row["warc_ts"], row["seq"]) == (
+        "delete", ts(500).replace(tzinfo=None), 2)
+
+
+def test_changes_to_events_requires_ordering(spark, source):
+    source.merge_batch(mk_events(spark, [(1, "insert", "a", 100, "a1")]))
+    with pytest.raises(ValueError, match="with_ordering"):
+        changes_to_events(source.changes_between(1), ts_col="warc_ts")
+
+
+def test_consumer_poll_commit_cycle(spark, source, paths):
+    _, _, ckpt = paths
+    c = ChangelogConsumer(source, ckpt)
+    assert c.poll() is None                        # empty table: caught up
+    source.merge_batch(mk_events(spark, [(1, "insert", "a", 100, "a1")]))
+    b = c.poll()
+    assert (b.v_from, b.v_to) == (1, source.version)
+    assert b.df.count() == 1
+    # not committed yet → a fresh consumer re-polls the same range
+    b2 = ChangelogConsumer(source, ckpt).poll()
+    assert (b2.v_from, b2.v_to) == (b.v_from, b.v_to)
+    c.commit(b.v_to)
+    assert ChangelogConsumer(source, ckpt).poll() is None
+    # another writer commits → the long-lived handle sees it via refresh
+    LakeTable(spark, source.path).merge_batch(
+        mk_events(spark, [(2, "update", "a", 200, "a2")]))
+    b3 = c.poll()
+    assert b3.v_from == b.v_to and b3.v_to == b3.v_from + 1
+    assert [r["_change_type"] for r in b3.df.collect()] == [
+        "update_postimage"]
+
+
+def test_poll_max_versions_bounds_the_span(spark, source, paths):
+    _, _, ckpt = paths
+    for i in range(3):
+        source.merge_batch(mk_events(
+            spark, [(10 + i, "insert", f"u{i}", 100 + i, f"v{i}")]))
+    c = ChangelogConsumer(source, ckpt)
+    seen = []
+    while (b := c.poll(max_versions=1)) is not None:
+        seen.append((b.v_from, b.v_to, b.df.count()))
+        c.commit(b.v_to)
+    assert [s[1] - s[0] for s in seen] == [1, 1, 1]
+    assert sum(s[2] for s in seen) == 3
+
+
+def test_replicate_end_to_end_and_incremental(spark, source, paths):
+    _, dst, ckpt = paths
+    source.merge_batch(mk_events(spark, [
+        (1, "insert", "a", 100, "a1"),
+        (2, "insert", "b", 100, "b1"),
+        (3, "insert", "c", 100, "c1"),
+    ]))
+    out = replicate(spark, source, dst, ckpt)
+    replica = LakeTable(spark, dst)
+    assert _state(replica.read()) == _state(source.read())
+    assert out["position"] == source.version
+    # grow the source: update + delete + re-insert across two commits
+    source.merge_batch(mk_events(spark, [
+        (4, "update", "a", 200, "a2"),
+        (5, "delete", "b", 200, None),
+    ]))
+    source.merge_batch(mk_events(spark, [(6, "insert", "d", 300, "d1")]))
+    out2 = replicate(spark, source, LakeTable(spark, dst), ckpt)
+    assert [b["v_from"] for b in out2["batches"]][0] == out["position"]
+    replica = LakeTable(spark, dst)
+    assert _state(replica.read()) == _state(source.read())
+    assert "b" not in _state(replica.read())
+    # replica rejects an out-of-order late write for the deleted key,
+    # exactly like the source would (tombstone ordering survived the hop)
+    replica.merge_batch(mk_events(spark, [(7, "update", "b", 150, "late")]))
+    assert "b" not in _state(LakeTable(spark, dst).read())
+
+
+def test_replicate_crash_between_merge_and_commit(spark, source, paths):
+    _, dst, ckpt = paths
+    source.merge_batch(mk_events(spark, [(1, "insert", "a", 100, "a1")]))
+    # manual half-run: merge applied, offset commit "crashed"
+    target = ensure_replica(spark, source, dst)
+    c = ChangelogConsumer(source, ckpt)
+    b = c.poll()
+    target.merge_batch(changes_to_events(b.df, ts_col="warc_ts"),
+                       stream_id="changelog", epoch_id=b.v_to)
+    # rerun from the same checkpoint: same range → fenced skip, offset
+    # advances, state converges
+    out = replicate(spark, source, LakeTable(spark, dst), ckpt)
+    assert out["batches"][0]["skipped"] is True
+    assert out["position"] == source.version
+    assert _state(LakeTable(spark, dst).read()) == _state(source.read())
+    # wider-range variant: new source commit before the rerun → the
+    # re-polled cumulative delta re-applies idempotently (not fenced)
+    b2 = ChangelogConsumer(source, ckpt)
+    source.merge_batch(mk_events(spark, [(2, "update", "a", 200, "a2")]))
+    batch = b2.poll()
+    LakeTable(spark, dst).merge_batch(
+        changes_to_events(batch.df, ts_col="warc_ts"),
+        stream_id="changelog", epoch_id=batch.v_to)     # crash again
+    source.merge_batch(mk_events(spark, [(3, "insert", "e", 300, "e1")]))
+    out2 = replicate(spark, source, LakeTable(spark, dst), ckpt)
+    assert out2["batches"][-1]["skipped"] is False
+    assert _state(LakeTable(spark, dst).read()) == _state(source.read())
+
+
+def test_replicate_follows_schema_evolution(spark, source, paths):
+    _, dst, ckpt = paths
+    source.merge_batch(mk_events(spark, [(1, "insert", "a", 100, "a1")]))
+    replicate(spark, source, dst, ckpt)
+    source.rename_column("lang", "language")
+    source.add_column("fetch_status", "int")
+    ev = spark.createDataFrame(
+        [(2, "update", "a", ts(200), b"<p>a2</p>", "a2", "de", 200)],
+        T.StructType(list(_EVENT_SCHEMA.fields)
+                     + [T.StructField("fetch_status", T.IntegerType())]),
+    ).withColumnRenamed("lang", "language")
+    source.merge_batch(ev)
+    replicate(spark, source, LakeTable(spark, dst), ckpt)
+    replica = LakeTable(spark, dst)
+    assert replica.read().columns == source.read().columns
+    row = replica.read().collect()[0]
+    assert (row["text"], row["language"], row["fetch_status"]) == (
+        "a2", "de", 200)
+
+
+def test_expired_position_raises_with_reseed_hint(spark, source, paths):
+    _, _, ckpt = paths
+    source.merge_batch(mk_events(spark, [(1, "insert", "a", 100, "a1")]))
+    source.merge_batch(mk_events(spark, [(2, "update", "a", 200, "a2")]))
+    source.expire_versions(keep_last=1)
+    c = ChangelogConsumer(source, ckpt)          # position 1 is gone
+    with pytest.raises(LookupError, match="re-seed"):
+        c.poll()
+    # seek to the earliest retained version unblocks (delta-only tail)
+    c.seek(source.history()[0])
+    assert c.poll() is None

@@ -861,3 +861,54 @@ def test_curate_cli_end_to_end(spark, tmpdir_path, capsys):
     kept2 = {r["doc_id"] for r in spark.read.parquet(outp2).collect()}
     assert kept2 == {1, 3, 4, 5, 6}
     assert out2["reasons"] == {"kept": 5, "duplicate": 1}
+
+
+def test_changes_cli_export_and_replicate(spark, tmpdir_path, capsys,
+                                          job_log):
+    """`changes` exports a replayable changelog (ordering columns) and
+    replicates incrementally into a second lake table that converges to
+    the source's state."""
+    src = os.path.join(tmpdir_path, "chsrc")
+    _run(spark, capsys, ["migrate", "--log", job_log, "--table", src])
+
+    # export mode: full-history delta is all inserts, parquet lands
+    outp = os.path.join(tmpdir_path, "chexport")
+    out = _run(spark, capsys, [
+        "changes", "--table", src, "--from-version", "1",
+        "--ordering", "--output", outp])
+    assert set(out["changes"]) == {"insert"}
+    exported = spark.read.parquet(outp)
+    assert {"_change_type", "_change_ts", "_change_seq"} <= \
+        set(exported.columns)
+    assert exported.count() == out["changes"]["insert"]
+
+    # replication mode: catch-up, then incremental after source growth
+    dst = os.path.join(tmpdir_path, "chdst")
+    ckpt = os.path.join(tmpdir_path, "chckpt")
+    rep = _run(spark, capsys, [
+        "changes", "--table", src, "--replicate-to", dst,
+        "--checkpoint", ckpt])
+    assert rep["position"] == rep["version"]
+    s = LakeTable(spark, src)
+    d = LakeTable(spark, dst)
+    key = lambda df: {r["url"]: (r["warc_ts"], r["text"])  # noqa: E731
+                      for r in df.select("url", "warc_ts", "text")
+                      .collect()}
+    assert key(d.read()) == key(s.read())
+
+    more = os.path.join(tmpdir_path, "chmore")
+    write_event_log(gen_change_events(spark, n_urls=120, n_events=200,
+                                      seed=18), more, n_chunks=2)
+    _run(spark, capsys, ["migrate", "--log", more, "--table", src])
+    rep2 = _run(spark, capsys, [
+        "changes", "--table", src, "--replicate-to", dst,
+        "--checkpoint", ckpt])
+    assert rep2["batches"] and rep2["batches"][0]["v_from"] == \
+        rep["position"]
+    assert key(LakeTable(spark, dst).read()) == \
+        key(LakeTable(spark, src).read())
+
+    # config errors surface as rc 1 with a message, not a traceback
+    assert main(["changes", "--table", src, "--replicate-to", dst],
+                spark=spark) == 1
+    assert main(["changes", "--table", src], spark=spark) == 1
