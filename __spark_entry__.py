@@ -552,6 +552,47 @@ def _q_changelog_replication(spark, sf_dir):
     return _final_state_df(LakeTable(spark, dst))
 
 
+def _q_filtered_replication(spark, sf_dir):
+    """Filtered + projected cascaded replica (streaming/changelog.py):
+    replicate with ``where="value >= 0.5"`` and ``columns`` dropping
+    ``props``. The invariant under test is state-level: a change whose
+    post-image fails the predicate is converted to a DELETE at the same
+    (ts, seq), so a key whose winner moves OUT of the predicate between
+    the two epochs must LEAVE the replica — the final replica state is
+    exactly σ_pred(source final state), which is what the oracle
+    computes (one-hop LWW + the same predicate). Merely dropping
+    non-matching events would leave those keys stale and fail the
+    hash. Reference analog: spark.cdm.filter.cassandra.whereCondition
+    applied on an incremental hop instead of a full copy."""
+    from cassandra_data_migrator_spark.streaming.changelog import replicate
+
+    half = _half_seq(spark, sf_dir)
+    ev = _change_events(spark, sf_dir)
+    src = LakeTable.create(
+        spark, _tmpdir("frep_src"), _STATE_SCHEMA,
+        EngineConfig(n_buckets=16, key_col="user_id", ts_col="ts"))
+    dst, ckpt = _tmpdir("frep_dst"), _tmpdir("frep_ckpt")
+    src.merge_batch(ev.filter(F.col("seq") <= half),
+                    stream_id="q_frep", epoch_id=0)
+    replicate(spark, src, dst, ckpt, where="value >= 0.5",
+              columns=["event_type", "value"])
+    src.merge_batch(ev.filter(F.col("seq") > half),
+                    stream_id="q_frep", epoch_id=1)
+    replicate(spark, src, LakeTable(spark, dst), ckpt)
+    return _final_state_df(LakeTable(spark, dst))
+
+
+_FILTERED_REPLICA_ORACLE = """
+WITH ranked AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events)
+SELECT user_id, epoch_us(ts) AS ts_us, event_type AS last_type,
+       CAST(round(value*100) AS BIGINT) AS value_cents
+FROM ranked WHERE rn = 1 AND event_type <> 'error' AND value >= 0.5
+"""
+
+
 def _q_skew_salted_replay(spark, sf_dir):
     """Hot-domain skew salting end-to-end (P2; north_rule "salted
     repartitioning to break hot-domain skew"; reference random-split
@@ -2307,6 +2348,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "time_travel_read": _q_time_travel_read,
         "changelog_read": _q_changelog_read,
         "changelog_replication": _q_changelog_replication,
+        "filtered_replication": _q_filtered_replication,
         "skew_salted_replay": _q_skew_salted_replay,
         "unset_null_merge": _q_unset_null_merge,
         "column_skip_list": _q_column_skip_list,
@@ -2409,6 +2451,7 @@ def oracle_sql() -> dict[str, str]:
         "time_travel_read": _TIME_TRAVEL_ORACLE,
         "changelog_read": _CHANGELOG_ORACLE,
         "changelog_replication": _FINAL_STATE_ORACLE,
+        "filtered_replication": _FILTERED_REPLICA_ORACLE,
         "skew_salted_replay": _SKEW_SALTED_ORACLE,
         "unset_null_merge": _UNSET_NULL_ORACLE,
         "column_skip_list": _COLUMN_SKIP_ORACLE,

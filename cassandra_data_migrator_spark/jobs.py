@@ -41,6 +41,7 @@ from __future__ import annotations
 import argparse
 import json
 import sys
+import time
 from dataclasses import replace
 from datetime import datetime, timezone
 from typing import Any
@@ -1322,10 +1323,25 @@ def cmd_changes(args, spark) -> dict[str, Any]:
     if args.replicate_to:
         if not args.checkpoint:
             raise SystemExit("error: --replicate-to requires --checkpoint")
-        res = replicate(spark, table, args.replicate_to, args.checkpoint,
-                        stream_id=args.stream_id,
-                        max_versions=args.max_versions)
+        cols = ([c.strip() for c in args.columns.split(",") if c.strip()]
+                if args.columns else None)
+        polls = 0
+        while True:
+            try:
+                res = replicate(spark, table, args.replicate_to,
+                                args.checkpoint, stream_id=args.stream_id,
+                                max_versions=args.max_versions,
+                                where=args.where, columns=cols)
+            except ValueError as e:
+                # pinned-rule conflict / bad projection: config error
+                raise SystemExit(f"error: {e}") from e
+            polls += 1
+            if not args.follow or (args.max_polls is not None
+                                   and polls >= args.max_polls):
+                break
+            time.sleep(args.poll_interval)
         out.update(res)
+        out["polls"] = polls
         return out
     if args.from_version is None:
         raise SystemExit("error: need --from-version (export mode) or "
@@ -1565,6 +1581,25 @@ def build_parser() -> argparse.ArgumentParser:
     ch.add_argument("--stream-id", default="changelog")
     ch.add_argument("--max-versions", type=int, default=None,
                     help="bound one replication epoch's version span")
+    ch.add_argument("--where", default=None,
+                    help="filtered replica: SQL predicate over the "
+                         "change post-image; non-matching (or NULL) "
+                         "changes become deletes at the same (ts, seq) "
+                         "so out-of-predicate winners LEAVE the "
+                         "replica. Pinned in the checkpoint on first "
+                         "use")
+    ch.add_argument("--columns", default=None,
+                    help="projected replica: comma list of data "
+                         "columns to keep (key/ts always kept). "
+                         "Pinned in the checkpoint on first use")
+    ch.add_argument("--follow", action="store_true",
+                    help="replication mode: keep polling instead of "
+                         "exiting when caught up (paced by "
+                         "--poll-interval)")
+    ch.add_argument("--poll-interval", type=float, default=10.0,
+                    help="seconds between --follow polls")
+    ch.add_argument("--max-polls", type=int, default=None,
+                    help="stop --follow after this many polls")
     ch.add_argument("--master", default="local[*]")
     ch.add_argument("--shuffle-partitions", type=int, default=32)
     ch.set_defaults(fn=cmd_changes)

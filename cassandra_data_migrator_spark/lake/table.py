@@ -158,9 +158,24 @@ class LakeTable:
         schema: T.StructType,
         config: EngineConfig | None = None,
         fs: Any | None = None,
+        field_registry: tuple[list[dict], int] | None = None,
     ) -> "LakeTable":
-        """Initialise an empty table (manifest v1, no data files)."""
+        """Initialise an empty table (manifest v1, no data files).
+
+        ``field_registry``: advanced — ``(fields, next_field_id)`` to
+        seed the id-based schema registry from an UPSTREAM table
+        instead of assigning fresh sequential ids. A cascaded replica
+        (``streaming.changelog.ensure_replica``) uses this so its field
+        ids equal the source's for every kept column — that identity is
+        what lets source-side renames be followed by id even on a
+        PROJECTED replica, where fresh sequential ids would silently
+        mis-align (source id 3 = ``html`` vs replica id 3 = whatever
+        came after the dropped column). When given, ``schema`` is
+        ignored for the registry and derived from the fields.
+        """
         config = config or EngineConfig()
+        if field_registry is not None:
+            schema = _fields_to_schema(field_registry[0])
         if config.key_col not in schema.fieldNames():
             raise ValueError(f"key column {config.key_col!r} not in schema")
         if config.ts_col not in schema.fieldNames():
@@ -171,7 +186,11 @@ class LakeTable:
         fs = fs if fs is not None else get_fs(path)
         fs.makedirs(os.path.join(path, "_manifests"))
         fs.makedirs(os.path.join(path, "data"))
-        fields = _schema_to_fields(schema)
+        if field_registry is not None:
+            fields, next_id = field_registry
+            fields = [dict(f) for f in fields]
+        else:
+            fields, next_id = _schema_to_fields(schema), len(schema) + 1
         manifest = {
             "version": 1,
             "parent": None,
@@ -185,7 +204,7 @@ class LakeTable:
             },
             "schema_version": 1,
             "schemas": {"1": fields},
-            "next_field_id": len(fields) + 1,
+            "next_field_id": next_id,
             # bucket(str) -> list of {"path": rel, "schema_version": int}
             "files": {},
             # exactly-once fence: stream_id -> highest committed epoch id

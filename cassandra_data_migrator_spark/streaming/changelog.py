@@ -30,7 +30,10 @@ Three pieces:
   and even a WIDER re-polled range (crash after merge, before offset
   commit, plus new source commits) re-applies cleanly because the LWW
   merge is idempotent — cumulative deltas of the same history converge
-  to the same winners.
+  to the same winners. ``where=`` / ``columns=`` make FILTERED /
+  PROJECTED replicas (out-of-predicate winners become deletes, so the
+  replica is exactly σ_pred of the source state; dropped columns never
+  enter the hop's shuffle), both pinned in the checkpoint.
 
 Scale shape: one poll reads only the buckets whose file lists differ
 between the two manifests (no full-table scan on quiet tables), the
@@ -182,10 +185,15 @@ class ChangelogConsumer:
         return ChangeBatch(df=df, v_from=pos, v_to=v_to)
 
 
-def _follow_schema(source: LakeTable, target: LakeTable) -> int:
+def _follow_schema(source: LakeTable, target: LakeTable,
+                   allow_adds: bool = True) -> int:
     """Apply source-side schema evolution to the replica: renames are
     matched by field id (a replica created by :func:`replicate` shares
-    the source's id assignment), new fields appended by name. Returns
+    the source's id assignment — :func:`ensure_replica` seeds the
+    registry with the source's own ids, so this holds for PROJECTED
+    replicas too), new fields appended by name. ``allow_adds=False``
+    (projected replicas) follows renames only: the projection is a
+    fixed allowlist, so columns added at the source stay out. Returns
     the number of DDL commits made. Type changes are not followed —
     the engine's own evolution path casts at read, so files keep
     working; a replica wanting the new type re-creates from a snapshot.
@@ -198,6 +206,8 @@ def _follow_schema(source: LakeTable, target: LakeTable) -> int:
         if tf is not None and tf["name"] != sf["name"]:
             target.rename_column(tf["name"], sf["name"])
             changed += 1
+    if not allow_adds:
+        return changed
     tgt_names = {f["name"] for f in target.current_fields()}
     for fid, sf in sorted(src.items()):
         if fid not in tgt_by_id and sf["name"] not in tgt_names:
@@ -210,23 +220,69 @@ def ensure_replica(
     spark: SparkSession,
     source: LakeTable,
     target_path: str,
+    columns: list[str] | None = None,
     fs: Any | None = None,
 ) -> LakeTable:
     """Open the replica at ``target_path``, creating it with the
     source's CURRENT schema and layout config when absent. Bucket
     count/key/ts mirror the source so per-bucket reasoning (checksums,
-    pruning) lines up across the hop."""
+    pruning) lines up across the hop.
+
+    ``columns`` keeps only the named data columns (the key, ts, and
+    expires columns are always kept) — a PROJECTED replica, e.g. the
+    text corpus without the raw ``html`` payload. The replica's field
+    registry is seeded with the source's own field ids
+    (``LakeTable.create(field_registry=...)``) so source-side renames
+    keep following by id; fresh sequential ids would mis-align the
+    moment a column is dropped."""
     fs = fs if fs is not None else get_fs(target_path)
     if fs.exists(os.path.join(target_path, "_manifests", "LATEST")):
         return LakeTable(spark, target_path, fs=fs)
     cfg = source.manifest["config"]
+    fields = source.current_fields()
+    if columns is not None:
+        always = {cfg["key_col"], cfg["ts_col"], cfg.get("expires_col")}
+        keep = set(columns) | (always - {None})
+        unknown = keep - {f["name"] for f in fields}
+        if unknown:
+            raise ValueError(
+                f"projection names columns the source lacks: "
+                f"{sorted(unknown)}")
+        fields = [f for f in fields if f["name"] in keep]
     return LakeTable.create(
         spark, target_path, source.schema(),
         EngineConfig(
             n_buckets=cfg["n_buckets"], key_col=cfg["key_col"],
             ts_col=cfg["ts_col"], expires_col=cfg.get("expires_col"),
             bucket_prefix_sep=cfg.get("bucket_prefix_sep")),
-        fs=fs)
+        fs=fs,
+        field_registry=(fields, source.manifest["next_field_id"]))
+
+
+def _load_hop_config(
+    fs: Any, checkpoint: str,
+    where: str | None, columns: list[str] | None,
+) -> tuple[str | None, list[str] | None]:
+    """Persist/validate the hop's filter + projection in the consumer
+    checkpoint. The predicate and projection are part of the replica's
+    IDENTITY — changing them mid-stream would leave the replica a mix
+    of two different rules with no record of where the boundary lies —
+    so the first ``replicate`` call pins them and later calls must pass
+    the same values (or nothing, which means "use what's pinned")."""
+    path = os.path.join(checkpoint, "replication.json")
+    if fs.exists(path):
+        stored = json.loads(fs.read_text(path))
+        for name, given, kept in (("where", where, stored.get("where")),
+                                  ("columns", columns,
+                                   stored.get("columns"))):
+            if given is not None and given != kept:
+                raise ValueError(
+                    f"replication {name} changed mid-stream: checkpoint "
+                    f"pinned {kept!r}, got {given!r}; a different rule "
+                    f"needs a fresh replica + checkpoint")
+        return stored.get("where"), stored.get("columns")
+    fs.replace(path, json.dumps({"where": where, "columns": columns}))
+    return where, columns
 
 
 def replicate(
@@ -237,6 +293,8 @@ def replicate(
     stream_id: str = "changelog",
     max_versions: int | None = None,
     max_batches: int | None = None,
+    where: str | None = None,
+    columns: list[str] | None = None,
 ) -> dict[str, Any]:
     """Catch the replica up to the source's current version.
 
@@ -245,17 +303,48 @@ def replicate(
     ``poll()`` returns None (or ``max_batches``). Returns a summary
     dict (applied ranges, rows per change type are NOT counted here —
     counting would force an extra pass; use the replica's lineage).
+
+    ``where`` makes a FILTERED replica: a SQL predicate over the
+    change's post-image. A change whose post-image fails the predicate
+    (or evaluates it to NULL) is converted into a DELETE at the same
+    ``(ts, seq)`` — not merely dropped — so a key whose winner moves
+    OUT of the predicate disappears from the replica instead of going
+    stale. Invariant: the replica's live state is exactly
+    ``σ_where(source live state)`` for every caught-up position (per
+    key, only the hop's latest event can win, and it upserts iff the
+    source's winner matches). The predicate may reference columns the
+    projection drops (filter on ``html``, store only ``text``) — it is
+    evaluated before the projection.
+
+    ``columns`` makes a PROJECTED replica (see :func:`ensure_replica`);
+    events are projected to the replica's current schema, so the hop's
+    shuffle carries only kept columns. Both knobs are pinned in the
+    checkpoint on first use.
     """
-    if isinstance(target, str):
-        target = ensure_replica(spark, source, target)
     consumer = ChangelogConsumer(source, checkpoint)
+    where, columns = _load_hop_config(consumer.fs, checkpoint,
+                                      where, columns)
+    if isinstance(target, str):
+        target = ensure_replica(spark, source, target, columns=columns)
     applied: list[dict[str, Any]] = []
     while max_batches is None or len(applied) < max_batches:
         batch = consumer.poll(max_versions=max_versions)
         if batch is None:
             break
-        _follow_schema(source, target)
+        _follow_schema(source, target, allow_adds=columns is None)
         events = changes_to_events(batch.df, ts_col=source.ts_col)
+        if where is not None:
+            # post-image fails (or NULLs) the predicate → delete at the
+            # change's own (ts, seq): the key leaves the replica with
+            # the ordering that beats its previous in-predicate winner
+            events = events.withColumn(
+                "op",
+                F.when((F.col("op") == F.lit("delete")) | F.expr(where),
+                       F.col("op")).otherwise(F.lit("delete")))
+        tgt_names = {f["name"] for f in target.current_fields()}
+        events = events.select(*[
+            c for c in events.columns
+            if c in tgt_names or c in ("op", "seq")])
         res: MergeResult = target.merge_batch(
             events, stream_id=stream_id, epoch_id=batch.v_to)
         consumer.commit(batch.v_to)

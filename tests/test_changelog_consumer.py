@@ -227,3 +227,97 @@ def test_expired_position_raises_with_reseed_hint(spark, source, paths):
     # seek to the earliest retained version unblocks (delta-only tail)
     c.seek(source.history()[0])
     assert c.poll() is None
+
+def test_filtered_replica_out_of_predicate_winners_leave(
+        spark, source, paths):
+    """where= makes the replica exactly σ_pred(source state) at every
+    caught-up position: changes whose post-image fails the predicate
+    become deletes at the same (ts, seq), so a key whose winner moves
+    OUT of the predicate disappears instead of going stale."""
+    _, dst, ckpt = paths
+    source.merge_batch(mk_events(spark, [
+        (1, "insert", "a", 100, "keep-a"),
+        (2, "insert", "b", 100, "drop-b"),
+        (3, "insert", "c", 100, "keep-c"),
+    ]))
+    pred = "text LIKE 'keep-%'"
+    replicate(spark, source, dst, ckpt, where=pred)
+    assert set(_state(LakeTable(spark, dst).read())) == {"a", "c"}
+    # a's winner moves OUT of the predicate; b's moves IN; c is deleted
+    source.merge_batch(mk_events(spark, [
+        (4, "update", "a", 200, "drop-a2"),
+        (5, "update", "b", 200, "keep-b2"),
+        (6, "delete", "c", 200, None),
+    ]))
+    replicate(spark, source, LakeTable(spark, dst), ckpt)
+    st = _state(LakeTable(spark, dst).read())
+    assert set(st) == {"b"} and st["b"][1] == "keep-b2"
+    # the conversion delete carried a's post-image ordering: an older
+    # in-predicate late write must NOT resurrect a
+    LakeTable(spark, dst).merge_batch(
+        mk_events(spark, [(7, "update", "a", 150, "keep-late")]))
+    assert "a" not in _state(LakeTable(spark, dst).read())
+    # NULL predicate result (text IS NULL post-image) counts as
+    # non-match — update with null text leaves too
+    source.merge_batch(mk_events(spark, [(8, "update", "b", 300, None)]))
+    replicate(spark, source, LakeTable(spark, dst), ckpt)
+    assert _state(LakeTable(spark, dst).read()) == {}
+
+
+def test_projected_replica_drops_columns_and_follows_renames(
+        spark, source, paths):
+    """columns= projects the hop: the replica's schema keeps only the
+    named data columns (+key/ts), its field registry reuses the
+    SOURCE's ids so renames still follow by id, and source-side ADDs
+    stay out (the projection is a fixed allowlist). The predicate may
+    reference a column the projection drops."""
+    _, dst, ckpt = paths
+    source.merge_batch(mk_events(spark, [
+        (1, "insert", "a", 100, "a1"),
+        (2, "insert", "b", 100, "b1"),
+    ]))
+    replicate(spark, source, dst, ckpt,
+              where="length(html) > 0", columns=["text"])
+    replica = LakeTable(spark, dst)
+    assert set(replica.read().columns) == {"url", "warc_ts", "text"}
+    assert _state(replica.read()) == _state(
+        source.read().select("url", "warc_ts", "text"))
+    # source renames a KEPT column and adds a new one; the projected
+    # replica follows the rename (field id) but not the add
+    source.rename_column("text", "body")
+    source.add_column("fetch_status", "int")
+    ev = spark.createDataFrame(
+        [(3, "update", "a", ts(200), b"<p>a2</p>", "a2", "en", 200)],
+        T.StructType(list(_EVENT_SCHEMA.fields)
+                     + [T.StructField("fetch_status", T.IntegerType())]),
+    ).withColumnRenamed("text", "body")
+    source.merge_batch(ev)
+    replicate(spark, source, LakeTable(spark, dst), ckpt)
+    replica = LakeTable(spark, dst)
+    assert set(replica.read().columns) == {"url", "warc_ts", "body"}
+    st = {r["url"]: r["body"] for r in replica.read().collect()}
+    assert st == {"a": "a2", "b": "b1"}
+
+
+def test_hop_config_pinned_in_checkpoint(spark, source, paths):
+    """The filter/projection are part of the replica's identity: the
+    first replicate pins them; a later call passing a DIFFERENT rule
+    fails loudly, passing nothing reuses the pinned rule."""
+    _, dst, ckpt = paths
+    source.merge_batch(mk_events(spark, [(1, "insert", "a", 100, "a1")]))
+    replicate(spark, source, dst, ckpt, where="lang = 'en'")
+    with pytest.raises(ValueError, match="pinned"):
+        replicate(spark, source, LakeTable(spark, dst), ckpt,
+                  where="lang = 'de'")
+    with pytest.raises(ValueError, match="pinned"):
+        replicate(spark, source, LakeTable(spark, dst), ckpt,
+                  where="lang = 'en'", columns=["text"])
+    out = replicate(spark, source, LakeTable(spark, dst), ckpt)
+    assert out["position"] == source.version
+
+
+def test_projection_unknown_column_rejected(spark, source, paths):
+    _, dst, ckpt = paths
+    source.merge_batch(mk_events(spark, [(1, "insert", "a", 100, "a1")]))
+    with pytest.raises(ValueError, match="projection"):
+        replicate(spark, source, dst, ckpt, columns=["nope"])

@@ -912,3 +912,30 @@ def test_changes_cli_export_and_replicate(spark, tmpdir_path, capsys,
     assert main(["changes", "--table", src, "--replicate-to", dst],
                 spark=spark) == 1
     assert main(["changes", "--table", src], spark=spark) == 1
+
+
+def test_changes_cli_filtered_follow(spark, tmpdir_path, capsys, job_log):
+    """Replication-mode flags: --where/--columns build a filtered,
+    projected replica; --follow --max-polls paces extra polls; a
+    conflicting rule on a later invocation is a loud config error."""
+    src = os.path.join(tmpdir_path, "fchsrc")
+    _run(spark, capsys, ["migrate", "--log", job_log, "--table", src])
+    dst = os.path.join(tmpdir_path, "fchdst")
+    ckpt = os.path.join(tmpdir_path, "fchckpt")
+    out = _run(spark, capsys, [
+        "changes", "--table", src, "--replicate-to", dst,
+        "--checkpoint", ckpt, "--where", "lang = 'en'",
+        "--columns", "text,lang",
+        "--follow", "--poll-interval", "0", "--max-polls", "2"])
+    assert out["polls"] == 2
+    replica = LakeTable(spark, dst)
+    assert set(replica.read().columns) == {"url", "warc_ts", "text",
+                                           "lang"}
+    src_t = LakeTable(spark, src)
+    want = {r["url"] for r in src_t.read()
+            .filter("lang = 'en'").select("url").collect()}
+    assert {r["url"] for r in replica.read().collect()} == want
+    # pinned-rule conflict surfaces as rc 1, not a traceback
+    assert main(["changes", "--table", src, "--replicate-to", dst,
+                 "--checkpoint", ckpt, "--where", "lang = 'de'"],
+                spark=spark) == 1
