@@ -593,6 +593,38 @@ FROM ranked WHERE rn = 1 AND event_type <> 'error' AND value >= 0.5
 """
 
 
+def _q_snapshot_bootstrap(spark, sf_dir):
+    """Snapshot-seeded replication (streaming/changelog.py
+    ``bootstrap="snapshot"``): the bulk-load-then-tail bootstrap. The
+    source's epoch-0 history is EXPIRED before the hop starts, so a
+    changelog replay is impossible — the replica must seed by
+    overwriting with σ_pred(source snapshot) at a pinned version
+    (O(live rows), no LWW window; ``overwrite`` stamps ``_seq = NULL``
+    which loses equal-ts ties to real tail changes), then tail only the
+    epoch-1 delta. Final state must equal σ_pred(one-hop LWW oracle):
+    the same invariant as ``filtered_replication``, reached through the
+    seed path instead of history replay. Reference analog: a full
+    ``migrate`` run followed by incremental ``trackRun`` refreshes."""
+    from cassandra_data_migrator_spark.streaming.changelog import replicate
+
+    half = _half_seq(spark, sf_dir)
+    ev = _change_events(spark, sf_dir)
+    src = LakeTable.create(
+        spark, _tmpdir("boot_src"), _STATE_SCHEMA,
+        EngineConfig(n_buckets=16, key_col="user_id", ts_col="ts"))
+    dst, ckpt = _tmpdir("boot_dst"), _tmpdir("boot_ckpt")
+    src.merge_batch(ev.filter(F.col("seq") <= half),
+                    stream_id="q_boot", epoch_id=0)
+    src.expire_versions(keep_last=1)   # history gone: seed or fail
+    replicate(spark, src, dst, ckpt, where="value >= 0.5",
+              columns=["event_type", "value"], bootstrap="snapshot")
+    src.merge_batch(ev.filter(F.col("seq") > half),
+                    stream_id="q_boot", epoch_id=1)
+    replicate(spark, src, LakeTable(spark, dst), ckpt,
+              bootstrap="snapshot")
+    return _final_state_df(LakeTable(spark, dst))
+
+
 def _q_skew_salted_replay(spark, sf_dir):
     """Hot-domain skew salting end-to-end (P2; north_rule "salted
     repartitioning to break hot-domain skew"; reference random-split
@@ -2349,6 +2381,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "changelog_read": _q_changelog_read,
         "changelog_replication": _q_changelog_replication,
         "filtered_replication": _q_filtered_replication,
+        "snapshot_bootstrap": _q_snapshot_bootstrap,
         "skew_salted_replay": _q_skew_salted_replay,
         "unset_null_merge": _q_unset_null_merge,
         "column_skip_list": _q_column_skip_list,
@@ -2452,6 +2485,7 @@ def oracle_sql() -> dict[str, str]:
         "changelog_read": _CHANGELOG_ORACLE,
         "changelog_replication": _FINAL_STATE_ORACLE,
         "filtered_replication": _FILTERED_REPLICA_ORACLE,
+        "snapshot_bootstrap": _FILTERED_REPLICA_ORACLE,
         "skew_salted_replay": _SKEW_SALTED_ORACLE,
         "unset_null_merge": _UNSET_NULL_ORACLE,
         "column_skip_list": _COLUMN_SKIP_ORACLE,

@@ -1331,10 +1331,19 @@ def cmd_changes(args, spark) -> dict[str, Any]:
                 res = replicate(spark, table, args.replicate_to,
                                 args.checkpoint, stream_id=args.stream_id,
                                 max_versions=args.max_versions,
-                                where=args.where, columns=cols)
+                                where=args.where, columns=cols,
+                                bootstrap=args.bootstrap)
             except ValueError as e:
                 # pinned-rule conflict / bad projection: config error
                 raise SystemExit(f"error: {e}") from e
+            except LookupError as e:
+                # expired changelog window: operational error with the
+                # recovery spelled out, not a traceback
+                raise SystemExit(
+                    f"error: {e}\nhint: --bootstrap snapshot seeds a "
+                    f"fresh replica from the current state (and "
+                    f"re-seeds a live one) without the expired "
+                    f"history") from e
             polls += 1
             if not args.follow or (args.max_polls is not None
                                    and polls >= args.max_polls):
@@ -1592,6 +1601,15 @@ def build_parser() -> argparse.ArgumentParser:
                     help="projected replica: comma list of data "
                          "columns to keep (key/ts always kept). "
                          "Pinned in the checkpoint on first use")
+    ch.add_argument("--bootstrap", choices=("changelog", "snapshot"),
+                    default="changelog",
+                    help="how a fresh replica gets its initial state: "
+                         "'changelog' replays history from the first "
+                         "retained commit (exact, O(all changes)); "
+                         "'snapshot' bulk-seeds from the source's "
+                         "current state and tails from there "
+                         "(O(live rows), survives expired history, "
+                         "re-seeds if retention overtakes the cursor)")
     ch.add_argument("--follow", action="store_true",
                     help="replication mode: keep polling instead of "
                          "exiting when caught up (paced by "

@@ -145,6 +145,18 @@ class ChangelogConsumer:
                 self.fs.read_text(self._offset_path))["version"])
         return self._start
 
+    @property
+    def committed_position(self) -> int | None:
+        """The durably committed offset, or None before the first
+        ``commit`` — distinct from :attr:`position`, which falls back
+        to ``start_version``. ``replicate(bootstrap="snapshot")`` keys
+        its seed decision on THIS (a missing offset means the seed
+        never completed, however far a crashed attempt got)."""
+        if self.fs.exists(self._offset_path):
+            return int(json.loads(
+                self.fs.read_text(self._offset_path))["version"])
+        return None
+
     def seek(self, version: int) -> None:
         """Force the cursor (bootstrap-after-expiry, replays)."""
         self.commit(int(version))
@@ -285,6 +297,45 @@ def _load_hop_config(
     return where, columns
 
 
+def _seed_from_snapshot(
+    source: LakeTable,
+    target: LakeTable,
+    consumer: ChangelogConsumer,
+    where: str | None,
+    allow_adds: bool = True,
+) -> int:
+    """OVERWRITE the replica with σ_where(source snapshot) at a pinned
+    version, then commit the consumer's offset to that version.
+
+    This is the 100-TB bootstrap path: replaying a long history through
+    the changelog hop costs O(total changes ever made) — every
+    intermediate winner shuffles through the replica's LWW merge — while
+    a snapshot seed costs O(live rows), one bucket-aligned write with no
+    LWW window at all (``overwrite`` stamps ``_seq = NULL``, which
+    ``desc_nulls_last`` orders below any real change at equal ts, so the
+    subsequent tail merges order correctly against seeded rows).
+
+    Crash-safe by idempotence: the offset commits only AFTER the
+    overwrite, so a crash in between leaves no offset and the next call
+    re-seeds from a (possibly newer) snapshot — a full state replace
+    either way. The version is pinned via ``manifest_at`` before the
+    read, so a concurrent source commit cannot tear the seed."""
+    source.refresh()
+    # a re-seed may land after source-side DDL the replica never saw
+    # (its changelog window expired wholesale) — follow renames first so
+    # the projection below selects current names
+    _follow_schema(source, target, allow_adds=allow_adds)
+    v = source.version
+    snap = source.read_version(v)
+    if where is not None:
+        # filter BEFORE projecting: the predicate may use dropped columns
+        snap = snap.filter(F.expr(where))
+    target.overwrite(
+        snap.select(*[f["name"] for f in target.current_fields()]))
+    consumer.commit(v)
+    return v
+
+
 def replicate(
     spark: SparkSession,
     source: LakeTable,
@@ -295,6 +346,7 @@ def replicate(
     max_batches: int | None = None,
     where: str | None = None,
     columns: list[str] | None = None,
+    bootstrap: str = "changelog",
 ) -> dict[str, Any]:
     """Catch the replica up to the source's current version.
 
@@ -320,15 +372,53 @@ def replicate(
     events are projected to the replica's current schema, so the hop's
     shuffle carries only kept columns. Both knobs are pinned in the
     checkpoint on first use.
+
+    ``bootstrap``: how a replica with NO committed offset gets its
+    initial state.
+
+    - ``"changelog"`` (default) — replay the source's history from its
+      first retained commit; every live row arrives as an insert. Exact
+      but O(total changes ever made); raises ``LookupError`` when
+      retention has expired the history's start.
+    - ``"snapshot"`` — seed by OVERWRITING the replica with
+      σ_where(source snapshot) at a pinned version, commit the offset
+      there, and tail the changelog from that point only. O(live rows),
+      no LWW window, immune to expired history — the bulk-load-then-tail
+      bootstrap a 100-TB table actually needs (the reference's analog:
+      a full ``migrate`` run followed by incremental validation runs,
+      ``PERF/testing.txt``). Snapshot mode also RE-seeds when a tail
+      poll finds its position expired mid-stream (retention overtook a
+      long-idle consumer) — a full state replace is always convergent,
+      so the replica comes back exact rather than erroring.
     """
+    if bootstrap not in ("changelog", "snapshot"):
+        raise ValueError(
+            f"bootstrap must be 'changelog' or 'snapshot', "
+            f"got {bootstrap!r}")
     consumer = ChangelogConsumer(source, checkpoint)
     where, columns = _load_hop_config(consumer.fs, checkpoint,
                                       where, columns)
     if isinstance(target, str):
         target = ensure_replica(spark, source, target, columns=columns)
+    seeded_at = None
+    if bootstrap == "snapshot" and consumer.committed_position is None:
+        seeded_at = _seed_from_snapshot(
+            source, target, consumer, where,
+            allow_adds=columns is None)
     applied: list[dict[str, Any]] = []
     while max_batches is None or len(applied) < max_batches:
-        batch = consumer.poll(max_versions=max_versions)
+        try:
+            batch = consumer.poll(max_versions=max_versions)
+        except LookupError:
+            if bootstrap != "snapshot":
+                raise
+            # retention overtook the cursor mid-stream: re-seed rather
+            # than fail — an overwrite replaces all state, so the
+            # replica is exact at the new position whatever was missed
+            seeded_at = _seed_from_snapshot(
+                source, target, consumer, where,
+                allow_adds=columns is None)
+            batch = consumer.poll(max_versions=max_versions)
         if batch is None:
             break
         _follow_schema(source, target, allow_adds=columns is None)
@@ -353,9 +443,12 @@ def replicate(
             "skipped": res.skipped,
             "target_version": res.version,
         })
-    return {
+    out = {
         "source": source.path, "target": target.path,
         "batches": applied,
         "position": consumer.position,
         "target_version": target.version,
     }
+    if seeded_at is not None:
+        out["seeded_at_version"] = seeded_at
+    return out

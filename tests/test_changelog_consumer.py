@@ -321,3 +321,111 @@ def test_projection_unknown_column_rejected(spark, source, paths):
     source.merge_batch(mk_events(spark, [(1, "insert", "a", 100, "a1")]))
     with pytest.raises(ValueError, match="projection"):
         replicate(spark, source, dst, ckpt, columns=["nope"])
+
+
+def test_snapshot_bootstrap_seeds_then_tails(spark, source, paths):
+    """bootstrap='snapshot' seeds the replica with σ_pred(snapshot) by
+    bulk OVERWRITE (no changelog replay), commits the offset at the
+    seeded version, and subsequent calls tail only the delta. Seeded
+    rows (null _seq) must still lose LWW ties to real tail changes."""
+    _, dst, ckpt = paths
+    source.merge_batch(mk_events(spark, [
+        (1, "insert", "a", 100, "keep-a"),
+        (2, "insert", "b", 100, "drop-b"),
+        (3, "insert", "c", 100, "keep-c"),
+    ]))
+    out = replicate(spark, source, dst, ckpt,
+                    where="text LIKE 'keep-%'", columns=["text"],
+                    bootstrap="snapshot")
+    assert out["seeded_at_version"] == source.version
+    assert out["batches"] == []          # nothing left to tail
+    replica = LakeTable(spark, dst)
+    assert set(replica.read().columns) == {"url", "warc_ts", "text"}
+    assert set(_state(replica.read())) == {"a", "c"}
+    # tail: a leaves the predicate, b enters, c is deleted — replica
+    # must track the source exactly from the seeded position
+    source.merge_batch(mk_events(spark, [
+        (4, "update", "a", 200, "drop-a2"),
+        (5, "update", "b", 200, "keep-b2"),
+        (6, "delete", "c", 200, None),
+    ]))
+    out2 = replicate(spark, source, replica, ckpt, bootstrap="snapshot")
+    assert "seeded_at_version" not in out2 and len(out2["batches"]) == 1
+    st = _state(LakeTable(spark, dst).read())
+    assert set(st) == {"b"} and st["b"][1] == "keep-b2"
+
+
+def test_snapshot_bootstrap_equals_changelog_replay(spark, source, paths):
+    """Both bootstrap modes converge to the same replica state on the
+    same source — the seed is a pure cost optimisation."""
+    _, dst, ckpt = paths
+    source.merge_batch(mk_events(spark, [
+        (1, "insert", "a", 100, "a1"),
+        (2, "insert", "b", 100, "b1"),
+        (3, "delete", "a", 200, None),
+        (4, "update", "b", 300, "b2"),
+    ]))
+    replicate(spark, source, dst, ckpt, bootstrap="snapshot")
+    dst2 = dst + "2"
+    replicate(spark, source, dst2, ckpt + "2")   # changelog replay
+    a = _state(LakeTable(spark, dst).read())
+    b = _state(LakeTable(spark, dst2).read())
+    assert a == b == {"b": (ts(300).replace(tzinfo=None), "b2")}
+
+
+def test_snapshot_bootstrap_survives_expired_history(spark, source, paths):
+    """When retention has expired the history's start, changelog
+    bootstrap raises (it cannot know what it missed) but snapshot
+    bootstrap works — and a retention window that later overtakes a
+    LIVE cursor triggers an automatic re-seed instead of an error."""
+    _, dst, ckpt = paths
+    source.merge_batch(mk_events(spark, [(1, "insert", "a", 100, "a1")]))
+    source.merge_batch(mk_events(spark, [(2, "insert", "b", 150, "b1")]))
+    source.expire_versions(keep_last=1)
+    with pytest.raises(LookupError):
+        replicate(spark, source, dst, ckpt)
+    out = replicate(spark, source, dst, ckpt, bootstrap="snapshot")
+    assert out["seeded_at_version"] == source.version
+    assert set(_state(LakeTable(spark, dst).read())) == {"a", "b"}
+    # cursor now live at V; retention overtakes it mid-stream
+    source.merge_batch(mk_events(spark, [(3, "update", "a", 200, "a2")]))
+    source.merge_batch(mk_events(spark, [(4, "delete", "b", 250, None)]))
+    source.expire_versions(keep_last=1)
+    with pytest.raises(LookupError):
+        replicate(spark, source, LakeTable(spark, dst), ckpt)
+    out2 = replicate(spark, source, LakeTable(spark, dst), ckpt,
+                     bootstrap="snapshot")
+    assert out2["seeded_at_version"] == source.version
+    st = _state(LakeTable(spark, dst).read())
+    assert set(st) == {"a"} and st["a"][1] == "a2"
+
+
+def test_snapshot_seed_crash_before_offset_reseeds(spark, source, paths):
+    """Crash window: overwrite done, offset commit missed. The next
+    snapshot-bootstrap call re-seeds (idempotent full replace) and ends
+    exact — keyed on committed_position being None, not on the replica
+    having data."""
+    from cassandra_data_migrator_spark.streaming.changelog import (
+        _seed_from_snapshot,
+    )
+    _, dst, ckpt = paths
+    source.merge_batch(mk_events(spark, [(1, "insert", "a", 100, "a1")]))
+    replica = ensure_replica(spark, source, dst)
+    consumer = ChangelogConsumer(source, ckpt)
+
+    class _NoCommit:
+        fs = consumer.fs
+
+        def commit(self, v):   # the simulated crash point
+            raise RuntimeError("crash before offset commit")
+
+    with pytest.raises(RuntimeError):
+        _seed_from_snapshot(source, replica, _NoCommit(), None)
+    assert len(_state(LakeTable(spark, dst).read())) == 1   # data landed
+    assert consumer.committed_position is None              # offset did not
+    source.merge_batch(mk_events(spark, [(2, "update", "a", 200, "a2")]))
+    out = replicate(spark, source, LakeTable(spark, dst), ckpt,
+                    bootstrap="snapshot")
+    assert out["seeded_at_version"] == source.version
+    st = _state(LakeTable(spark, dst).read())
+    assert st == {"a": (ts(200).replace(tzinfo=None), "a2")}

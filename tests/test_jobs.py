@@ -939,3 +939,27 @@ def test_changes_cli_filtered_follow(spark, tmpdir_path, capsys, job_log):
     assert main(["changes", "--table", src, "--replicate-to", dst,
                  "--checkpoint", ckpt, "--where", "lang = 'de'"],
                 spark=spark) == 1
+
+
+def test_changes_cli_snapshot_bootstrap(spark, tmpdir_path, capsys,
+                                        job_log):
+    """--bootstrap snapshot seeds a fresh replica from the source's
+    current state even when the changelog history has been expired,
+    and reports the seeded version."""
+    src = os.path.join(tmpdir_path, "bsrc")
+    _run(spark, capsys, ["migrate", "--log", job_log, "--table", src])
+    src_t = LakeTable(spark, src)
+    src_t.overwrite(src_t.read())          # second version...
+    src_t.expire_versions(keep_last=1)     # ...then drop the history
+    dst = os.path.join(tmpdir_path, "bdst")
+    ckpt = os.path.join(tmpdir_path, "bckpt")
+    # default changelog bootstrap cannot start from expired history
+    assert main(["changes", "--table", src, "--replicate-to", dst + "x",
+                 "--checkpoint", ckpt + "x"], spark=spark) == 1
+    out = _run(spark, capsys, [
+        "changes", "--table", src, "--replicate-to", dst,
+        "--checkpoint", ckpt, "--bootstrap", "snapshot"])
+    assert out["seeded_at_version"] == src_t.version
+    want = {r["url"] for r in src_t.read().select("url").collect()}
+    got = {r["url"] for r in LakeTable(spark, dst).read().collect()}
+    assert got == want
