@@ -625,6 +625,67 @@ def _q_snapshot_bootstrap(spark, sf_dir):
     return _final_state_df(LakeTable(spark, dst))
 
 
+def _q_multi_replica_fanout(spark, sf_dir):
+    """Fan-out replication (streaming/changelog.py ``replicate_many``):
+    ONE changelog read per delta feeds two filtered replicas — a
+    high-value slice (``value >= 0.5``) and a low-value slice
+    (``value < 0.5``), both projected to (event_type, value). Returned
+    as a replica-tagged union; the oracle is the union of the two
+    σ_pred one-hop LWW selects. Each hop must stay exactly its own
+    σ_pred of source state across the epoch boundary (winners crossing
+    the 0.5 line must MOVE replicas, not linger in the old one), and
+    the two slices must partition the live keys. Scale point: N
+    downstream consumers share one delta scan instead of N."""
+    from cassandra_data_migrator_spark.streaming.changelog import (
+        ReplicaHop, replicate_many,
+    )
+
+    half = _half_seq(spark, sf_dir)
+    ev = _change_events(spark, sf_dir)
+    src = LakeTable.create(
+        spark, _tmpdir("fan_src"), _STATE_SCHEMA,
+        EngineConfig(n_buckets=16, key_col="user_id", ts_col="ts"))
+    hi, lo = _tmpdir("fan_hi"), _tmpdir("fan_lo")
+    ck_hi, ck_lo = _tmpdir("fan_ckhi"), _tmpdir("fan_cklo")
+    hops = [
+        ReplicaHop(hi, ck_hi, where="value >= 0.5",
+                   columns=["event_type", "value"], stream_id="hi"),
+        ReplicaHop(lo, ck_lo, where="value < 0.5",
+                   columns=["event_type", "value"], stream_id="lo"),
+    ]
+    src.merge_batch(ev.filter(F.col("seq") <= half),
+                    stream_id="q_fan", epoch_id=0)
+    replicate_many(spark, src, hops)
+    src.merge_batch(ev.filter(F.col("seq") > half),
+                    stream_id="q_fan", epoch_id=1)
+    replicate_many(spark, src, [
+        ReplicaHop(LakeTable(spark, hi), ck_hi, stream_id="hi"),
+        ReplicaHop(LakeTable(spark, lo), ck_lo, stream_id="lo"),
+    ])
+    return (
+        _final_state_df(LakeTable(spark, hi))
+        .withColumn("replica", F.lit("hi"))
+        .unionByName(_final_state_df(LakeTable(spark, lo))
+                     .withColumn("replica", F.lit("lo"))))
+
+
+_FANOUT_ORACLE = """
+WITH ranked AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events),
+final AS (
+  SELECT user_id, epoch_us(ts) AS ts_us, event_type AS last_type,
+         CAST(round(value*100) AS BIGINT) AS value_cents, value
+  FROM ranked WHERE rn = 1 AND event_type <> 'error')
+SELECT user_id, ts_us, last_type, value_cents, 'hi' AS replica
+FROM final WHERE value >= 0.5
+UNION ALL
+SELECT user_id, ts_us, last_type, value_cents, 'lo' AS replica
+FROM final WHERE value < 0.5
+"""
+
+
 def _q_skew_salted_replay(spark, sf_dir):
     """Hot-domain skew salting end-to-end (P2; north_rule "salted
     repartitioning to break hot-domain skew"; reference random-split
@@ -2382,6 +2443,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "changelog_replication": _q_changelog_replication,
         "filtered_replication": _q_filtered_replication,
         "snapshot_bootstrap": _q_snapshot_bootstrap,
+        "multi_replica_fanout": _q_multi_replica_fanout,
         "skew_salted_replay": _q_skew_salted_replay,
         "unset_null_merge": _q_unset_null_merge,
         "column_skip_list": _q_column_skip_list,
@@ -2486,6 +2548,7 @@ def oracle_sql() -> dict[str, str]:
         "changelog_replication": _FINAL_STATE_ORACLE,
         "filtered_replication": _FILTERED_REPLICA_ORACLE,
         "snapshot_bootstrap": _FILTERED_REPLICA_ORACLE,
+        "multi_replica_fanout": _FANOUT_ORACLE,
         "skew_salted_replay": _SKEW_SALTED_ORACLE,
         "unset_null_merge": _UNSET_NULL_ORACLE,
         "column_skip_list": _COLUMN_SKIP_ORACLE,

@@ -1314,12 +1314,56 @@ def cmd_changes(args, spark) -> dict[str, Any]:
 
     from cassandra_data_migrator_spark.lake import LakeTable
     from cassandra_data_migrator_spark.streaming.changelog import (
+        ReplicaHop,
         replicate,
+        replicate_many,
     )
 
     table = LakeTable(spark, args.table)
     out: dict[str, Any] = {"job": "changes", "table": args.table,
                            "version": table.version}
+    if args.fanout:
+        if args.replicate_to:
+            raise SystemExit(
+                "error: --fanout and --replicate-to are exclusive "
+                "(--fanout's spec names each replica)")
+        # spec: a JSON list of hops — [{"target": path, "checkpoint":
+        # path, "where"?: sql, "columns"?: [..], "bootstrap"?: mode,
+        # "stream_id"?: id}, ...]. A driver-local file, like
+        # --properties-file.
+        with open(args.fanout) as f:  # noqa: seam-exempt (CLI input)
+            spec = json.load(f)
+        try:
+            hops = [ReplicaHop(
+                target=h["target"], checkpoint=h["checkpoint"],
+                where=h.get("where"), columns=h.get("columns"),
+                bootstrap=h.get("bootstrap", "changelog"),
+                stream_id=h.get("stream_id", "changelog"),
+            ) for h in spec]
+        except (KeyError, TypeError) as e:
+            raise SystemExit(
+                f"error: bad --fanout spec (each hop needs target + "
+                f"checkpoint): {e}") from e
+        polls = 0
+        while True:
+            try:
+                res = replicate_many(spark, table, hops,
+                                     max_versions=args.max_versions)
+            except ValueError as e:
+                raise SystemExit(f"error: {e}") from e
+            except LookupError as e:
+                raise SystemExit(
+                    f"error: {e}\nhint: \"bootstrap\": \"snapshot\" in "
+                    f"the hop spec seeds from the current state without "
+                    f"the expired history") from e
+            polls += 1
+            if not args.follow or (args.max_polls is not None
+                                   and polls >= args.max_polls):
+                break
+            time.sleep(args.poll_interval)
+        out.update(res)
+        out["polls"] = polls
+        return out
     if args.replicate_to:
         if not args.checkpoint:
             raise SystemExit("error: --replicate-to requires --checkpoint")
@@ -1601,6 +1645,12 @@ def build_parser() -> argparse.ArgumentParser:
                     help="projected replica: comma list of data "
                          "columns to keep (key/ts always kept). "
                          "Pinned in the checkpoint on first use")
+    ch.add_argument("--fanout", default=None,
+                    help="replicate to MANY downstreams from one "
+                         "changelog read per delta: a JSON file "
+                         "listing hops ([{target, checkpoint, where?, "
+                         "columns?, bootstrap?, stream_id?}, ...]); "
+                         "exclusive with --replicate-to")
     ch.add_argument("--bootstrap", choices=("changelog", "snapshot"),
                     default="changelog",
                     help="how a fresh replica gets its initial state: "

@@ -336,6 +336,25 @@ def _seed_from_snapshot(
     return v
 
 
+def _hop_events(
+    events: DataFrame, target: LakeTable, where: str | None,
+) -> DataFrame:
+    """One hop's view of a lowered change batch: the filtered-replica
+    predicate conversion (post-image fails — or NULLs — the predicate →
+    DELETE at the change's own (ts, seq), so out-of-predicate winners
+    leave instead of going stale), then projection to the replica's
+    current columns so only kept columns enter the hop's shuffle."""
+    if where is not None:
+        events = events.withColumn(
+            "op",
+            F.when((F.col("op") == F.lit("delete")) | F.expr(where),
+                   F.col("op")).otherwise(F.lit("delete")))
+    tgt_names = {f["name"] for f in target.current_fields()}
+    return events.select(*[
+        c for c in events.columns
+        if c in tgt_names or c in ("op", "seq")])
+
+
 def replicate(
     spark: SparkSession,
     source: LakeTable,
@@ -423,20 +442,9 @@ def replicate(
             break
         _follow_schema(source, target, allow_adds=columns is None)
         events = changes_to_events(batch.df, ts_col=source.ts_col)
-        if where is not None:
-            # post-image fails (or NULLs) the predicate → delete at the
-            # change's own (ts, seq): the key leaves the replica with
-            # the ordering that beats its previous in-predicate winner
-            events = events.withColumn(
-                "op",
-                F.when((F.col("op") == F.lit("delete")) | F.expr(where),
-                       F.col("op")).otherwise(F.lit("delete")))
-        tgt_names = {f["name"] for f in target.current_fields()}
-        events = events.select(*[
-            c for c in events.columns
-            if c in tgt_names or c in ("op", "seq")])
         res: MergeResult = target.merge_batch(
-            events, stream_id=stream_id, epoch_id=batch.v_to)
+            _hop_events(events, target, where),
+            stream_id=stream_id, epoch_id=batch.v_to)
         consumer.commit(batch.v_to)
         applied.append({
             "v_from": batch.v_from, "v_to": batch.v_to,
@@ -452,3 +460,131 @@ def replicate(
     if seeded_at is not None:
         out["seeded_at_version"] = seeded_at
     return out
+
+
+@dataclass
+class ReplicaHop:
+    """One downstream replica in a :func:`replicate_many` fan-out."""
+
+    target: "LakeTable | str"
+    checkpoint: str
+    where: str | None = None
+    columns: list[str] | None = None
+    bootstrap: str = "changelog"
+    stream_id: str = "changelog"
+
+
+def replicate_many(
+    spark: SparkSession,
+    source: LakeTable,
+    hops: list[ReplicaHop],
+    max_versions: int | None = None,
+) -> dict[str, Any]:
+    """Fan one source's changelog out to N replicas, reading each
+    version delta from the source ONCE.
+
+    N independent :func:`replicate` loops each scan the source's
+    changed buckets per poll — at fleet scale (one corpus table feeding
+    a filtered replica per downstream team) that is N full delta scans
+    of the same bytes. Here consumers at the SAME position share one
+    ``changes_between`` read: the lowered event frame is computed once
+    and persisted, each hop applies only its own cheap tail (predicate
+    conversion + projection + its replica's merge), and the shared
+    frame is unpersisted when the group is done. Hops at different
+    positions (a replica added later, or one that missed a round) form
+    separate groups and converge to the same head within one call —
+    the loop repeats until every consumer is caught up.
+
+    Everything else matches :func:`replicate` per hop: pinned
+    where/columns config in each checkpoint, per-hop epoch fences,
+    ``bootstrap="snapshot"`` seeding (including the mid-stream re-seed
+    when retention overtakes a cursor). Failure isolation is
+    deliberately NOT attempted: a hop's merge error aborts the call;
+    already-committed hops are durable and a retry resumes every hop
+    from its own offset — the same crash contract as single-hop
+    replicate, N times over.
+    """
+    states: list[dict[str, Any]] = []
+    for hop in hops:
+        if hop.bootstrap not in ("changelog", "snapshot"):
+            raise ValueError(
+                f"bootstrap must be 'changelog' or 'snapshot', "
+                f"got {hop.bootstrap!r}")
+        consumer = ChangelogConsumer(source, hop.checkpoint)
+        where, columns = _load_hop_config(
+            consumer.fs, hop.checkpoint, hop.where, hop.columns)
+        target = hop.target
+        if isinstance(target, str):
+            target = ensure_replica(spark, source, target,
+                                    columns=columns)
+        st = {"hop": hop, "consumer": consumer, "target": target,
+              "where": where, "columns": columns, "batches": [],
+              "seeded_at": None}
+        if hop.bootstrap == "snapshot" \
+                and consumer.committed_position is None:
+            st["seeded_at"] = _seed_from_snapshot(
+                source, target, consumer, where,
+                allow_adds=columns is None)
+        states.append(st)
+
+    while True:
+        source.refresh()
+        head = source.version
+        # group pending hops by their (from, to) window so one delta
+        # read serves every consumer standing at the same position
+        groups: dict[tuple[int, int], list[dict]] = {}
+        for st in states:
+            pos = st["consumer"].position
+            v_hi = head if max_versions is None \
+                else min(head, pos + int(max_versions))
+            if v_hi > pos:
+                groups.setdefault((pos, v_hi), []).append(st)
+        if not groups:
+            break
+        for (pos, v_hi), group in sorted(groups.items()):
+            try:
+                changes = source.changes_between(
+                    pos, v_hi, with_ordering=True)
+            except LookupError:
+                # expired window: snapshot hops re-seed, others fail —
+                # per hop, so one stale changelog consumer cannot sink
+                # the snapshot-mode ones
+                for st in group:
+                    if st["hop"].bootstrap != "snapshot":
+                        raise
+                    st["seeded_at"] = _seed_from_snapshot(
+                        source, st["target"], st["consumer"],
+                        st["where"],
+                        allow_adds=st["columns"] is None)
+                continue
+            events = changes_to_events(changes, ts_col=source.ts_col)
+            if len(group) > 1:
+                events = events.persist()
+            try:
+                for st in group:
+                    _follow_schema(source, st["target"],
+                                   allow_adds=st["columns"] is None)
+                    res = st["target"].merge_batch(
+                        _hop_events(events, st["target"], st["where"]),
+                        stream_id=st["hop"].stream_id, epoch_id=v_hi)
+                    st["consumer"].commit(v_hi)
+                    st["batches"].append({
+                        "v_from": pos, "v_to": v_hi,
+                        "skipped": res.skipped,
+                        "target_version": res.version,
+                    })
+            finally:
+                if len(group) > 1:
+                    events.unpersist()
+    out_hops = []
+    for st in states:
+        h = {
+            "target": st["target"].path,
+            "position": st["consumer"].position,
+            "batches": st["batches"],
+            "target_version": st["target"].version,
+        }
+        if st["seeded_at"] is not None:
+            h["seeded_at_version"] = st["seeded_at"]
+        out_hops.append(h)
+    return {"source": source.path, "hops": out_hops}

@@ -429,3 +429,81 @@ def test_snapshot_seed_crash_before_offset_reseeds(spark, source, paths):
     assert out["seeded_at_version"] == source.version
     st = _state(LakeTable(spark, dst).read())
     assert st == {"a": (ts(200).replace(tzinfo=None), "a2")}
+
+
+def test_replicate_many_fanout_converges_each_hop(spark, source, paths):
+    """replicate_many: one changelog read serves N replicas — each hop
+    still converges to exactly its own σ_pred / projection of source
+    state, offsets advance per hop, and a second call no-ops."""
+    from cassandra_data_migrator_spark.streaming.changelog import (
+        ReplicaHop, replicate_many,
+    )
+    base, dst, ckpt = paths
+    source.merge_batch(mk_events(spark, [
+        (1, "insert", "a", 100, "keep-a"),
+        (2, "insert", "b", 100, "drop-b"),
+        (3, "insert", "c", 100, "keep-c"),
+    ]))
+    hops = [
+        ReplicaHop(dst + "_en", ckpt + "_en",
+                   where="text LIKE 'keep-%'", columns=["text"],
+                   stream_id="en"),
+        ReplicaHop(dst + "_all", ckpt + "_all", stream_id="all"),
+    ]
+    out = replicate_many(spark, source, hops)
+    assert [h["position"] for h in out["hops"]] == [source.version] * 2
+    assert set(_state(LakeTable(spark, dst + "_en").read())) == {"a", "c"}
+    assert set(_state(LakeTable(spark, dst + "_all").read())) == {
+        "a", "b", "c"}
+    # second epoch: predicate flips + a delete, both hops track exactly
+    source.merge_batch(mk_events(spark, [
+        (4, "update", "a", 200, "drop-a2"),
+        (5, "update", "b", 200, "keep-b2"),
+        (6, "delete", "c", 200, None),
+    ]))
+    out2 = replicate_many(spark, source, [
+        ReplicaHop(LakeTable(spark, dst + "_en"), ckpt + "_en",
+                   stream_id="en"),
+        ReplicaHop(LakeTable(spark, dst + "_all"), ckpt + "_all",
+                   stream_id="all"),
+    ])
+    assert all(len(h["batches"]) == 1 for h in out2["hops"])
+    assert set(_state(LakeTable(spark, dst + "_en").read())) == {"b"}
+    assert set(_state(LakeTable(spark, dst + "_all").read())) == {"a", "b"}
+    # caught up: a third call polls nothing
+    out3 = replicate_many(spark, source, [
+        ReplicaHop(LakeTable(spark, dst + "_en"), ckpt + "_en"),
+        ReplicaHop(LakeTable(spark, dst + "_all"), ckpt + "_all"),
+    ])
+    assert all(h["batches"] == [] for h in out3["hops"])
+
+
+def test_replicate_many_mixed_positions_and_seed(spark, source, paths):
+    """Hops standing at different positions form separate delta groups
+    but all reach the head in one call; a brand-new snapshot-bootstrap
+    hop joins an established fan-out without history replay."""
+    from cassandra_data_migrator_spark.streaming.changelog import (
+        ReplicaHop, replicate_many,
+    )
+    _, dst, ckpt = paths
+    source.merge_batch(mk_events(spark, [(1, "insert", "a", 100, "a1")]))
+    # hop A follows from the start
+    replicate_many(spark, source, [ReplicaHop(dst + "A", ckpt + "A",
+                                              stream_id="A")])
+    source.merge_batch(mk_events(spark, [
+        (2, "insert", "b", 150, "b1"),
+        (3, "update", "a", 200, "a2"),
+    ]))
+    # hop B arrives late, seeded from snapshot; A is behind the head
+    out = replicate_many(spark, source, [
+        ReplicaHop(LakeTable(spark, dst + "A"), ckpt + "A",
+                   stream_id="A"),
+        ReplicaHop(dst + "B", ckpt + "B", bootstrap="snapshot",
+                   stream_id="B"),
+    ])
+    a, b = out["hops"]
+    assert len(a["batches"]) == 1 and b["seeded_at_version"] is not None
+    want = {"a": (ts(200).replace(tzinfo=None), "a2"),
+            "b": (ts(150).replace(tzinfo=None), "b1")}
+    assert _state(LakeTable(spark, dst + "A").read()) == want
+    assert _state(LakeTable(spark, dst + "B").read()) == want

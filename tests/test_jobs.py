@@ -963,3 +963,43 @@ def test_changes_cli_snapshot_bootstrap(spark, tmpdir_path, capsys,
     want = {r["url"] for r in src_t.read().select("url").collect()}
     got = {r["url"] for r in LakeTable(spark, dst).read().collect()}
     assert got == want
+
+
+def test_changes_cli_fanout(spark, tmpdir_path, capsys, job_log):
+    """--fanout replicates one source into N replicas from a JSON hop
+    spec — here an 'en'-filtered projection and a full copy — with one
+    delta read per poll serving both."""
+    src = os.path.join(tmpdir_path, "fosrc")
+    _run(spark, capsys, ["migrate", "--log", job_log, "--table", src])
+    spec = os.path.join(tmpdir_path, "fanout.json")
+    dst_en = os.path.join(tmpdir_path, "fo_en")
+    dst_all = os.path.join(tmpdir_path, "fo_all")
+    with open(spec, "w") as f:
+        json.dump([
+            {"target": dst_en,
+             "checkpoint": os.path.join(tmpdir_path, "fo_ck_en"),
+             "where": "lang = 'en'", "columns": ["text", "lang"],
+             "stream_id": "en"},
+            {"target": dst_all,
+             "checkpoint": os.path.join(tmpdir_path, "fo_ck_all"),
+             "bootstrap": "snapshot", "stream_id": "all"},
+        ], f)
+    out = _run(spark, capsys, ["changes", "--table", src,
+                               "--fanout", spec])
+    assert len(out["hops"]) == 2 and out["polls"] == 1
+    src_t = LakeTable(spark, src)
+    want_en = {r["url"] for r in src_t.read()
+               .filter("lang = 'en'").select("url").collect()}
+    assert {r["url"] for r in LakeTable(spark, dst_en).read()
+            .collect()} == want_en
+    assert LakeTable(spark, dst_all).read().count() == \
+        src_t.read().count()
+    # both flags together is a config error, not a silent pick
+    assert main(["changes", "--table", src, "--fanout", spec,
+                 "--replicate-to", dst_all, "--checkpoint", "x"],
+                spark=spark) == 1
+    # malformed spec (missing checkpoint) errors cleanly
+    with open(spec, "w") as f:
+        json.dump([{"target": dst_en}], f)
+    assert main(["changes", "--table", src, "--fanout", spec],
+                spark=spark) == 1
