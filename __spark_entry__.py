@@ -625,6 +625,30 @@ def _q_snapshot_bootstrap(spark, sf_dir):
     return _final_state_df(LakeTable(spark, dst))
 
 
+def _q_shallow_clone(spark, sf_dir):
+    """Zero-copy clone (lake/table.py ``clone_to``): build a source
+    from the epoch-0 events, fork it with NO data movement (the
+    clone's manifest references the source's files absolutely), then
+    merge the epoch-1 events into the CLONE only. The clone's final
+    state must equal the full one-hop LWW oracle — proving both halves:
+    inherited files read correctly through the id-based registry, and
+    the clone's own CoW merges layer on top of them. The source stays
+    untouched at its epoch-0 version. Reference analog: forking a
+    dataset in the migrator is a full re-copy (Migrate.java); this is
+    the O(manifest) lake-native equivalent."""
+    half = _half_seq(spark, sf_dir)
+    ev = _change_events(spark, sf_dir)
+    src = LakeTable.create(
+        spark, _tmpdir("clone_src"), _STATE_SCHEMA,
+        EngineConfig(n_buckets=16, key_col="user_id", ts_col="ts"))
+    src.merge_batch(ev.filter(F.col("seq") <= half),
+                    stream_id="q_clone", epoch_id=0)
+    clone = src.clone_to(_tmpdir("clone_dst"))
+    clone.merge_batch(ev.filter(F.col("seq") > half),
+                      stream_id="q_clone", epoch_id=1)
+    return _final_state_df(clone)
+
+
 def _q_multi_replica_fanout(spark, sf_dir):
     """Fan-out replication (streaming/changelog.py ``replicate_many``):
     ONE changelog read per delta feeds two filtered replicas — a
@@ -2444,6 +2468,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "filtered_replication": _q_filtered_replication,
         "snapshot_bootstrap": _q_snapshot_bootstrap,
         "multi_replica_fanout": _q_multi_replica_fanout,
+        "shallow_clone": _q_shallow_clone,
         "skew_salted_replay": _q_skew_salted_replay,
         "unset_null_merge": _q_unset_null_merge,
         "column_skip_list": _q_column_skip_list,
@@ -2549,6 +2574,7 @@ def oracle_sql() -> dict[str, str]:
         "filtered_replication": _FILTERED_REPLICA_ORACLE,
         "snapshot_bootstrap": _FILTERED_REPLICA_ORACLE,
         "multi_replica_fanout": _FANOUT_ORACLE,
+        "shallow_clone": _FINAL_STATE_ORACLE,
         "skew_salted_replay": _SKEW_SALTED_ORACLE,
         "unset_null_merge": _UNSET_NULL_ORACLE,
         "column_skip_list": _COLUMN_SKIP_ORACLE,

@@ -1074,6 +1074,33 @@ def cmd_maintain(args, spark) -> dict[str, Any]:
     return out
 
 
+def cmd_clone(args, spark) -> dict[str, Any]:
+    """Zero-copy fork of a lake table (``LakeTable.clone_to``): the
+    clone's first manifest references the source's data files in
+    place — O(manifest), no data movement. ``--localize`` immediately
+    rewrites the inherited buckets clone-locally so the source can be
+    vacuumed or deleted afterwards (otherwise the source's own
+    retention can break the shallow clone — the documented
+    Delta-shallow-clone caveat)."""
+    from cassandra_data_migrator_spark.lake import LakeTable
+
+    table = LakeTable(spark, args.table)
+    try:
+        clone = table.clone_to(args.to, version=args.version)
+    except (ValueError, LookupError) as e:
+        raise SystemExit(f"error: {e}") from e
+    out: dict[str, Any] = {
+        "job": "clone", "source": args.table, "target": args.to,
+        "cloned_version": clone.manifest["cloned_from"]["version"],
+        "external_buckets": len(clone.external_buckets()),
+    }
+    if args.localize:
+        clone.localize()
+        out["external_buckets"] = len(clone.external_buckets())
+        out["localized"] = True
+    return out
+
+
 def cmd_evolve(args, spark) -> dict[str, Any]:
     """Schema evolution as an operational command: add a nullable
     column / rename a column through the id-based schema registry
@@ -1522,6 +1549,18 @@ def build_parser() -> argparse.ArgumentParser:
     mt.add_argument("--min-files", type=int, default=2,
                     help="compact buckets holding at least this many files")
     mt.set_defaults(fn=cmd_maintain)
+
+    cl = sub.add_parser("clone",
+                        help="zero-copy fork of a lake table at a "
+                             "version (shallow; --localize to detach)")
+    _add_common(cl)
+    cl.add_argument("--to", required=True, help="clone target path")
+    cl.add_argument("--version", type=int, default=None,
+                    help="source version to pin (default: current)")
+    cl.add_argument("--localize", action="store_true",
+                    help="rewrite inherited buckets clone-locally so "
+                         "the source can be vacuumed/deleted")
+    cl.set_defaults(fn=cmd_clone)
 
     ev = sub.add_parser("evolve",
                         help="schema evolution: add/rename columns "

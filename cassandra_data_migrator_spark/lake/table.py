@@ -1247,6 +1247,92 @@ class LakeTable:
             clustered, offsets={}, touched=buckets, data_cols=data_cols,
             epoch_key=None, stream_id=None, epoch_id=None)
 
+    def clone_to(self, path: str, version: int | None = None,
+                 fs: Any | None = None) -> "LakeTable":
+        """Zero-copy (shallow) clone: a NEW table at ``path`` whose
+        first manifest references this table's data files in place.
+
+        The dev/test fork story for a large table — O(manifest) cost,
+        no data movement. Inherited file entries carry ABSOLUTE paths
+        (the read path's ``os.path.join(self.path, entry)`` returns an
+        absolute entry unchanged), so:
+
+        - reads resolve to the source's files;
+        - the clone's own merges CoW-replace touched buckets with
+          clone-local files — divergence is natural and the source is
+          never written;
+        - the clone's ``expire_versions`` only walks the CLONE's data
+          dir, so it can never delete source files (safe by
+          construction, not by bookkeeping);
+        - the SOURCE's ``expire_versions``/``compact`` does not know
+          about clones — vacuuming the source can break a shallow
+          clone's inherited references. Same caveat as Delta shallow
+          clones / Iceberg snapshot refs; run :meth:`localize` on the
+          clone first when the source's retention is shorter than the
+          clone's life.
+
+        The schema registry (field ids) is copied, so the clone keeps
+        id-based evolution over inherited files. The epoch fence and
+        counter watermarks are RESET — a clone is a new stream domain
+        (replaying an already-applied epoch into it is the idempotent
+        LWW case, not a fence violation). Lineage starts empty; the
+        clone's checksums recompute on its own first commit. Both
+        tables must live on the same filesystem scheme.
+
+        Reference analog: the migrator forks a dataset by re-running
+        the whole copy (``Migrate.java``); this is the lake-native
+        O(1)-data equivalent.
+        """
+        m = self.manifest_at(self.version if version is None
+                             else int(version))
+        fs = fs if fs is not None else get_fs(path)
+        if fs.exists(os.path.join(path, "_manifests", "LATEST")):
+            raise ValueError(f"clone target {path!r} already exists")
+        fs.makedirs(os.path.join(path, "_manifests"))
+        fs.makedirs(os.path.join(path, "data"))
+        files = {
+            b: [{"path": e["path"] if os.path.isabs(e["path"])
+                 else os.path.join(self.path, e["path"]),
+                 "schema_version": e["schema_version"]}
+                for e in entries]
+            for b, entries in m["files"].items()
+        }
+        new = {
+            "version": 1,
+            "parent": None,
+            "cloned_from": {"table": self.path, "version": m["version"]},
+            "config": json.loads(json.dumps(m["config"])),
+            "schema_version": m["schema_version"],
+            "schemas": json.loads(json.dumps(m["schemas"])),
+            "next_field_id": m["next_field_id"],
+            "files": files,
+            "epoch_fence": {},
+            "lineage": [],
+            "ever_tombstones": bool(m.get("ever_tombstones")),
+        }
+        _write_manifest(path, new, expect_new_table=True, fs=fs)
+        return LakeTable(self.spark, path, fs=fs)
+
+    def external_buckets(self) -> list[int]:
+        """Buckets whose current file list still references files
+        OUTSIDE this table's directory (inherited via :meth:`clone_to`
+        and not yet rewritten by a merge or compaction)."""
+        return sorted(
+            int(b) for b, entries in self.manifest["files"].items()
+            if any(os.path.isabs(e["path"]) for e in entries)
+        )
+
+    def localize(self) -> MergeResult | None:
+        """Break a shallow clone's dependency on its source: compact
+        exactly the buckets still referencing external files, rewriting
+        them clone-locally (same rows, same LWW state). After this the
+        source can be vacuumed or deleted without affecting the clone.
+        Returns the compaction commit, or None when already local."""
+        ext = self.external_buckets()
+        if not ext:
+            return None
+        return self.compact(buckets=ext)
+
     def history(self) -> list[int]:
         d = os.path.join(self.path, "_manifests")
         return sorted(

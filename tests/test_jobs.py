@@ -1003,3 +1003,29 @@ def test_changes_cli_fanout(spark, tmpdir_path, capsys, job_log):
         json.dump([{"target": dst_en}], f)
     assert main(["changes", "--table", src, "--fanout", spec],
                 spark=spark) == 1
+
+
+def test_clone_cli(spark, tmpdir_path, capsys, job_log):
+    """clone CLI: zero-copy fork, then --localize detaches it from the
+    source entirely."""
+    import shutil
+
+    src = os.path.join(tmpdir_path, "clsrc")
+    _run(spark, capsys, ["migrate", "--log", job_log, "--table", src])
+    dst = os.path.join(tmpdir_path, "cldst")
+    out = _run(spark, capsys, ["clone", "--table", src, "--to", dst])
+    assert out["external_buckets"] > 0
+    want = {r["url"] for r in LakeTable(spark, src).read()
+            .select("url").collect()}
+    assert {r["url"] for r in LakeTable(spark, dst).read()
+            .collect()} == want
+    # existing target is a clean config error
+    assert main(["clone", "--table", src, "--to", dst],
+                spark=spark) == 1
+    dst2 = os.path.join(tmpdir_path, "cldst2")
+    out2 = _run(spark, capsys, ["clone", "--table", src, "--to", dst2,
+                                "--localize"])
+    assert out2["external_buckets"] == 0 and out2["localized"]
+    shutil.rmtree(src)
+    assert {r["url"] for r in LakeTable(spark, dst2).read()
+            .collect()} == want
