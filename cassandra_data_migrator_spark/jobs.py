@@ -1426,8 +1426,34 @@ def cmd_changes(args, spark) -> dict[str, Any]:
     if args.from_version is None:
         raise SystemExit("error: need --from-version (export mode) or "
                          "--replicate-to (replication mode)")
-    ch = table.changes_between(args.from_version, args.to_version,
-                               with_ordering=args.ordering)
+    ch = table.changes_between(
+        args.from_version, args.to_version,
+        with_ordering=args.ordering or args.as_events)
+    if args.as_events:
+        # interop loop: the changelog re-encoded in the engine's own
+        # EVENT-LOG format (op/ts/seq + data columns, seq-range chunked
+        # segments), so a plain `migrate` run — here or on another
+        # deployment — ingests a lake table's delta exactly like a
+        # binlog tail. Deletes carry the tombstone's (ts, seq), so the
+        # downstream LWW replay orders them correctly.
+        from cassandra_data_migrator_spark.sources.event_log import (
+            write_event_log,
+        )
+        from cassandra_data_migrator_spark.streaming.changelog import (
+            changes_to_events,
+        )
+        if not args.output:
+            raise SystemExit("error: --as-events requires --output")
+        ev = changes_to_events(ch, ts_col=table.ts_col)
+        files = write_event_log(ev, args.output, n_chunks=args.chunks,
+                                fmt=args.log_format)
+        out["output"] = args.output
+        out["segments"] = len(files)
+        out["format"] = args.log_format
+        out["v_from"] = args.from_version
+        out["v_to"] = (args.to_version if args.to_version is not None
+                       else table.version)
+        return out
     if args.output:
         ch.write.mode("overwrite").parquet(args.output)
         out["output"] = args.output
@@ -1665,6 +1691,20 @@ def build_parser() -> argparse.ArgumentParser:
                          "export through merge_batch)")
     ch.add_argument("--output", default=None,
                     help="export mode: write the changelog as parquet")
+    ch.add_argument("--as-events", action="store_true",
+                    help="export mode: write --output in the engine's "
+                         "EVENT-LOG format (op/ts/seq, seq-range "
+                         "chunks, --log-format parquet|json) so a "
+                         "plain `migrate` run ingests the delta like "
+                         "a binlog tail")
+    ch.add_argument("--chunks", type=int, default=8,
+                    help="--as-events: segment count of the written "
+                         "log")
+    ch.add_argument("--log-format", default="parquet",
+                    choices=("parquet", "json"),
+                    help="--as-events: segment format (json = "
+                         "Debezium-style JSON lines, binary columns "
+                         "base64)")
     ch.add_argument("--replicate-to", default=None,
                     help="replication mode: target lake table path "
                          "(created from the source schema when absent)")

@@ -1029,3 +1029,28 @@ def test_clone_cli(spark, tmpdir_path, capsys, job_log):
     shutil.rmtree(src)
     assert {r["url"] for r in LakeTable(spark, dst2).read()
             .collect()} == want
+
+
+def test_changes_export_as_events_roundtrip(spark, tmpdir_path, capsys,
+                                            job_log):
+    """--as-events closes the interop loop: a lake table's changelog,
+    exported in the engine's own event-log format, ingests through a
+    plain `migrate` run into a second table that converges to the same
+    final state (deletes carried at the tombstone's ordering)."""
+    src = os.path.join(tmpdir_path, "xesrc")
+    _run(spark, capsys, ["migrate", "--log", job_log, "--table", src])
+    exp = os.path.join(tmpdir_path, "xelog")
+    out = _run(spark, capsys, [
+        "changes", "--table", src, "--from-version", "1",
+        "--as-events", "--output", exp, "--chunks", "3"])
+    assert out["segments"] == 3 and out["format"] == "parquet"
+    dst = os.path.join(tmpdir_path, "xedst")
+    _run(spark, capsys, ["migrate", "--log", exp, "--table", dst])
+    s = LakeTable(spark, src).read()
+    d = LakeTable(spark, dst).read()
+    key = {r["url"]: (r["warc_ts"], r["text"]) for r in s.collect()}
+    got = {r["url"]: (r["warc_ts"], r["text"]) for r in d.collect()}
+    assert got == key
+    # --as-events without --output is a config error
+    assert main(["changes", "--table", src, "--from-version", "1",
+                 "--as-events"], spark=spark) == 1
