@@ -161,3 +161,91 @@ def test_survivor_anti_join_broadcasts_bounded_drop_set(spark):
     # the corpus leg feeds the anti-join straight from the scan —
     # no Exchange between the docs relation and the join
     assert "SortMergeJoin" not in plan, plan
+
+
+def test_fanout_second_hop_reads_the_cached_delta(spark, tmpdir_path):
+    """replicate_many's scale claim: within a position group the
+    lowered delta is persisted, so each hop's view resolves to an
+    InMemoryRelation scan — NOT a re-read of the source's parquet
+    files. Asserted on the hop-view plan over a persisted delta, the
+    exact frame replicate_many hands each hop."""
+    import os
+
+    from cassandra_data_migrator_spark.config import EngineConfig
+    from cassandra_data_migrator_spark.lake import LakeTable
+    from cassandra_data_migrator_spark.streaming.changelog import (
+        _hop_events, changes_to_events,
+    )
+    from pyspark.sql import types as T
+
+    schema = T.StructType.fromDDL(
+        "url string, warc_ts timestamp, html binary, text string, "
+        "lang string")
+    t = LakeTable.create(spark, os.path.join(tmpdir_path, "fp_t"),
+                         schema, EngineConfig(n_buckets=4))
+    t.merge_batch(
+        spark.createDataFrame(
+            [(1, "insert", "a", __import__("datetime").datetime(
+                2024, 1, 1), b"<p>x</p>", "x", "en")],
+            "seq long, op string, url string, warc_ts timestamp, "
+            "html binary, text string, lang string"))
+    events = changes_to_events(
+        t.changes_between(1, with_ordering=True), ts_col=t.ts_col)
+    events = events.persist()
+    try:
+        events.count()   # materialize the cache, as hop 1's merge does
+        hop_view = _hop_events(events, t, where="lang = 'en'")
+        plan = plans.explain_str(hop_view, "simple")
+        # the executed read is the InMemoryTableScan; FileScan lines
+        # below it are the cached relation's stored DEFINITION (shown
+        # by explain inside InMemoryRelation), not an executed re-read,
+        # so assert the cache node is what feeds the hop's projection
+        head = plan.split("InMemoryRelation", 1)[0]
+        assert "InMemoryTableScan" in head
+        assert "FileScan parquet" not in head
+    finally:
+        events.unpersist()
+
+
+def test_filtered_hop_projection_narrows_the_event_frame(spark,
+                                                         tmpdir_path):
+    """A projected replica's hop view must carry ONLY the kept columns
+    (+ op/seq/ts): the heavy html payload cannot enter the hop's
+    shuffle, and the predicate conversion lowers to a plain CASE
+    projection (no extra exchange, no Python nodes)."""
+    import os
+
+    from cassandra_data_migrator_spark.config import EngineConfig
+    from cassandra_data_migrator_spark.lake import LakeTable
+    from cassandra_data_migrator_spark.streaming.changelog import (
+        _hop_events, changes_to_events, ensure_replica,
+    )
+    from pyspark.sql import types as T
+
+    schema = T.StructType.fromDDL(
+        "url string, warc_ts timestamp, html binary, text string, "
+        "lang string")
+    t = LakeTable.create(spark, os.path.join(tmpdir_path, "pp_t"),
+                         schema, EngineConfig(n_buckets=4))
+    t.merge_batch(
+        spark.createDataFrame(
+            [(1, "insert", "a", __import__("datetime").datetime(
+                2024, 1, 1), b"<p>x</p>", "x", "en")],
+            "seq long, op string, url string, warc_ts timestamp, "
+            "html binary, text string, lang string"))
+    replica = ensure_replica(spark, t, os.path.join(tmpdir_path, "pp_r"),
+                             columns=["text"])
+    events = changes_to_events(
+        t.changes_between(1, with_ordering=True), ts_col=t.ts_col)
+    # predicate references a column the projection DROPS — evaluated
+    # before the select, so this must still compile
+    hop_view = _hop_events(events, replica, where="length(html) > 0")
+    assert set(hop_view.columns) == {"url", "warc_ts", "text", "op",
+                                     "seq"}
+    # the conversion+projection add no exchange of their own: every
+    # Exchange in the hop view is already in the raw delta's plan
+    # (changes_between's co-partitioned full-outer join)
+    n_before = plans.explain_str(events, "simple").count("Exchange")
+    n_after = plans.explain_str(hop_view, "simple").count("Exchange")
+    assert n_after == n_before
+    assert plans.python_eval_nodes(hop_view) == 0
