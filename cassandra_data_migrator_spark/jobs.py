@@ -1074,6 +1074,43 @@ def cmd_maintain(args, spark) -> dict[str, Any]:
     return out
 
 
+def cmd_describe(args, spark) -> dict[str, Any]:
+    """Manifest-only table introspection: everything an operator asks
+    before touching a lake table, answered without scanning a byte of
+    data (the manifest is the metadata plane — same cost model as the
+    commit itself). Reference analog: the migrator prints its run
+    config + counters; a lake-format engine owns its format, so it
+    owns the describe surface too."""
+    from cassandra_data_migrator_spark.lake import LakeTable
+
+    table = LakeTable(spark, args.table)
+    m = table.manifest
+    per_bucket = [len(v) for v in m["files"].values()]
+    ext = table.external_buckets()
+    out: dict[str, Any] = {
+        "job": "describe",
+        "table": args.table,
+        "version": table.version,
+        "retained_versions": table.history(),
+        "schema_version": table.schema_version,
+        "schema": {f["name"]: f["type"] for f in table.current_fields()},
+        "config": m["config"],
+        "buckets_with_files": len(per_bucket),
+        "files_total": sum(per_bucket),
+        "files_max_per_bucket": max(per_bucket, default=0),
+        "fragmented_buckets": sum(1 for n in per_bucket if n >= 2),
+        "external_buckets": len(ext),
+        "epoch_fence": m.get("epoch_fence", {}),
+        "counter_watermarks": m.get("counter_watermarks", {}),
+        "ever_tombstones": bool(m.get("ever_tombstones")),
+    }
+    if m.get("cloned_from"):
+        out["cloned_from"] = m["cloned_from"]
+    if args.lineage:
+        out["lineage"] = table.lineage_rows()
+    return out
+
+
 def cmd_clone(args, spark) -> dict[str, Any]:
     """Zero-copy fork of a lake table (``LakeTable.clone_to``): the
     clone's first manifest references the source's data files in
@@ -1575,6 +1612,16 @@ def build_parser() -> argparse.ArgumentParser:
     mt.add_argument("--min-files", type=int, default=2,
                     help="compact buckets holding at least this many files")
     mt.set_defaults(fn=cmd_maintain)
+
+    de = sub.add_parser("describe",
+                        help="manifest-only table introspection "
+                             "(schema, versions, fences, watermarks, "
+                             "file histogram; no data scan)")
+    _add_common(de)
+    de.add_argument("--lineage", action="store_true",
+                    help="include the last commit's per-bucket "
+                         "lineage rows")
+    de.set_defaults(fn=cmd_describe)
 
     cl = sub.add_parser("clone",
                         help="zero-copy fork of a lake table at a "

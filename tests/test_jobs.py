@@ -1054,3 +1054,24 @@ def test_changes_export_as_events_roundtrip(spark, tmpdir_path, capsys,
     # --as-events without --output is a config error
     assert main(["changes", "--table", src, "--from-version", "1",
                  "--as-events"], spark=spark) == 1
+
+
+def test_describe_cli(spark, tmpdir_path, capsys, job_log):
+    """describe answers the operational questions from the manifest
+    alone: schema, retention, fences, file histogram, clone
+    provenance — no data scan."""
+    src = os.path.join(tmpdir_path, "desrc")
+    _run(spark, capsys, ["migrate", "--log", job_log, "--table", src,
+                         "--stream-id", "d1"])
+    out = _run(spark, capsys, ["describe", "--table", src])
+    assert out["version"] >= 2 and out["files_total"] > 0
+    assert out["schema"]["url"] == "string"
+    assert out["epoch_fence"].get("d1") is not None
+    assert out["external_buckets"] == 0 and "cloned_from" not in out
+    dst = os.path.join(tmpdir_path, "declone")
+    _run(spark, capsys, ["clone", "--table", src, "--to", dst])
+    out2 = _run(spark, capsys, ["describe", "--table", dst,
+                                "--lineage"])
+    assert out2["cloned_from"]["table"] == src
+    assert out2["external_buckets"] > 0
+    assert out2["epoch_fence"] == {} and out2["lineage"] == []
