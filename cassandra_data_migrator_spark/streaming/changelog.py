@@ -504,6 +504,18 @@ def replicate_many(
     from its own offset — the same crash contract as single-hop
     replicate, N times over.
     """
+    ckpts = [h.checkpoint for h in hops]
+    if len(set(ckpts)) != len(ckpts):
+        raise ValueError(
+            "hops share a checkpoint: each replica needs its own "
+            "consumer offset (a shared one would skip deltas on "
+            "whichever hop commits second)")
+    tgts = [h.target if isinstance(h.target, str) else h.target.path
+            for h in hops]
+    if len(set(tgts)) != len(tgts):
+        raise ValueError(
+            "hops share a target table: two consumers merging into "
+            "one replica would race their epoch fences")
     states: list[dict[str, Any]] = []
     for hop in hops:
         if hop.bootstrap not in ("changelog", "snapshot"):

@@ -507,3 +507,18 @@ def test_replicate_many_mixed_positions_and_seed(spark, source, paths):
             "b": (ts(150).replace(tzinfo=None), "b1")}
     assert _state(LakeTable(spark, dst + "A").read()) == want
     assert _state(LakeTable(spark, dst + "B").read()) == want
+
+
+def test_replicate_many_rejects_shared_checkpoint_or_target(
+        spark, source, paths):
+    from cassandra_data_migrator_spark.streaming.changelog import (
+        ReplicaHop, replicate_many,
+    )
+    _, dst, ckpt = paths
+    source.merge_batch(mk_events(spark, [(1, "insert", "a", 100, "a1")]))
+    with pytest.raises(ValueError, match="share a checkpoint"):
+        replicate_many(spark, source, [
+            ReplicaHop(dst + "1", ckpt), ReplicaHop(dst + "2", ckpt)])
+    with pytest.raises(ValueError, match="share a target"):
+        replicate_many(spark, source, [
+            ReplicaHop(dst, ckpt + "1"), ReplicaHop(dst, ckpt + "2")])
