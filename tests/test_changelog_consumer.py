@@ -522,3 +522,34 @@ def test_replicate_many_rejects_shared_checkpoint_or_target(
     with pytest.raises(ValueError, match="share a target"):
         replicate_many(spark, source, [
             ReplicaHop(dst, ckpt + "1"), ReplicaHop(dst, ckpt + "2")])
+
+
+def test_two_tier_cascade_composes(spark, source, paths):
+    """A replica is itself a lake table, so it can be a changelog
+    SOURCE: src → mid (filtered) → leaf (projected) composes, and the
+    leaf converges to π(σ(src)) across epochs — including a key whose
+    winner leaves the mid predicate (the mid emits the conversion
+    delete as a regular change; the leaf must follow it out)."""
+    _, dst, ckpt = paths
+    mid, leaf = dst + "_mid", dst + "_leaf"
+    ck1, ck2 = ckpt + "_1", ckpt + "_2"
+    source.merge_batch(mk_events(spark, [
+        (1, "insert", "a", 100, "keep-a"),
+        (2, "insert", "b", 100, "drop-b"),
+    ]))
+    replicate(spark, source, mid, ck1, where="text LIKE 'keep-%'")
+    replicate(spark, LakeTable(spark, mid), leaf, ck2,
+              columns=["text"])
+    lt = LakeTable(spark, leaf)
+    assert set(lt.read().columns) == {"url", "warc_ts", "text"}
+    assert set(_state(lt.read())) == {"a"}
+    # epoch 2: a leaves the predicate, b enters
+    source.merge_batch(mk_events(spark, [
+        (3, "update", "a", 200, "drop-a2"),
+        (4, "update", "b", 200, "keep-b2"),
+    ]))
+    replicate(spark, source, LakeTable(spark, mid), ck1)
+    replicate(spark, LakeTable(spark, mid), LakeTable(spark, leaf), ck2)
+    st = _state(LakeTable(spark, leaf).read())
+    assert set(st) == {"b"} and st["b"][1] == "keep-b2"
+    assert set(_state(LakeTable(spark, mid).read())) == {"b"}
