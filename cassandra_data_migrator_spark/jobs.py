@@ -1169,6 +1169,23 @@ def cmd_evolve(args, spark) -> dict[str, Any]:
             raise SystemExit(2)
         table.rename_column(old.strip(), new.strip())
         did.append(f"rename {old.strip()}->{new.strip()}")
+    for spec in args.widen or []:
+        name, sep, ddl = spec.partition(":")
+        if not sep:
+            print(f"error: --widen wants name:type, got {spec!r}",
+                  file=sys.stderr)
+            raise SystemExit(2)
+        try:
+            table.widen_column(name.strip(), ddl.strip())
+        except ValueError as e:
+            raise SystemExit(f"error: {e}") from e
+        did.append(f"widen {name.strip()}:{ddl.strip()}")
+    for name in args.drop or []:
+        try:
+            table.drop_column(name.strip())
+        except ValueError as e:
+            raise SystemExit(f"error: {e}") from e
+        did.append(f"drop {name.strip()}")
     out["applied"] = did
     out["schema_version"] = table.schema_version
     out["columns"] = [f["name"] for f in table.current_fields()]
@@ -1644,6 +1661,14 @@ def build_parser() -> argparse.ArgumentParser:
     ev.add_argument("--rename", action="append", default=[],
                     metavar="old:new", help="rename a column (old "
                     "files resolve through the field id)")
+    ev.add_argument("--widen", action="append", default=[],
+                    metavar="name:type", help="widen a column's type "
+                    "in place (lossless promotions only, e.g. "
+                    "int:bigint, float:double; no file rewrite)")
+    ev.add_argument("--drop", action="append", default=[],
+                    metavar="name", help="drop a data column "
+                    "(metadata-only; old snapshots keep it, a later "
+                    "re-add gets a fresh field id)")
     ev.set_defaults(fn=cmd_evolve)
 
     g = sub.add_parser("guardrail", help="large-column audit "

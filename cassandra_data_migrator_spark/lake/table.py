@@ -1096,6 +1096,62 @@ class LakeTable:
             m["config"]["ts_col"] = new
         self._bump_schema(m, fields)
 
+    def drop_column(self, name: str) -> None:
+        """Drop a data column — metadata-only commit (Iceberg drop
+        semantics): the field leaves the CURRENT field list, existing
+        files keep their bytes, and the id-based read reconciliation
+        simply stops selecting it. Time travel to a pre-drop version
+        still shows the column (that snapshot pins its own schema);
+        re-ADDING the same name later gets a FRESH field id, so old
+        values never leak back into the new column. The key, ts, and
+        expires columns cannot be dropped (the table's contract depends
+        on them)."""
+        fields = json.loads(json.dumps(self.current_fields()))
+        names = [f["name"] for f in fields]
+        if name not in names:
+            raise ValueError(f"no column {name!r}")
+        protected = {self.key_col, self.ts_col, self.expires_col} - {None}
+        if name in protected:
+            raise ValueError(
+                f"cannot drop {name!r}: key/ts/expiry columns are the "
+                f"table's contract")
+        m = json.loads(json.dumps(self.manifest))
+        self._bump_schema(m, [f for f in fields if f["name"] != name])
+
+    # safe widenings: every old value is exactly representable in the
+    # new type, so files written before the change read back unchanged
+    # through the reconciliation cast (Iceberg's type-promotion table)
+    _WIDENINGS = {
+        ("tinyint", "smallint"), ("tinyint", "int"), ("tinyint", "bigint"),
+        ("smallint", "int"), ("smallint", "bigint"),
+        ("int", "bigint"), ("float", "double"),
+        ("int", "double"), ("smallint", "double"), ("tinyint", "double"),
+        ("date", "timestamp_ntz"),
+    }
+
+    def widen_column(self, name: str, new_type: str) -> None:
+        """Widen a column's type in place — metadata-only commit. Only
+        lossless promotions are allowed (``_WIDENINGS``); old files are
+        reconciled by the existing per-file cast to the CURRENT type
+        (``_read_files_as_current``), so no rewrite happens and every
+        stored value reads back equal. Narrowing or cross-family casts
+        are refused: they would silently corrupt history."""
+        new_type = new_type.strip().lower()
+        fields = json.loads(json.dumps(self.current_fields()))
+        f = next((f for f in fields if f["name"] == name), None)
+        if f is None:
+            raise ValueError(f"no column {name!r}")
+        old_type = f["type"].strip().lower()
+        if old_type == new_type:
+            return
+        if (old_type, new_type) not in self._WIDENINGS:
+            raise ValueError(
+                f"refusing {old_type} -> {new_type} for {name!r}: not a "
+                f"lossless widening ({sorted(self._WIDENINGS)})")
+        f["type"] = new_type
+        m = json.loads(json.dumps(self.manifest))
+        self._bump_schema(m, fields)
+
     def _bump_schema(self, m: dict, fields: list[dict]) -> None:
         m["schema_version"] = self.schema_version + 1
         m["schemas"][str(m["schema_version"])] = fields

@@ -1075,3 +1075,21 @@ def test_describe_cli(spark, tmpdir_path, capsys, job_log):
     assert out2["cloned_from"]["table"] == src
     assert out2["external_buckets"] > 0
     assert out2["epoch_fence"] == {} and out2["lineage"] == []
+
+
+def test_evolve_widen_and_drop_cli(spark, tmpdir_path, capsys, job_log):
+    src = os.path.join(tmpdir_path, "evwd")
+    _run(spark, capsys, ["migrate", "--log", job_log, "--table", src])
+    out = _run(spark, capsys, [
+        "evolve", "--table", src, "--add", "hits:int"])
+    out = _run(spark, capsys, [
+        "evolve", "--table", src, "--widen", "hits:bigint",
+        "--drop", "lang"])
+    assert out["applied"] == ["widen hits:bigint", "drop lang"]
+    cols = dict(LakeTable(spark, src).read().dtypes)
+    assert cols["hits"] == "bigint" and "lang" not in cols
+    # refusals surface as rc 1, not tracebacks
+    assert main(["evolve", "--table", src, "--widen", "hits:int"],
+                spark=spark) == 1
+    assert main(["evolve", "--table", src, "--drop", "url"],
+                spark=spark) == 1

@@ -487,3 +487,68 @@ def test_lww_prereduce_plan_is_broadcast(spark, tmpdir_path, monkeypatch):
                         "_PREREDUCE_FORCE_BROADCAST_MAX_EVENTS", 1)
     opt_big, _ = merge_plan("t_plan_big", ev)
     assert "strategy=broadcast" not in opt_big
+
+
+def test_drop_column_metadata_only(spark, table):
+    """Iceberg drop semantics: the column leaves the current schema
+    without touching a file; time travel still shows it; re-adding the
+    name gets a FRESH field id so old bytes never leak back."""
+    table.merge_batch(mk_events(spark, [(1, "insert", "a", 100, "a1")]))
+    v_before = table.version
+    files_before = sorted(
+        p["path"] for ps in table.manifest["files"].values() for p in ps)
+    table.drop_column("lang")
+    assert "lang" not in table.read().columns
+    assert sorted(
+        p["path"] for ps in table.manifest["files"].values() for p in ps
+    ) == files_before                      # no rewrite
+    # the pre-drop snapshot still carries the column with its value
+    old = table.read_version(v_before)
+    assert {r["url"]: r["lang"] for r in old.collect()} == {"a": "en"}
+    # re-add: fresh id, reads NULL for old rows (no resurrection)
+    table.add_column("lang", "string")
+    assert [r["lang"] for r in table.read().collect()] == [None]
+    # merges after the drop work against the narrowed schema
+    table.merge_batch(mk_events(spark, [(2, "update", "a", 200, "a2")]))
+    st = {r["url"]: (r["text"], r["lang"])
+          for r in table.read().collect()}
+    assert st == {"a": ("a2", "en")}
+    # contract columns are protected
+    with pytest.raises(ValueError, match="contract"):
+        table.drop_column("url")
+    with pytest.raises(ValueError, match="no column"):
+        table.drop_column("nope")
+
+
+def test_widen_column_lossless_in_place(spark, tmpdir_path):
+    """Type widening: a metadata-only promotion; files written under
+    the narrow type read back equal through the per-file cast, files
+    written after carry the wide type, and narrowing is refused."""
+    schema = T.StructType([
+        T.StructField("url", T.StringType(), False),
+        T.StructField("warc_ts", T.TimestampType(), False),
+        T.StructField("hits", T.IntegerType(), True),
+    ])
+    t = LakeTable.create(spark, os.path.join(tmpdir_path, "wt"),
+                         schema, EngineConfig(n_buckets=4))
+    ev = spark.createDataFrame(
+        [(1, "insert", "a", ts(100), 7)],
+        "seq long, op string, url string, warc_ts timestamp, hits int")
+    t.merge_batch(ev)
+    t.widen_column("hits", "bigint")
+    assert dict(t.read().dtypes)["hits"] == "bigint"
+    assert t.read().collect()[0]["hits"] == 7      # old file reads back
+    big = spark.createDataFrame(
+        [(2, "insert", "b", ts(100), 2**40)],
+        "seq long, op string, url string, warc_ts timestamp, hits long")
+    t.merge_batch(big)
+    got = {r["url"]: r["hits"] for r in t.read().collect()}
+    assert got == {"a": 7, "b": 2**40}
+    # idempotent no-op on same type; refusal on narrowing/cross-family
+    v = t.version
+    t.widen_column("hits", "bigint")
+    assert t.version == v
+    with pytest.raises(ValueError, match="lossless"):
+        t.widen_column("hits", "int")
+    with pytest.raises(ValueError, match="lossless"):
+        t.widen_column("url", "int")
