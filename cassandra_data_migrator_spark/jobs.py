@@ -1403,6 +1403,27 @@ def cmd_changes(args, spark) -> dict[str, Any]:
     table = LakeTable(spark, args.table)
     out: dict[str, Any] = {"job": "changes", "table": args.table,
                            "version": table.version}
+
+    def _merge_poll(acc: dict | None, res: dict) -> dict:
+        # --follow makes many polls; the report must carry EVERY poll's
+        # applied ranges and any seed version, not just the last one's
+        # (the last poll of a caught-up tail is typically empty)
+        if acc is None:
+            return res
+        if "hops" in res:
+            by_tgt = {h["target"]: h for h in acc["hops"]}
+            for h in res["hops"]:
+                prev = by_tgt.get(h["target"])
+                if prev is not None:
+                    h["batches"] = prev["batches"] + h["batches"]
+                    if "seeded_at_version" not in h \
+                            and "seeded_at_version" in prev:
+                        h["seeded_at_version"] = prev["seeded_at_version"]
+            return res
+        res["batches"] = acc["batches"] + res["batches"]
+        if "seeded_at_version" not in res and "seeded_at_version" in acc:
+            res["seeded_at_version"] = acc["seeded_at_version"]
+        return res
     if args.fanout:
         if args.replicate_to:
             raise SystemExit(
@@ -1426,10 +1447,11 @@ def cmd_changes(args, spark) -> dict[str, Any]:
                 f"error: bad --fanout spec (each hop needs target + "
                 f"checkpoint): {e}") from e
         polls = 0
+        res = None
         while True:
             try:
-                res = replicate_many(spark, table, hops,
-                                     max_versions=args.max_versions)
+                res = _merge_poll(res, replicate_many(
+                    spark, table, hops, max_versions=args.max_versions))
             except ValueError as e:
                 raise SystemExit(f"error: {e}") from e
             except LookupError as e:
@@ -1451,13 +1473,15 @@ def cmd_changes(args, spark) -> dict[str, Any]:
         cols = ([c.strip() for c in args.columns.split(",") if c.strip()]
                 if args.columns else None)
         polls = 0
+        res = None
         while True:
             try:
-                res = replicate(spark, table, args.replicate_to,
-                                args.checkpoint, stream_id=args.stream_id,
-                                max_versions=args.max_versions,
-                                where=args.where, columns=cols,
-                                bootstrap=args.bootstrap)
+                res = _merge_poll(res, replicate(
+                    spark, table, args.replicate_to,
+                    args.checkpoint, stream_id=args.stream_id,
+                    max_versions=args.max_versions,
+                    where=args.where, columns=cols,
+                    bootstrap=args.bootstrap))
             except ValueError as e:
                 # pinned-rule conflict / bad projection: config error
                 raise SystemExit(f"error: {e}") from e

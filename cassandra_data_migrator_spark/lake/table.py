@@ -117,6 +117,18 @@ def _parse_type(s: str) -> T.DataType:
     return T.StructType.fromDDL(f"`c` {s}").fields[0].dataType
 
 
+def _is_abs(path: str) -> bool:
+    """Absolute for manifest-entry purposes: a POSIX-absolute path OR a
+    scheme'd URI (``s3://...``) — ``os.path.isabs`` alone is false for
+    the latter, which would make a shallow clone of a scheme'd table
+    double-join its inherited entries into garbage paths."""
+    return os.path.isabs(path) or "://" in path
+
+
+def _resolve_entry(table_path: str, entry: str) -> str:
+    return entry if _is_abs(entry) else os.path.join(table_path, entry)
+
+
 def watermark_tail_predicate(seq_col: str, wm: int) -> F.Column:
     """The counter high-watermark's incremental-tail filter:
     ``seq > wm``. Kept as a bare column comparison (the cast is a no-op
@@ -376,7 +388,7 @@ class LakeTable:
                 continue
             for e in entries:
                 file_groups.setdefault(e["schema_version"], []).append(
-                    os.path.join(self.path, e["path"])
+                    _resolve_entry(self.path, e["path"])
                 )
         out: DataFrame | None = None
         for sv, paths in sorted(file_groups.items()):
@@ -1347,8 +1359,7 @@ class LakeTable:
         fs.makedirs(os.path.join(path, "_manifests"))
         fs.makedirs(os.path.join(path, "data"))
         files = {
-            b: [{"path": e["path"] if os.path.isabs(e["path"])
-                 else os.path.join(self.path, e["path"]),
+            b: [{"path": _resolve_entry(self.path, e["path"]),
                  "schema_version": e["schema_version"]}
                 for e in entries]
             for b, entries in m["files"].items()
@@ -1375,7 +1386,7 @@ class LakeTable:
         and not yet rewritten by a merge or compaction)."""
         return sorted(
             int(b) for b, entries in self.manifest["files"].items()
-            if any(os.path.isabs(e["path"]) for e in entries)
+            if any(_is_abs(e["path"]) for e in entries)
         )
 
     def localize(self) -> MergeResult | None:

@@ -501,6 +501,19 @@ def _online_bands(
     ``(<id_col>, _seq, band_key)``. One explode + one groupBy (map-side
     partial min) for the signatures; ``seq`` rides a thin (id, seq)
     join when it is a separate column."""
+    from pyspark.sql import types as T
+    seq_type = df.schema[seq_col].dataType
+    if not isinstance(seq_type, (T.ByteType, T.ShortType,
+                                 T.IntegerType, T.LongType)):
+        # a blind cast('long') would NULL (or, under ANSI, crash on)
+        # non-numeric ids — and NULL seqs make the probe's
+        # first_seq < _seq silently detect ZERO duplicates while the
+        # one-shot form still tie-breaks by id: the two forms would
+        # diverge with no error. Fail loudly instead.
+        raise ValueError(
+            f"online dedup needs an integral arrival-order column; "
+            f"{seq_col!r} is {seq_type.simpleString()} — pass a numeric "
+            f"seq/order column (CLI: --order-col)")
     sh = shingles(df, id_col, text_col, n=shingle_n)
     aggs = [
         F.min(md5_int48_expr(F.col("shingle"), salt=i)).alias(f"sig_{i}")

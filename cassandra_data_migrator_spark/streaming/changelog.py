@@ -91,6 +91,12 @@ def changes_to_events(
             f"changes_between(..., with_ordering=True)")
     data_cols = [c for c in changes.columns
                  if c not in (change_col, ts_col, *_ORDERING_COLS)]
+    clash = sorted({op_col, seq_col} & set(data_cols))
+    if clash:
+        raise ValueError(
+            f"table has data columns named {clash}, which collide with "
+            f"the event-shape columns; pass different op_col/seq_col "
+            f"(merge_batch accepts the same overrides)")
     op = (
         F.when(F.col(change_col) == F.lit("delete"), F.lit("delete"))
         .when(F.col(change_col) == F.lit("insert"), F.lit("insert"))
@@ -140,10 +146,8 @@ class ChangelogConsumer:
 
     @property
     def position(self) -> int:
-        if self.fs.exists(self._offset_path):
-            return int(json.loads(
-                self.fs.read_text(self._offset_path))["version"])
-        return self._start
+        committed = self.committed_position
+        return self._start if committed is None else committed
 
     @property
     def committed_position(self) -> int | None:
@@ -197,26 +201,55 @@ class ChangelogConsumer:
         return ChangeBatch(df=df, v_from=pos, v_to=v_to)
 
 
-def _follow_schema(source: LakeTable, target: LakeTable,
+def _fields_at(source: LakeTable, version: int) -> list[dict]:
+    """The source's field list AS OF ``version`` — the schema a
+    ``changes_between(..., version)`` frame actually carries. Following
+    the HEAD schema instead would be wrong for a lagging consumer
+    (``max_versions``): a column renamed between the batch's ``v_to``
+    and head would be renamed on the replica before the batch — still
+    carrying the old name — merges, silently NULLing it."""
+    m = source.manifest_at(int(version))
+    return m["schemas"][str(m["schema_version"])]
+
+
+def _follow_schema(src_fields: list[dict], target: LakeTable,
                    allow_adds: bool = True) -> int:
-    """Apply source-side schema evolution to the replica: renames are
+    """Apply source-side schema evolution to the replica, toward the
+    source field list ``src_fields`` (use :func:`_fields_at` of the
+    batch being applied, NOT the source head — see there). Renames are
     matched by field id (a replica created by :func:`replicate` shares
     the source's id assignment — :func:`ensure_replica` seeds the
     registry with the source's own ids, so this holds for PROJECTED
-    replicas too), new fields appended by name. ``allow_adds=False``
-    (projected replicas) follows renames only: the projection is a
-    fixed allowlist, so columns added at the source stay out. Returns
-    the number of DDL commits made. Type changes are not followed —
-    the engine's own evolution path casts at read, so files keep
-    working; a replica wanting the new type re-creates from a snapshot.
-    """
+    replicas too); source-side drops are followed (the change frames no
+    longer carry the column, so keeping it would overwrite replica rows
+    with NULL on every subsequent upsert — neither source state nor a
+    consistent projection); lossless type widenings are followed (the
+    batch's values arrive in the widened type; merging them under the
+    replica's narrower registry type would record files whose physical
+    type contradicts the replica schema); new fields are appended by
+    name. ``allow_adds=False`` (projected replicas) skips adds only:
+    the projection is a fixed allowlist, so columns added at the source
+    stay out, but renames/drops/widenings of PROJECTED columns still
+    follow. Returns the number of DDL commits made."""
     changed = 0
-    src = {f["id"]: f for f in source.current_fields()}
+    src = {f["id"]: f for f in src_fields}
+    tgt_by_id = {f["id"]: f for f in target.current_fields()}
+    # drops first: frees names a later add (fresh id) may reuse
+    for fid, tf in sorted(tgt_by_id.items()):
+        if fid not in src and tf["name"] not in (
+                target.key_col, target.ts_col, target.expires_col):
+            target.drop_column(tf["name"])
+            changed += 1
     tgt_by_id = {f["id"]: f for f in target.current_fields()}
     for fid, sf in sorted(src.items()):
         tf = tgt_by_id.get(fid)
-        if tf is not None and tf["name"] != sf["name"]:
+        if tf is None:
+            continue
+        if tf["name"] != sf["name"]:
             target.rename_column(tf["name"], sf["name"])
+            changed += 1
+        if tf["type"] != sf["type"]:
+            target.widen_column(sf["name"], sf["type"])
             changed += 1
     if not allow_adds:
         return changed
@@ -274,13 +307,17 @@ def ensure_replica(
 def _load_hop_config(
     fs: Any, checkpoint: str,
     where: str | None, columns: list[str] | None,
-) -> tuple[str | None, list[str] | None]:
-    """Persist/validate the hop's filter + projection in the consumer
-    checkpoint. The predicate and projection are part of the replica's
-    IDENTITY — changing them mid-stream would leave the replica a mix
-    of two different rules with no record of where the boundary lies —
-    so the first ``replicate`` call pins them and later calls must pass
-    the same values (or nothing, which means "use what's pinned")."""
+) -> tuple[str | None, list[str] | None, bool]:
+    """Resolve the hop's filter + projection against what the consumer
+    checkpoint has pinned. The predicate and projection are part of the
+    replica's IDENTITY — changing them mid-stream would leave the
+    replica a mix of two different rules with no record of where the
+    boundary lies — so the first successful ``replicate`` call pins
+    them (:func:`_pin_hop_config`) and later calls must pass the same
+    values (or nothing, which means "use what's pinned"). Returns
+    ``(where, columns, already_pinned)``; the caller pins only AFTER
+    the values are validated (replica created, predicate parsed) so a
+    rejected first call does not poison the checkpoint."""
     path = os.path.join(checkpoint, "replication.json")
     if fs.exists(path):
         stored = json.loads(fs.read_text(path))
@@ -292,9 +329,32 @@ def _load_hop_config(
                     f"replication {name} changed mid-stream: checkpoint "
                     f"pinned {kept!r}, got {given!r}; a different rule "
                     f"needs a fresh replica + checkpoint")
-        return stored.get("where"), stored.get("columns")
-    fs.replace(path, json.dumps({"where": where, "columns": columns}))
-    return where, columns
+        return stored.get("where"), stored.get("columns"), True
+    return where, columns, False
+
+
+def _pin_hop_config(
+    fs: Any, checkpoint: str,
+    where: str | None, columns: list[str] | None,
+) -> None:
+    fs.replace(os.path.join(checkpoint, "replication.json"),
+               json.dumps({"where": where, "columns": columns}))
+
+
+def _validate_where(spark: SparkSession, source: LakeTable,
+                    where: str | None) -> None:
+    """Fail fast on a malformed/mistyped predicate — analysis against
+    an EMPTY frame with the source's schema (no I/O) — so the error
+    surfaces before the hop config is pinned, not at the first merge
+    with the typo already durable in the checkpoint."""
+    if where is None:
+        return
+    try:
+        spark.createDataFrame([], source.schema()).filter(F.expr(where))
+    except Exception as e:
+        raise ValueError(
+            f"replication predicate {where!r} does not analyze against "
+            f"the source schema: {e}") from e
 
 
 def _seed_from_snapshot(
@@ -321,11 +381,12 @@ def _seed_from_snapshot(
     either way. The version is pinned via ``manifest_at`` before the
     read, so a concurrent source commit cannot tear the seed."""
     source.refresh()
-    # a re-seed may land after source-side DDL the replica never saw
-    # (its changelog window expired wholesale) — follow renames first so
-    # the projection below selects current names
-    _follow_schema(source, target, allow_adds=allow_adds)
+    # pin the version FIRST (a concurrent source commit between the
+    # schema follow and the read must not tear the seed), then follow
+    # the pinned version's schema — a re-seed may land after source-side
+    # DDL the replica never saw (its changelog window expired wholesale)
     v = source.version
+    _follow_schema(_fields_at(source, v), target, allow_adds=allow_adds)
     snap = source.read_version(v)
     if where is not None:
         # filter BEFORE projecting: the predicate may use dropped columns
@@ -336,8 +397,20 @@ def _seed_from_snapshot(
     return v
 
 
+def _event_col_names(field_names: set[str]) -> tuple[str, str]:
+    """op/seq column names for the hop's event frame that cannot
+    collide with a data column literally named ``op`` or ``seq``."""
+    op, seq = "op", "seq"
+    while op in field_names:
+        op = "_" + op
+    while seq in field_names:
+        seq = "_" + seq
+    return op, seq
+
+
 def _hop_events(
     events: DataFrame, target: LakeTable, where: str | None,
+    op_col: str = "op", seq_col: str = "seq",
 ) -> DataFrame:
     """One hop's view of a lowered change batch: the filtered-replica
     predicate conversion (post-image fails — or NULLs — the predicate →
@@ -346,13 +419,13 @@ def _hop_events(
     current columns so only kept columns enter the hop's shuffle."""
     if where is not None:
         events = events.withColumn(
-            "op",
-            F.when((F.col("op") == F.lit("delete")) | F.expr(where),
-                   F.col("op")).otherwise(F.lit("delete")))
+            op_col,
+            F.when((F.col(op_col) == F.lit("delete")) | F.expr(where),
+                   F.col(op_col)).otherwise(F.lit("delete")))
     tgt_names = {f["name"] for f in target.current_fields()}
     return events.select(*[
         c for c in events.columns
-        if c in tgt_names or c in ("op", "seq")])
+        if c in tgt_names or c in (op_col, seq_col)])
 
 
 def replicate(
@@ -415,10 +488,16 @@ def replicate(
             f"bootstrap must be 'changelog' or 'snapshot', "
             f"got {bootstrap!r}")
     consumer = ChangelogConsumer(source, checkpoint)
-    where, columns = _load_hop_config(consumer.fs, checkpoint,
-                                      where, columns)
+    where, columns, pinned = _load_hop_config(consumer.fs, checkpoint,
+                                              where, columns)
+    if not pinned:
+        _validate_where(spark, source, where)
     if isinstance(target, str):
         target = ensure_replica(spark, source, target, columns=columns)
+    if not pinned:
+        # pin only after the values validated (replica exists, predicate
+        # analyzes): a typo'd first call must not poison the checkpoint
+        _pin_hop_config(consumer.fs, checkpoint, where, columns)
     seeded_at = None
     if bootstrap == "snapshot" and consumer.committed_position is None:
         seeded_at = _seed_from_snapshot(
@@ -440,10 +519,18 @@ def replicate(
             batch = consumer.poll(max_versions=max_versions)
         if batch is None:
             break
-        _follow_schema(source, target, allow_adds=columns is None)
-        events = changes_to_events(batch.df, ts_col=source.ts_col)
+        # the batch frame is in v_to's schema — follow THAT, and take
+        # the ts column's name (renameable) from v_to's config too
+        mt = source.manifest_at(batch.v_to)
+        _follow_schema(mt["schemas"][str(mt["schema_version"])],
+                       target, allow_adds=columns is None)
+        op_c, seq_c = _event_col_names({c for c in batch.df.columns})
+        events = changes_to_events(
+            batch.df, ts_col=mt["config"]["ts_col"],
+            op_col=op_c, seq_col=seq_c)
         res: MergeResult = target.merge_batch(
-            _hop_events(events, target, where),
+            _hop_events(events, target, where, op_c, seq_c),
+            op_col=op_c, seq_col=seq_c,
             stream_id=stream_id, epoch_id=batch.v_to)
         consumer.commit(batch.v_to)
         applied.append({
@@ -523,12 +610,16 @@ def replicate_many(
                 f"bootstrap must be 'changelog' or 'snapshot', "
                 f"got {hop.bootstrap!r}")
         consumer = ChangelogConsumer(source, hop.checkpoint)
-        where, columns = _load_hop_config(
+        where, columns, pinned = _load_hop_config(
             consumer.fs, hop.checkpoint, hop.where, hop.columns)
+        if not pinned:
+            _validate_where(spark, source, where)
         target = hop.target
         if isinstance(target, str):
             target = ensure_replica(spark, source, target,
                                     columns=columns)
+        if not pinned:
+            _pin_hop_config(consumer.fs, hop.checkpoint, where, columns)
         st = {"hop": hop, "consumer": consumer, "target": target,
               "where": where, "columns": columns, "batches": [],
               "seeded_at": None}
@@ -569,15 +660,22 @@ def replicate_many(
                         st["where"],
                         allow_adds=st["columns"] is None)
                 continue
-            events = changes_to_events(changes, ts_col=source.ts_col)
+            mt = source.manifest_at(v_hi)
+            v_hi_fields = mt["schemas"][str(mt["schema_version"])]
+            op_c, seq_c = _event_col_names(set(changes.columns))
+            events = changes_to_events(
+                changes, ts_col=mt["config"]["ts_col"],
+                op_col=op_c, seq_col=seq_c)
             if len(group) > 1:
                 events = events.persist()
             try:
                 for st in group:
-                    _follow_schema(source, st["target"],
+                    _follow_schema(v_hi_fields, st["target"],
                                    allow_adds=st["columns"] is None)
                     res = st["target"].merge_batch(
-                        _hop_events(events, st["target"], st["where"]),
+                        _hop_events(events, st["target"], st["where"],
+                                    op_c, seq_c),
+                        op_col=op_c, seq_col=seq_c,
                         stream_id=st["hop"].stream_id, epoch_id=v_hi)
                     st["consumer"].commit(v_hi)
                     st["batches"].append({

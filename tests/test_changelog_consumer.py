@@ -553,3 +553,103 @@ def test_two_tier_cascade_composes(spark, source, paths):
     st = _state(LakeTable(spark, leaf).read())
     assert set(st) == {"b"} and st["b"][1] == "keep-b2"
     assert set(_state(LakeTable(spark, mid).read())) == {"b"}
+
+
+def test_lagging_consumer_rename_between_v_to_and_head(
+        spark, source, paths):
+    """Schema follow must track the BATCH's v_to schema, not the source
+    head: with max_versions=1 a consumer applies a pre-rename batch
+    while the head already carries the new name. Following head first
+    would rename the replica column before the batch — still under the
+    old name — merges, silently NULLing it."""
+    _, dst, ckpt = paths
+    source.merge_batch(mk_events(spark, [(1, "insert", "a", 100, "a1")]))
+    replicate(spark, source, dst, ckpt)               # caught up at v2
+    source.merge_batch(mk_events(spark, [(2, "update", "a", 200, "a2"),
+                                         (3, "insert", "b", 200, "b1")]))
+    source.rename_column("text", "body")              # head schema: body
+    # one bounded poll: applies ONLY the pre-rename data batch
+    out = replicate(spark, source, LakeTable(spark, dst), ckpt,
+                    max_versions=1, max_batches=1)
+    replica = LakeTable(spark, dst)
+    assert out["batches"][0]["v_to"] == source.version - 1
+    assert "text" in replica.read().columns           # not renamed yet
+    st = {r["url"]: r["text"] for r in replica.read().collect()}
+    assert st == {"a": "a2", "b": "b1"}               # values intact
+    # catching up consumes the DDL commit and follows the rename
+    replicate(spark, source, replica, ckpt)
+    st = {r["url"]: r["body"] for r in replica.read().collect()}
+    assert st == {"a": "a2", "b": "b1"}
+
+
+def test_replicate_follows_widen_and_drop(spark, source, paths):
+    """Source-side type widenings and column drops follow across the
+    hop: the batch's values arrive in the widened type (merging them
+    under the replica's narrower registry type would write files that
+    contradict the replica schema), and a dropped column must leave the
+    replica too (keeping it would NULL it on every subsequent upsert)."""
+    _, dst, ckpt = paths
+    source.add_column("hits", "int")
+    ev1 = mk_events(spark, [(1, "insert", "a", 100, "a1")]) \
+        .withColumn("hits", F.lit(7).cast("int"))
+    source.merge_batch(ev1)
+    replicate(spark, source, dst, ckpt)
+    source.widen_column("hits", "bigint")
+    source.drop_column("lang")
+    big = spark.createDataFrame(
+        [(2, "insert", "b", ts(200), b"<p>b1</p>", "b1", 2 ** 40)],
+        "seq long, op string, url string, warc_ts timestamp, "
+        "html binary, text string, hits long")
+    source.merge_batch(big)
+    replicate(spark, source, LakeTable(spark, dst), ckpt)
+    replica = LakeTable(spark, dst)
+    cols = dict(replica.read().dtypes)
+    assert cols["hits"] == "bigint" and "lang" not in cols
+    st = {r["url"]: (r["text"], r["hits"])
+          for r in replica.read().collect()}
+    assert st == {"a": ("a1", 7), "b": ("b1", 2 ** 40)}
+
+
+def test_typo_first_call_does_not_poison_checkpoint(spark, source, paths):
+    """The hop config pins only AFTER validation: a rejected first call
+    (bad projection or a predicate that doesn't analyze) leaves the
+    checkpoint clean, so the corrected retry works instead of being
+    rejected as a mid-stream rule change."""
+    _, dst, ckpt = paths
+    source.merge_batch(mk_events(spark, [(1, "insert", "a", 100, "a1")]))
+    with pytest.raises(ValueError, match="projection"):
+        replicate(spark, source, dst, ckpt, columns=["tekst"])
+    with pytest.raises(ValueError, match="analyze"):
+        replicate(spark, source, dst, ckpt, where="no_such_col > 1")
+    out = replicate(spark, source, dst, ckpt, columns=["text"])
+    assert out["position"] == source.version
+    replica = LakeTable(spark, dst)
+    assert "html" not in replica.read().columns
+    assert {r["text"] for r in replica.read().collect()} == {"a1"}
+    # ...and the SUCCESSFUL rule is now pinned
+    with pytest.raises(ValueError, match="pinned"):
+        replicate(spark, source, replica, ckpt, columns=["text", "html"])
+
+
+def test_changes_to_events_rejects_colliding_data_columns(spark, tmpdir_path):
+    """A table with a data column literally named 'seq' (or 'op') cannot
+    use the default event-shape names — the lowering must fail loudly
+    with the override spelled out, not emit duplicate columns that blow
+    up downstream with an ambiguous-reference error."""
+    schema = T.StructType([
+        T.StructField("url", T.StringType(), False),
+        T.StructField("warc_ts", T.TimestampType(), False),
+        T.StructField("seq", T.LongType(), True),
+    ])
+    t = LakeTable.create(spark, os.path.join(tmpdir_path, "tcol"),
+                         schema, EngineConfig(n_buckets=4))
+    ev = spark.createDataFrame(
+        [(1, "insert", "a", ts(100), 5)],
+        "_ev_seq long, op string, url string, warc_ts timestamp, seq long")
+    t.merge_batch(ev, seq_col="_ev_seq")
+    ch = t.changes_between(1, with_ordering=True)
+    with pytest.raises(ValueError, match="op_col/seq_col"):
+        changes_to_events(ch, ts_col="warc_ts")
+    ev2 = changes_to_events(ch, ts_col="warc_ts", seq_col="_ev_seq")
+    assert {r["url"]: (r["seq"], r["op"]) for r in ev2.collect()} == {
+        "a": (5, "insert")}

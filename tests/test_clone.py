@@ -141,3 +141,52 @@ def test_clone_follows_schema_registry(spark, source, tmpdir_path):
         "a": "a1", "b": "b1", "c": "c1"}
     source.refresh()
     assert "text" in source.read().columns      # source untouched
+
+
+def test_clone_resolves_scheme_uri_entries(spark, tmpdir_path):
+    """A table living on a registered URI scheme (s3-style) has
+    manifest entries whose ABSOLUTE form is a scheme'd URI —
+    os.path.isabs is false for those, so the resolution helpers must
+    treat scheme'd entries as absolute or a shallow clone double-joins
+    them into garbage paths and external_buckets() sees nothing."""
+    import json
+
+    from cassandra_data_migrator_spark.lake.fs import (
+        ObjectStoreEmulatorFS,
+        register_fs,
+    )
+    from cassandra_data_migrator_spark.lake.table import (
+        _is_abs,
+        _resolve_entry,
+        _write_manifest,
+    )
+
+    assert _is_abs("s3://bkt/t/data/f.parquet")
+    assert _is_abs("/abs/data/f.parquet")
+    assert not _is_abs("data/f.parquet")
+    assert _resolve_entry("s3://bkt/clone", "s3://bkt/src/data/f.parquet") \
+        == "s3://bkt/src/data/f.parquet"
+
+    register_fs("s3clone",
+                lambda: ObjectStoreEmulatorFS(strip_scheme="s3clone"))
+    src_path = f"s3clone://{tmpdir_path}/src"
+    t = LakeTable.create(spark, src_path, SCHEMA, EngineConfig(n_buckets=4))
+    # plant a committed file entry driver-side (local Spark cannot do
+    # data I/O against a scheme'd path; the resolution logic under test
+    # is all manifest-level)
+    m = json.loads(json.dumps(t.manifest))
+    m["version"], m["parent"] = 2, 1
+    m["files"]["0"] = [{"path": "data/d1/part-0.parquet",
+                        "schema_version": 1}]
+    _write_manifest(src_path, m, fs=t.fs)
+    t.refresh()
+
+    clone = t.clone_to(f"s3clone://{tmpdir_path}/clone")
+    entry = clone.manifest["files"]["0"][0]["path"]
+    assert entry == f"{src_path}/data/d1/part-0.parquet"  # one join only
+    assert clone.external_buckets() == [0]
+    # the read path hands the inherited entry to Spark VERBATIM
+    assert _resolve_entry(clone.path, entry) == entry
+    # clone-of-clone keeps the already-absolute entry untouched
+    clone2 = clone.clone_to(f"s3clone://{tmpdir_path}/clone2")
+    assert clone2.manifest["files"]["0"][0]["path"] == entry

@@ -1093,3 +1093,34 @@ def test_evolve_widen_and_drop_cli(spark, tmpdir_path, capsys, job_log):
                 spark=spark) == 1
     assert main(["evolve", "--table", src, "--drop", "url"],
                 spark=spark) == 1
+
+
+def test_changes_cli_follow_report_accumulates(spark, tmpdir_path, capsys,
+                                               job_log):
+    """--follow makes several polls; the job report must carry EVERY
+    poll's applied ranges and the seed version — the last poll of a
+    caught-up tail is typically empty and must not wipe them."""
+    src = os.path.join(tmpdir_path, "acsrc")
+    _run(spark, capsys, ["migrate", "--log", job_log, "--table", src])
+    # changelog-bootstrap hop: poll 1 applies the history, poll 2 is
+    # empty — the report keeps poll 1's batch
+    out = _run(spark, capsys, [
+        "changes", "--table", src,
+        "--replicate-to", os.path.join(tmpdir_path, "acdst"),
+        "--checkpoint", os.path.join(tmpdir_path, "acckpt"),
+        "--follow", "--poll-interval", "0", "--max-polls", "2"])
+    assert out["polls"] == 2
+    assert out["batches"] and out["batches"][0]["v_from"] == 1
+    # snapshot-bootstrap fan-out: the seed version survives the empty
+    # trailing poll on every hop
+    spec = os.path.join(tmpdir_path, "acspec.json")
+    with open(spec, "w") as f:
+        json.dump([{"target": os.path.join(tmpdir_path, "acfan1"),
+                    "checkpoint": os.path.join(tmpdir_path, "acfck1"),
+                    "bootstrap": "snapshot"}], f)
+    out2 = _run(spark, capsys, [
+        "changes", "--table", src, "--fanout", spec,
+        "--follow", "--poll-interval", "0", "--max-polls", "2"])
+    assert out2["polls"] == 2
+    assert out2["hops"][0]["seeded_at_version"] == \
+        LakeTable(spark, src).version

@@ -219,3 +219,23 @@ def test_online_dedup_stream_end_to_end(spark, tmpdir_path):
 
     got = _kept_ids(LakeTable(spark, out_path).read())
     assert got == want
+
+
+def test_online_dedup_rejects_non_integral_order(spark, tmpdir_path):
+    """A string id used as the arrival order would cast('long') to NULL
+    (or crash under ANSI) and silently detect zero duplicates in the
+    incremental form while the one-shot still tie-breaks by id — the
+    two forms would diverge. Both must fail loudly instead."""
+    df = spark.createDataFrame(
+        [("doc-1", "alpha beta gamma delta"),
+         ("doc-2", "alpha beta gamma delta")],
+        "doc_id string, text string")
+    with pytest.raises(ValueError, match="order-col"):
+        D.online_dedup_keep(df, "doc_id", "text")
+    idx = D.create_band_index(spark, os.path.join(tmpdir_path, "bi_s"))
+    with pytest.raises(ValueError, match="integral"):
+        D.incremental_dedup_batch(idx, df, "doc_id", "text", "doc_id")
+    # an explicit integral order column over the same frame works
+    ok = D.online_dedup_keep(df.withColumn("arr", F.monotonically_increasing_id()),
+                             "doc_id", "text", seq_col="arr")
+    assert ok.count() == 1
