@@ -655,9 +655,18 @@ class LakeTable:
             if f["name"] not in src.columns:
                 src = src.withColumn(f["name"],
                                      F.lit(None).cast(_parse_type(f["type"])))
+        # cast every column to the TABLE's registered type: a no-op
+        # (erased by SimplifyCasts) when they already match, a lossless
+        # promotion for narrower events, and a LOUD ANSI overflow error
+        # for wider-than-schema values — without this, a wider event
+        # column union-coerces the whole merge frame and the written
+        # files' physical type contradicts the table schema, breaking
+        # every later read of the bucket
+        typed = {f["name"]: _parse_type(f["type"]) for f in schema_fields}
         src = src.select(
-            F.col(self.key_col), F.col(self.ts_col),
-            *[F.col(c) for c in data_cols],
+            F.col(self.key_col).cast(typed[self.key_col]),
+            F.col(self.ts_col).cast(typed[self.ts_col]),
+            *[F.col(c).cast(typed[c]).alias(c) for c in data_cols],
             F.col(op_col).alias("_op"), F.col(seq_col).cast("long").alias(_SEQ),
         ).withColumn(_BUCKET, self.bucket_of(self.key_col)) \
          .withColumn(_DELETED, F.col("_op") == F.lit("delete")) \

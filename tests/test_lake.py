@@ -552,3 +552,38 @@ def test_widen_column_lossless_in_place(spark, tmpdir_path):
         t.widen_column("hits", "int")
     with pytest.raises(ValueError, match="lossless"):
         t.widen_column("url", "int")
+
+
+def test_merge_casts_events_to_table_types(spark, tmpdir_path):
+    """The table schema is the contract: event columns are cast to the
+    registered types, so a narrower event column promotes losslessly
+    and a wider-than-schema VALUE fails loudly (ANSI overflow) instead
+    of union-coercing the merge frame and writing files whose physical
+    type contradicts the schema (which would break later reads)."""
+    schema = T.StructType([
+        T.StructField("url", T.StringType(), False),
+        T.StructField("warc_ts", T.TimestampType(), False),
+        T.StructField("hits", T.IntegerType(), True),
+    ])
+    t = LakeTable.create(spark, os.path.join(tmpdir_path, "cast_t"),
+                         schema, EngineConfig(n_buckets=4))
+    # narrow event (int) — exact type: fine
+    t.merge_batch(spark.createDataFrame(
+        [(1, "insert", "a", ts(100), 7)],
+        "seq long, op string, url string, warc_ts timestamp, hits int"))
+    # WIDER event type with an in-range value: cast is lossless, and
+    # the written file's physical type stays int (readable)
+    t.merge_batch(spark.createDataFrame(
+        [(2, "insert", "b", ts(100), 9)],
+        "seq long, op string, url string, warc_ts timestamp, hits long"))
+    assert {r["url"]: r["hits"] for r in t.read().collect()} == \
+        {"a": 7, "b": 9}
+    assert dict(t.read().dtypes)["hits"] == "int"
+    # out-of-range value for the registered type: loud failure, no
+    # corrupt write
+    with pytest.raises(Exception, match="(?i)overflow|cast"):
+        t.merge_batch(spark.createDataFrame(
+            [(3, "insert", "c", ts(100), 2 ** 40)],
+            "seq long, op string, url string, warc_ts timestamp, "
+            "hits long"))
+    assert t.read().count() == 2                   # table unharmed
