@@ -1403,6 +1403,36 @@ def cmd_changes(args, spark) -> dict[str, Any]:
     table = LakeTable(spark, args.table)
     out: dict[str, Any] = {"job": "changes", "table": args.table,
                            "version": table.version}
+    if args.status:
+        # pure introspection: offset JSON + manifest reads, no Spark
+        # jobs, nothing applied — the "how far behind is this replica"
+        # question an operator asks before touching anything
+        if not args.checkpoint:
+            raise SystemExit("error: --status requires --checkpoint")
+        from cassandra_data_migrator_spark.streaming.changelog import (
+            ChangelogConsumer,
+            _load_hop_config,
+        )
+        consumer = ChangelogConsumer(table, args.checkpoint)
+        committed = consumer.committed_position
+        where, columns, pinned = _load_hop_config(
+            consumer.fs, args.checkpoint, None, None)
+        retained = table.history()
+        out.update({
+            "checkpoint": args.checkpoint,
+            "committed_position": committed,
+            "position": consumer.position,
+            "head": table.version,
+            "lag_versions": table.version - consumer.position,
+            "pinned": pinned,
+            "where": where,
+            "columns": columns,
+            # a position below the earliest retained manifest means the
+            # next poll raises (or snapshot-mode re-seeds)
+            "position_expired": bool(retained)
+            and consumer.position < retained[0],
+        })
+        return out
 
     def _merge_poll(acc: dict | None, res: dict) -> dict:
         # --follow makes many polls; the report must carry EVERY poll's
@@ -1835,6 +1865,12 @@ def build_parser() -> argparse.ArgumentParser:
                          "current state and tails from there "
                          "(O(live rows), survives expired history, "
                          "re-seeds if retention overtakes the cursor)")
+    ch.add_argument("--status", action="store_true",
+                    help="consumer-lag introspection: report the "
+                         "checkpoint's committed position vs the "
+                         "source head and the pinned filter/"
+                         "projection, applying NOTHING (needs "
+                         "--checkpoint; manifest + offset reads only)")
     ch.add_argument("--follow", action="store_true",
                     help="replication mode: keep polling instead of "
                          "exiting when caught up (paced by "

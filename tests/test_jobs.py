@@ -1124,3 +1124,35 @@ def test_changes_cli_follow_report_accumulates(spark, tmpdir_path, capsys,
     assert out2["polls"] == 2
     assert out2["hops"][0]["seeded_at_version"] == \
         LakeTable(spark, src).version
+
+
+def test_changes_cli_status(spark, tmpdir_path, capsys, job_log):
+    """`changes --status` answers "how far behind is this replica"
+    from the offset JSON + manifests alone — nothing is applied, and
+    an expired position is called out before a poll would raise."""
+    src = os.path.join(tmpdir_path, "stsrc")
+    _run(spark, capsys, ["migrate", "--log", job_log, "--table", src])
+    dst = os.path.join(tmpdir_path, "stdst")
+    ckpt = os.path.join(tmpdir_path, "stckpt")
+    _run(spark, capsys, [
+        "changes", "--table", src, "--replicate-to", dst,
+        "--checkpoint", ckpt, "--where", "lang = 'en'"])
+    st = _run(spark, capsys, [
+        "changes", "--table", src, "--checkpoint", ckpt, "--status"])
+    assert st["lag_versions"] == 0 and st["pinned"] \
+        and st["where"] == "lang = 'en'" and not st["position_expired"]
+    v0 = LakeTable(spark, dst).version
+    # source grows: lag shows, target untouched by --status
+    s = LakeTable(spark, src)
+    s.overwrite(s.read())
+    st = _run(spark, capsys, [
+        "changes", "--table", src, "--checkpoint", ckpt, "--status"])
+    assert st["lag_versions"] == 1 and not st["position_expired"]
+    assert LakeTable(spark, dst).version == v0
+    # retention overtakes the cursor: flagged as expired
+    s.overwrite(s.read())
+    s.expire_versions(keep_last=1)
+    st = _run(spark, capsys, [
+        "changes", "--table", src, "--checkpoint", ckpt, "--status"])
+    assert st["position_expired"]
+    assert main(["changes", "--table", src, "--status"], spark=spark) == 1
