@@ -1027,9 +1027,14 @@ class LakeTable:
                 f"counter table may only contain counter columns; "
                 f"non-counter data columns: {sorted(extra)}")
 
+        # same schema-is-the-contract cast as merge_batch: no-op when
+        # types match, loud ANSI overflow when a delta exceeds the
+        # registered counter type
+        typed = {f["name"]: _parse_type(f["type"]) for f in schema_fields}
         src = source.select(
-            F.col(self.key_col), F.col(self.ts_col),
-            *[F.col(c) for c in counter_cols],
+            F.col(self.key_col).cast(typed[self.key_col]),
+            F.col(self.ts_col).cast(typed[self.ts_col]),
+            *[F.col(c).cast(typed[c]).alias(c) for c in counter_cols],
             F.col(seq_col).cast("long").alias(_SEQ),
         ).withColumn(_BUCKET, self.bucket_of(self.key_col))
 
