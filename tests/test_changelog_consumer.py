@@ -653,3 +653,44 @@ def test_changes_to_events_rejects_colliding_data_columns(spark, tmpdir_path):
     ev2 = changes_to_events(ch, ts_col="warc_ts", seq_col="_ev_seq")
     assert {r["url"]: (r["seq"], r["op"]) for r in ev2.collect()} == {
         "a": (5, "insert")}
+
+
+def test_replicate_many_follows_widen_and_drop_per_group(
+        spark, source, paths):
+    """The fan-out loop shares the batch-pinned schema follow: each
+    position group evolves its hops toward the GROUP's v_hi field list,
+    so a full replica and a projected replica both track source-side
+    widen/drop from one cached delta read."""
+    from cassandra_data_migrator_spark.streaming.changelog import (
+        ReplicaHop,
+        replicate_many,
+    )
+    base, dst, _ = paths
+    source.add_column("hits", "int")
+    ev = mk_events(spark, [(1, "insert", "a", 100, "a1"),
+                           (2, "insert", "b", 100, "b1")]) \
+        .withColumn("hits", F.lit(3).cast("int"))
+    source.merge_batch(ev)
+    hops = [ReplicaHop(target=f"{dst}_full", checkpoint=f"{base}_ck1"),
+            ReplicaHop(target=f"{dst}_proj", checkpoint=f"{base}_ck2",
+                       columns=["text", "hits"])]
+    replicate_many(spark, source, hops)
+    source.widen_column("hits", "bigint")
+    source.drop_column("lang")
+    big = spark.createDataFrame(
+        [(3, "update", "a", ts(200), b"<p>a2</p>", "a2", 2 ** 40)],
+        "seq long, op string, url string, warc_ts timestamp, "
+        "html binary, text string, hits long")
+    source.merge_batch(big)
+    replicate_many(spark, source, hops)
+    full = LakeTable(spark, f"{dst}_full")
+    proj = LakeTable(spark, f"{dst}_proj")
+    assert dict(full.read().dtypes)["hits"] == "bigint"
+    assert dict(proj.read().dtypes)["hits"] == "bigint"
+    assert "lang" not in full.read().columns
+    assert {r["url"]: r["hits"] for r in full.read().collect()} == \
+        {"a": 2 ** 40, "b": 3}
+    assert {r["url"]: (r["text"], r["hits"])
+            for r in proj.read().collect()} == \
+        {"a": ("a2", 2 ** 40), "b": ("b1", 3)}
+    assert "html" not in proj.read().columns

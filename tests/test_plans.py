@@ -249,3 +249,42 @@ def test_filtered_hop_projection_narrows_the_event_frame(spark,
     n_after = plans.explain_str(hop_view, "simple").count("Exchange")
     assert n_after == n_before
     assert plans.python_eval_nodes(hop_view) == 0
+
+
+def test_schema_contract_casts_erased_when_types_match(spark,
+                                                       tmpdir_path):
+    """merge_batch casts every event column to the table's registered
+    type (schema-is-the-contract). When the event frame already matches
+    — the hot path, every streaming epoch — SimplifyCasts must erase
+    them all: zero surviving casts on the merge frame's data columns,
+    so the guard costs nothing at 100 TB."""
+    import datetime as dt
+
+    from pyspark.sql import types as T
+
+    from cassandra_data_migrator_spark.config import EngineConfig
+    from cassandra_data_migrator_spark.lake import LakeTable
+
+    schema = T.StructType([
+        T.StructField("url", T.StringType(), False),
+        T.StructField("warc_ts", T.TimestampType(), False),
+        T.StructField("text", T.StringType(), True),
+    ])
+    t = LakeTable.create(spark, os.path.join(tmpdir_path, "castplan"),
+                         schema, EngineConfig(n_buckets=4))
+    ev = spark.createDataFrame(
+        [(1, "insert", "a",
+          dt.datetime(2024, 1, 1, tzinfo=dt.timezone.utc), "x")],
+        "seq long, op string, url string, warc_ts timestamp, text string")
+    typed = {f.name: f.dataType for f in schema.fields}
+    src = ev.select(
+        F.col("url").cast(typed["url"]),
+        F.col("warc_ts").cast(typed["warc_ts"]),
+        F.col("text").cast(typed["text"]).alias("text"),
+        F.col("seq").cast("long").alias("_seq"),
+    )
+    opt = src._jdf.queryExecution().optimizedPlan().toString().lower()
+    assert "cast(" not in opt, opt
+    # end-to-end: merging the matching-typed frame still works
+    t.merge_batch(ev)
+    assert t.read().count() == 1
