@@ -1403,6 +1403,26 @@ def cmd_changes(args, spark) -> dict[str, Any]:
     table = LakeTable(spark, args.table)
     out: dict[str, Any] = {"job": "changes", "table": args.table,
                            "version": table.version}
+    if args.verify:
+        # cross-hop validation: replica == σ_pred(π_cols(source)),
+        # proven by per-bucket counts + checksums with the source read
+        # AT the consumer's committed position (race-free, no quiesce)
+        if not args.checkpoint or not args.replicate_to:
+            raise SystemExit(
+                "error: --verify requires --checkpoint and "
+                "--replicate-to (the replica to verify)")
+        from cassandra_data_migrator_spark.streaming.changelog import (
+            verify_replica,
+        )
+        try:
+            res = verify_replica(spark, table,
+                                 LakeTable(spark, args.replicate_to),
+                                 args.checkpoint)
+        except (ValueError, LookupError, FileNotFoundError) as e:
+            raise SystemExit(f"error: {e}") from e
+        out.update(res)
+        out["target"] = args.replicate_to
+        return out
     if args.status:
         # pure introspection: offset JSON + manifest reads, no Spark
         # jobs, nothing applied — the "how far behind is this replica"
@@ -1865,6 +1885,14 @@ def build_parser() -> argparse.ArgumentParser:
                          "current state and tails from there "
                          "(O(live rows), survives expired history, "
                          "re-seeds if retention overtakes the cursor)")
+    ch.add_argument("--verify", action="store_true",
+                    help="cross-hop validation: prove the replica "
+                         "equals the source (filtered/projected per "
+                         "the pinned rule) at the consumer's committed "
+                         "position via per-bucket row counts + "
+                         "checksums; source read by time travel, so "
+                         "no quiesce needed (needs --checkpoint + "
+                         "--replicate-to)")
     ch.add_argument("--status", action="store_true",
                     help="consumer-lag introspection: report the "
                          "checkpoint's committed position vs the "

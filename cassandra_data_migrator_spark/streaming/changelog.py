@@ -549,6 +549,113 @@ def replicate(
     return out
 
 
+def verify_replica(
+    spark: SparkSession,
+    source: LakeTable,
+    target: LakeTable,
+    checkpoint: str,
+    max_report_buckets: int = 64,
+) -> dict[str, Any]:
+    """The reference's validation semantics applied ACROSS the
+    replication hop: prove ``replica == σ_pred(π_cols(source))`` with
+    per-bucket row counts + order-insensitive checksums, one
+    bucket-parallel scan per side.
+
+    Race-free by time travel: the source side is read AT the
+    consumer's committed position (``read_version``), so verification
+    is exact even while the source keeps committing — no quiesce
+    needed. At that position the replica's schema equals the source's
+    (the hop follows the batch's v_to schema), so both sides hash the
+    REPLICA's key/ts/data columns; the pinned ``where`` is applied to
+    the source snapshot exactly as the filtered hop and the snapshot
+    seed apply it. Checksums hash (key, ts, data) but not the internal
+    seq — a snapshot-seeded replica (``_seq = NULL``) verifies equal
+    to a changelog-replayed one, as it must.
+
+    Scale shape: two bucket-pruned scans feeding two thin per-bucket
+    aggregations (~24 B/row after the map-side combine) and one
+    n_buckets-row join — no payload shuffle, no driver-side rows
+    beyond the bucket summary. Reference analog: ``DiffJobSession``'s
+    origin⟕target compare, collapsed from per-key lookups to
+    per-bucket checksums (`job/DiffJobSession.java:109-167`).
+
+    Raises ``LookupError`` when retention has expired the committed
+    position's manifest (catch the replica up first, then verify).
+    Returns a summary dict; ``match`` is the verdict,
+    ``mismatched_buckets`` lists up to ``max_report_buckets`` of the
+    differing buckets with both sides' counts and checksums.
+    """
+    from cassandra_data_migrator_spark.functions.hashing import (
+        checksum_agg_expr,
+        hash_safe_cols,
+    )
+    from cassandra_data_migrator_spark.lake.table import _BUCKET
+
+    consumer = ChangelogConsumer(source, checkpoint)
+    pos = consumer.committed_position
+    if pos is None:
+        raise ValueError(
+            f"nothing committed at {checkpoint!r}: replicate first, "
+            f"then verify")
+    where, _columns, _pinned = _load_hop_config(
+        consumer.fs, checkpoint, None, None)
+    key, ts = target.key_col, target.ts_col
+    data_cols = [f["name"] for f in target.current_fields()
+                 if f["name"] not in (key, ts)]
+
+    def _sums(df: DataFrame) -> DataFrame:
+        return df.groupBy(F.col(_BUCKET).alias("bucket")).agg(
+            F.count("*").alias("rows"),
+            checksum_agg_expr(*hash_safe_cols(
+                df.schema, [key, ts, *data_cols])).alias("checksum"))
+
+    snap = source.read_version(pos, include_internal=True)
+    if where is not None:
+        # filter BEFORE projecting — the predicate may use columns the
+        # projection drops, same rule as the hop and the snapshot seed
+        snap = snap.filter(F.expr(where))
+    src_sums = _sums(snap.select(_BUCKET, key, ts, *data_cols))
+    dst_sums = _sums(target.read(include_internal=True)
+                     .select(_BUCKET, key, ts, *data_cols))
+    j = (
+        src_sums.alias("s").join(dst_sums.alias("t"), "bucket",
+                                 "full_outer")
+        .select(
+            "bucket",
+            F.col("s.rows").alias("src_rows"),
+            F.col("t.rows").alias("dst_rows"),
+            F.col("s.checksum").alias("src_sum"),
+            F.col("t.checksum").alias("dst_sum"))
+    )
+    bad = j.filter(
+        ~F.col("src_rows").eqNullSafe(F.col("dst_rows"))
+        | ~F.col("src_sum").eqNullSafe(F.col("dst_sum"))
+    ).orderBy("bucket").limit(max_report_buckets + 1).collect()
+    totals = j.agg(
+        F.count("*").alias("buckets"),
+        F.sum(F.coalesce(F.col("src_rows"), F.lit(0))).alias("src_rows"),
+        F.sum(F.coalesce(F.col("dst_rows"), F.lit(0))).alias("dst_rows"),
+    ).collect()[0]
+    source.refresh()
+    return {
+        "position": pos,
+        "source_head": source.version,
+        "lag_versions": source.version - pos,
+        "where": where,
+        "buckets": totals["buckets"],
+        "source_rows": totals["src_rows"],
+        "target_rows": totals["dst_rows"],
+        "match": not bad,
+        "mismatch_truncated": len(bad) > max_report_buckets,
+        "mismatched_buckets": [
+            {"bucket": r["bucket"],
+             "source_rows": r["src_rows"], "target_rows": r["dst_rows"],
+             "source_checksum": r["src_sum"],
+             "target_checksum": r["dst_sum"]}
+            for r in bad[:max_report_buckets]],
+    }
+
+
 @dataclass
 class ReplicaHop:
     """One downstream replica in a :func:`replicate_many` fan-out."""

@@ -1156,3 +1156,25 @@ def test_changes_cli_status(spark, tmpdir_path, capsys, job_log):
         "changes", "--table", src, "--checkpoint", ckpt, "--status"])
     assert st["position_expired"]
     assert main(["changes", "--table", src, "--status"], spark=spark) == 1
+
+
+def test_changes_cli_verify(spark, tmpdir_path, capsys, job_log):
+    """`changes --verify` proves the replica equals the source under
+    the pinned rule (projected here) by per-bucket checksums; rc 1
+    with a message when nothing has replicated yet."""
+    src = os.path.join(tmpdir_path, "vfsrc")
+    _run(spark, capsys, ["migrate", "--log", job_log, "--table", src])
+    dst = os.path.join(tmpdir_path, "vfdst")
+    ckpt = os.path.join(tmpdir_path, "vfckpt")
+    assert main(["changes", "--table", src, "--replicate-to", dst,
+                 "--checkpoint", ckpt + "x", "--verify"],
+                spark=spark) == 1          # nothing committed yet
+    _run(spark, capsys, [
+        "changes", "--table", src, "--replicate-to", dst,
+        "--checkpoint", ckpt, "--columns", "text,lang"])
+    out = _run(spark, capsys, [
+        "changes", "--table", src, "--replicate-to", dst,
+        "--checkpoint", ckpt, "--verify"])
+    assert out["match"] and out["lag_versions"] == 0
+    assert out["source_rows"] == out["target_rows"] > 0
+    assert main(["changes", "--table", src, "--verify"], spark=spark) == 1
