@@ -1412,12 +1412,17 @@ def cmd_changes(args, spark) -> dict[str, Any]:
                 "error: --verify requires --checkpoint and "
                 "--replicate-to (the replica to verify)")
         from cassandra_data_migrator_spark.streaming.changelog import (
+            repair_replica,
             verify_replica,
         )
         try:
-            res = verify_replica(spark, table,
-                                 LakeTable(spark, args.replicate_to),
-                                 args.checkpoint)
+            replica = LakeTable(spark, args.replicate_to)
+            res = verify_replica(spark, table, replica, args.checkpoint)
+            if not res["match"] and args.autocorrect:
+                rep = repair_replica(spark, table, replica,
+                                     args.checkpoint, verification=res)
+                res = rep["reverified"]
+                out["repaired_buckets"] = rep["repaired_buckets"]
         except (ValueError, LookupError, FileNotFoundError) as e:
             raise SystemExit(f"error: {e}") from e
         out.update(res)
@@ -1893,6 +1898,12 @@ def build_parser() -> argparse.ArgumentParser:
                          "checksums; source read by time travel, so "
                          "no quiesce needed (needs --checkpoint + "
                          "--replicate-to)")
+    ch.add_argument("--autocorrect", action="store_true",
+                    help="with --verify: rebuild the mismatched "
+                         "buckets as exact copies of the (filtered/"
+                         "projected) source at the committed position "
+                         "— convergent repair, cost scales with the "
+                         "damage, consumer offset untouched")
     ch.add_argument("--status", action="store_true",
                     help="consumer-lag introspection: report the "
                          "checkpoint's committed position vs the "

@@ -562,8 +562,20 @@ class LakeTable:
         _write_manifest(self.path, new_manifest, fs=self.fs)
         self.manifest = new_manifest
 
-    def overwrite(self, df: DataFrame) -> int:
-        """Replace the whole table content (bootstrap / initial copy).
+    def overwrite(self, df: DataFrame,
+                  buckets: list[int] | None = None) -> int:
+        """Replace the table content (bootstrap / initial copy) with
+        exactly the rows of ``df`` — no LWW window, rows stamped
+        ``_seq = NULL`` so later real changes at equal ts still win.
+
+        ``buckets`` scopes the replace to those buckets only (targeted
+        repair — ``streaming.changelog.repair_replica``): their file
+        lists are swapped for the new writes (a bucket with no input
+        rows becomes empty), every other bucket's files are untouched,
+        and input rows hashing OUTSIDE the scope are dropped with the
+        same bucket expression the scope is defined by — the caller
+        bucket-prunes its read, this guard just makes the contract
+        unbreakable.
 
         Input columns must match the current schema; key/ts must be
         non-null (caller quarantines — ``operators.filters``).
@@ -575,6 +587,9 @@ class LakeTable:
             .withColumn(_DELETED, F.lit(False))
             .withColumn(_SEQ, F.lit(None).cast("long"))
         )
+        sel = None if buckets is None else sorted(int(b) for b in buckets)
+        if sel is not None:
+            src = src.filter(F.col(_BUCKET).isin(sel))
         rel, absdir = self._new_data_dir()
         (src.withColumn(_PB, F.col(_BUCKET))
             .repartition(self.n_buckets, F.col(_BUCKET))
@@ -584,10 +599,15 @@ class LakeTable:
         m["version"] = self.version + 1
         m["parent"] = self.version
         m["epoch_key"] = None
-        m["files"] = {
+        new_entries = {
             str(b): [{"path": p, "schema_version": self.schema_version} for p in ps]
             for b, ps in files.items()
         }
+        if sel is None:
+            m["files"] = new_entries
+        else:
+            for b in sel:
+                m["files"][str(b)] = new_entries.get(str(b), [])
         self._commit(m)
         return m["version"]
 

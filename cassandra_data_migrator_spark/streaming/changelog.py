@@ -591,6 +591,13 @@ def verify_replica(
     )
     from cassandra_data_migrator_spark.lake.table import _BUCKET
 
+    if (source.n_buckets != target.n_buckets
+            or source.key_col != target.key_col):
+        raise ValueError(
+            f"bucket layouts differ (source {source.n_buckets} × "
+            f"{source.key_col!r}, target {target.n_buckets} × "
+            f"{target.key_col!r}): per-bucket compare needs the "
+            f"mirrored layout ensure_replica creates")
     consumer = ChangelogConsumer(source, checkpoint)
     pos = consumer.committed_position
     if pos is None:
@@ -654,6 +661,59 @@ def verify_replica(
              "target_checksum": r["dst_sum"]}
             for r in bad[:max_report_buckets]],
     }
+
+
+def repair_replica(
+    spark: SparkSession,
+    source: LakeTable,
+    target: LakeTable,
+    checkpoint: str,
+    verification: dict[str, Any] | None = None,
+) -> dict[str, Any]:
+    """Convergent autocorrect across the hop (the reference's
+    ``validate --autocorrect`` analog, `job/DiffJobSession.java:236-258`
+    collapsed to bucket granularity): verify, then rebuild ONLY the
+    mismatched buckets as exact copies of σ_pred(π(source)) at the
+    consumer's committed position, then re-verify.
+
+    Bucket-targeted: the repair reads the source snapshot bucket-pruned
+    to the mismatched buckets and swaps exactly those buckets' files on
+    the replica (``LakeTable.overwrite(buckets=...)``) — cost scales
+    with the damage, not the table. Repairing AT the committed position
+    (not head) keeps the consumer's contract intact: the offset does
+    not move, and the next poll applies the same ``(pos, head]`` delta
+    it would have anyway. Rebuilt rows carry ``_seq = NULL`` (the seed
+    contract), so those tail changes still win at equal ts. This fixes
+    any out-of-band divergence — including corrupt rows whose ts LWW
+    would protect, which a changelog replay can never fix.
+
+    ``verification``: pass a fresh :func:`verify_replica` result to
+    reuse it; otherwise one is computed. If its mismatch list was
+    truncated, verification is re-run untruncated so no damaged bucket
+    is missed. Returns ``{verified, repaired_buckets, reverified}``.
+    """
+    pre = verification if verification is not None else verify_replica(
+        spark, source, target, checkpoint)
+    if pre.get("mismatch_truncated"):
+        pre = verify_replica(spark, source, target, checkpoint,
+                             max_report_buckets=target.n_buckets)
+    if pre["match"]:
+        return {"verified": pre, "repaired_buckets": [],
+                "reverified": pre}
+    bad = sorted(mb["bucket"] for mb in pre["mismatched_buckets"])
+    consumer = ChangelogConsumer(source, checkpoint)
+    where, _columns, _pinned = _load_hop_config(
+        consumer.fs, checkpoint, None, None)
+    pos = pre["position"]
+    snap = source.read_version(pos, buckets=bad)
+    if where is not None:
+        snap = snap.filter(F.expr(where))
+    target.overwrite(
+        snap.select(*[f["name"] for f in target.current_fields()]),
+        buckets=bad)
+    post = verify_replica(spark, source, target, checkpoint)
+    return {"verified": pre, "repaired_buckets": bad,
+            "reverified": post}
 
 
 @dataclass

@@ -745,3 +745,66 @@ def test_verify_replica_filtered_and_seeded(spark, source, paths):
     res = verify_replica(spark, source, LakeTable(spark, dst), ckpt)
     assert res["match"] and res["target_rows"] == 2
     assert res["where"] == "text != 'drop'"
+
+
+def test_repair_replica_rebuilds_only_damaged_buckets(
+        spark, source, paths):
+    """Convergent autocorrect across the hop: out-of-band divergence —
+    including a corrupt row whose HIGHER ts LWW would protect, which no
+    changelog replay can fix — is repaired by rebuilding exactly the
+    mismatched buckets at the committed position. The consumer offset
+    does not move, untouched buckets keep their files, and the tail
+    keeps applying afterwards."""
+    from cassandra_data_migrator_spark.streaming.changelog import (
+        repair_replica,
+        verify_replica,
+    )
+    _, dst, ckpt = paths
+    source.merge_batch(mk_events(
+        spark, [(i, "insert", f"u{i}", 100, f"t{i}") for i in range(24)]))
+    replicate(spark, source, dst, ckpt)
+    replica = LakeTable(spark, dst)
+    # corrupt ONE key with an LWW-winning ts (900 > anything upcoming)
+    replica.merge_batch(mk_events(spark, [(99, "update", "u3", 900, "BAD")]))
+    pre_files = dict(replica.manifest["files"])
+    res = repair_replica(spark, source, replica, ckpt)
+    assert not res["verified"]["match"] and res["reverified"]["match"]
+    assert len(res["repaired_buckets"]) == 1
+    fixed_b = res["repaired_buckets"][0]
+    # untouched buckets kept their exact file lists
+    for b, entries in replica.manifest["files"].items():
+        if int(b) != fixed_b:
+            assert entries == pre_files[b]
+    assert {r["text"] for r in replica.read()
+            .filter(F.col("url") == "u3").collect()} == {"t3"}
+    # offset unmoved: the tail continues from the same position
+    pos_before = verify_replica(spark, source, replica, ckpt)["position"]
+    source.merge_batch(mk_events(spark, [(200, "update", "u3", 300, "t3b")]))
+    out = replicate(spark, source, replica, ckpt)
+    assert out["batches"][0]["v_from"] == pos_before
+    assert {r["text"] for r in replica.read()
+            .filter(F.col("url") == "u3").collect()} == {"t3b"}
+    assert verify_replica(spark, source, replica, ckpt)["match"]
+    # a clean replica repairs to a no-op
+    assert repair_replica(spark, source, replica, ckpt)[
+        "repaired_buckets"] == []
+
+
+def test_repair_replica_extra_key_and_filtered(spark, source, paths):
+    """Repair also removes replica-only keys (corruption ADDED a row)
+    and respects the pinned predicate — the rebuilt bucket is exactly
+    σ_pred(source@position)."""
+    from cassandra_data_migrator_spark.streaming.changelog import (
+        repair_replica,
+    )
+    _, dst, ckpt = paths
+    source.merge_batch(mk_events(spark, [
+        (1, "insert", "a", 100, "keep"), (2, "insert", "b", 100, "drop"),
+        (3, "insert", "c", 100, "keep")]))
+    replicate(spark, source, dst, ckpt, where="text != 'drop'")
+    replica = LakeTable(spark, dst)
+    replica.merge_batch(mk_events(spark, [(9, "insert", "zz", 500, "GHOST")]))
+    res = repair_replica(spark, source, replica, ckpt)
+    assert not res["verified"]["match"] and res["reverified"]["match"]
+    st = {r["url"] for r in replica.read().collect()}
+    assert st == {"a", "c"}

@@ -1178,3 +1178,31 @@ def test_changes_cli_verify(spark, tmpdir_path, capsys, job_log):
     assert out["match"] and out["lag_versions"] == 0
     assert out["source_rows"] == out["target_rows"] > 0
     assert main(["changes", "--table", src, "--verify"], spark=spark) == 1
+
+
+def test_changes_cli_verify_autocorrect(spark, tmpdir_path, capsys,
+                                        job_log):
+    """--verify --autocorrect repairs the mismatched buckets and
+    reports the repaired set plus the re-verified match."""
+    src = os.path.join(tmpdir_path, "acvsrc")
+    _run(spark, capsys, ["migrate", "--log", job_log, "--table", src])
+    dst = os.path.join(tmpdir_path, "acvdst")
+    ckpt = os.path.join(tmpdir_path, "acvckpt")
+    _run(spark, capsys, ["changes", "--table", src,
+                         "--replicate-to", dst, "--checkpoint", ckpt])
+    replica = LakeTable(spark, dst)
+    row = replica.read().limit(1).collect()[0]
+    ev = spark.createDataFrame(
+        [(10**6, "update", row["url"], row["warc_ts"], None, "CORRUPT",
+          None)],
+        "seq long, op string, url string, warc_ts timestamp, "
+        "html binary, text string, lang string")
+    replica.merge_batch(ev)
+    out = _run(spark, capsys, [
+        "changes", "--table", src, "--replicate-to", dst,
+        "--checkpoint", ckpt, "--verify"])
+    assert not out["match"]
+    out = _run(spark, capsys, [
+        "changes", "--table", src, "--replicate-to", dst,
+        "--checkpoint", ckpt, "--verify", "--autocorrect"])
+    assert out["match"] and len(out["repaired_buckets"]) == 1

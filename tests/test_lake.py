@@ -587,3 +587,41 @@ def test_merge_casts_events_to_table_types(spark, tmpdir_path):
             "seq long, op string, url string, warc_ts timestamp, "
             "hits long"))
     assert t.read().count() == 2                   # table unharmed
+
+
+def test_overwrite_bucket_scoped(spark, table):
+    """overwrite(buckets=...) swaps only the named buckets' files: a
+    scoped bucket with no input rows becomes empty, other buckets keep
+    their exact file lists, and out-of-scope input rows are dropped by
+    the same bucket expression that defines the scope."""
+    table.merge_batch(mk_events(
+        spark, [(i, "insert", f"k{i}", 100, f"v{i}") for i in range(20)]))
+    by_bucket = {}
+    for r in table.read().withColumn(
+            "_b", table.bucket_of("url")).select("url", "_b").collect():
+        by_bucket.setdefault(r["_b"], []).append(r["url"])
+    b0, b1 = sorted(by_bucket)[:2]
+    pre_files = dict(table.manifest["files"])
+    # replacement content for b0 only; b1 scoped too but given NO rows
+    keep_urls = by_bucket[b0][:1]
+    repl = table.read().filter(F.col("url").isin(keep_urls))
+    table.overwrite(repl, buckets=[b0, b1])
+    got = {r["url"] for r in table.read().collect()}
+    want = {u for b, us in by_bucket.items() for u in us
+            if b not in (b0, b1)} | set(keep_urls)
+    assert got == want                       # b1 emptied, b0 replaced
+    for b, entries in table.manifest["files"].items():
+        if int(b) not in (b0, b1):
+            assert entries == pre_files[b]   # untouched buckets intact
+    # out-of-scope rows in the input are dropped, not misfiled: feeding
+    # the FULL pre-overwrite snapshot back with only b0 in scope
+    # restores b0's rows but leaves b1 empty and every other bucket's
+    # file list untouched
+    pre_files2 = dict(table.manifest["files"])
+    table.overwrite(table.read_version(table.version - 1), buckets=[b0])
+    got2 = {r["url"] for r in table.read().collect()}
+    assert got2 == {u for b, us in by_bucket.items() for u in us
+                    if b != b1}
+    for b, entries in table.manifest["files"].items():
+        if int(b) != b0:
+            assert entries == pre_files2[b]
