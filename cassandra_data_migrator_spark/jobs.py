@@ -40,6 +40,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 import time
 from dataclasses import replace
@@ -1427,6 +1428,11 @@ def cmd_changes(args, spark) -> dict[str, Any]:
             raise SystemExit(f"error: {e}") from e
         out.update(res)
         out["target"] = args.replicate_to
+        if not res["match"]:
+            # a failed verification is the command's headline outcome:
+            # make it visible to `&&`-gated pipelines, distinct from
+            # config errors (rc 1/2)
+            out["_rc"] = 3
         return out
     if args.status:
         # pure introspection: offset JSON + manifest reads, no Spark
@@ -1434,11 +1440,21 @@ def cmd_changes(args, spark) -> dict[str, Any]:
         # question an operator asks before touching anything
         if not args.checkpoint:
             raise SystemExit("error: --status requires --checkpoint")
+        from cassandra_data_migrator_spark.lake.fs import get_fs
         from cassandra_data_migrator_spark.streaming.changelog import (
             ChangelogConsumer,
             _load_hop_config,
         )
-        consumer = ChangelogConsumer(table, args.checkpoint)
+        ck_fs = get_fs(args.checkpoint)
+        if not (ck_fs.isdir(args.checkpoint)
+                or ck_fs.exists(os.path.join(args.checkpoint,
+                                             "offset.json"))):
+            # introspection must not instantiate state: a typo'd path
+            # would otherwise report a plausible fresh-consumer status
+            raise SystemExit(
+                f"error: no such checkpoint: {args.checkpoint}")
+        consumer = ChangelogConsumer(table, args.checkpoint,
+                                     create=False)
         committed = consumer.committed_position
         where, columns, pinned = _load_hop_config(
             consumer.fs, args.checkpoint, None, None)
@@ -1953,8 +1969,9 @@ def main(argv: list[str] | None = None,
             return e.code
         print(e.code, file=sys.stderr)
         return 1
+    rc = out.pop("_rc", 0)
     print(json.dumps(out))
-    return 0
+    return rc
 
 
 if __name__ == "__main__":

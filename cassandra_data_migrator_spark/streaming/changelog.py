@@ -136,11 +136,13 @@ class ChangelogConsumer:
         checkpoint: str,
         start_version: int = 1,
         fs: Any | None = None,
+        create: bool = True,
     ):
         self.table = table
         self.checkpoint = checkpoint
         self.fs = fs if fs is not None else get_fs(checkpoint)
-        self.fs.makedirs(checkpoint)
+        if create:
+            self.fs.makedirs(checkpoint)
         self._offset_path = os.path.join(checkpoint, "offset.json")
         self._start = int(start_version)
 
@@ -241,16 +243,38 @@ def _follow_schema(src_fields: list[dict], target: LakeTable,
             target.drop_column(tf["name"])
             changed += 1
     tgt_by_id = {f["id"]: f for f in target.current_fields()}
+    # renames in two phases when the window consumed a rename CHAIN
+    # (b→c then a→b): renaming a→b directly would collide with the id
+    # still holding 'b'; parking every colliding rename on a temp name
+    # first makes any permutation safe (after the drops above, every
+    # remaining target id exists in src, so a name collision is always
+    # with another field that is itself being renamed away)
+    renames = [(fid, tgt_by_id[fid]["name"], sf["name"])
+               for fid, sf in sorted(src.items())
+               if fid in tgt_by_id and tgt_by_id[fid]["name"] != sf["name"]]
+    tgt_names_now = {f["name"] for f in target.current_fields()}
+    if any(new in tgt_names_now - {old} for _, old, new in renames):
+        for fid, old, _new in renames:
+            target.rename_column(old, f"__cdm_mv_{fid}")
+        for fid, _old, new in renames:
+            target.rename_column(f"__cdm_mv_{fid}", new)
+        changed += len(renames)
+    else:
+        for _fid, old, new in renames:
+            target.rename_column(old, new)
+            changed += 1
+    tgt_by_id = {f["id"]: f for f in target.current_fields()}
     for fid, sf in sorted(src.items()):
         tf = tgt_by_id.get(fid)
-        if tf is None:
+        if tf is None or tf["type"] == sf["type"]:
             continue
-        if tf["name"] != sf["name"]:
-            target.rename_column(tf["name"], sf["name"])
-            changed += 1
-        if tf["type"] != sf["type"]:
+        if (tf["type"].strip().lower(), sf["type"].strip().lower()) \
+                in type(target)._WIDENINGS:
             target.widen_column(sf["name"], sf["type"])
             changed += 1
+        # any other difference: an externally-managed replica whose
+        # type is already ahead (or unrelated) — leave it; the id-based
+        # read reconciliation casts at read, the documented fallback
     if not allow_adds:
         return changed
     tgt_names = {f["name"] for f in target.current_fields()}
@@ -267,11 +291,21 @@ def ensure_replica(
     target_path: str,
     columns: list[str] | None = None,
     fs: Any | None = None,
+    at_version: int | None = None,
 ) -> LakeTable:
     """Open the replica at ``target_path``, creating it with the
-    source's CURRENT schema and layout config when absent. Bucket
-    count/key/ts mirror the source so per-bucket reasoning (checksums,
-    pruning) lines up across the hop.
+    source's schema and layout config when absent. Bucket count/key/ts
+    mirror the source so per-bucket reasoning (checksums, pruning)
+    lines up across the hop.
+
+    ``at_version`` pins WHICH source schema the replica is born with —
+    pass the first batch's ``v_to`` (the schema that batch's frame
+    carries). Creating at the source HEAD instead would put a
+    backfilling replica AHEAD of its own batches: the first bounded
+    poll would then try to follow the older batch schema and
+    destructively downgrade (drop later-added columns, narrow widened
+    ones). Defaults to the source's current version (correct for
+    snapshot bootstrap, which seeds at head).
 
     ``columns`` keeps only the named data columns (the key, ts, and
     expires columns are always kept) — a PROJECTED replica, e.g. the
@@ -283,8 +317,13 @@ def ensure_replica(
     fs = fs if fs is not None else get_fs(target_path)
     if fs.exists(os.path.join(target_path, "_manifests", "LATEST")):
         return LakeTable(spark, target_path, fs=fs)
-    cfg = source.manifest["config"]
-    fields = source.current_fields()
+    if at_version is None:
+        m = source.manifest
+    else:
+        m = source.manifest_at(int(at_version))
+    cfg = m["config"]
+    fields = json.loads(json.dumps(
+        m["schemas"][str(m["schema_version"])]))
     if columns is not None:
         always = {cfg["key_col"], cfg["ts_col"], cfg.get("expires_col")}
         keep = set(columns) | (always - {None})
@@ -294,14 +333,15 @@ def ensure_replica(
                 f"projection names columns the source lacks: "
                 f"{sorted(unknown)}")
         fields = [f for f in fields if f["name"] in keep]
+    from cassandra_data_migrator_spark.lake.table import _fields_to_schema
     return LakeTable.create(
-        spark, target_path, source.schema(),
+        spark, target_path, _fields_to_schema(fields),
         EngineConfig(
             n_buckets=cfg["n_buckets"], key_col=cfg["key_col"],
             ts_col=cfg["ts_col"], expires_col=cfg.get("expires_col"),
             bucket_prefix_sep=cfg.get("bucket_prefix_sep")),
         fs=fs,
-        field_registry=(fields, source.manifest["next_field_id"]))
+        field_registry=(fields, m["next_field_id"]))
 
 
 def _load_hop_config(
@@ -493,7 +533,17 @@ def replicate(
     if not pinned:
         _validate_where(spark, source, where)
     if isinstance(target, str):
-        target = ensure_replica(spark, source, target, columns=columns)
+        # a NEW changelog-bootstrap replica is born with its FIRST
+        # batch's schema (bounded polls backfill through history — the
+        # head schema would be ahead of the frames); snapshot bootstrap
+        # seeds at head, so head is right there
+        source.refresh()
+        first_v = source.version
+        if bootstrap == "changelog" and max_versions is not None:
+            first_v = min(first_v,
+                          consumer.position + int(max_versions))
+        target = ensure_replica(spark, source, target, columns=columns,
+                                at_version=max(first_v, 1))
     if not pinned:
         # pin only after the values validated (replica exists, predicate
         # analyzes): a typo'd first call must not poison the checkpoint
@@ -592,13 +642,15 @@ def verify_replica(
     from cassandra_data_migrator_spark.lake.table import _BUCKET
 
     if (source.n_buckets != target.n_buckets
-            or source.key_col != target.key_col):
+            or source.key_col != target.key_col
+            or source.bucket_prefix_sep != target.bucket_prefix_sep):
         raise ValueError(
             f"bucket layouts differ (source {source.n_buckets} × "
-            f"{source.key_col!r}, target {target.n_buckets} × "
-            f"{target.key_col!r}): per-bucket compare needs the "
-            f"mirrored layout ensure_replica creates")
-    consumer = ChangelogConsumer(source, checkpoint)
+            f"{source.key_col!r} sep={source.bucket_prefix_sep!r}, "
+            f"target {target.n_buckets} × {target.key_col!r} "
+            f"sep={target.bucket_prefix_sep!r}): per-bucket compare "
+            f"needs the mirrored layout ensure_replica creates")
+    consumer = ChangelogConsumer(source, checkpoint, create=False)
     pos = consumer.committed_position
     if pos is None:
         raise ValueError(
@@ -634,24 +686,23 @@ def verify_replica(
             F.col("s.checksum").alias("src_sum"),
             F.col("t.checksum").alias("dst_sum"))
     )
-    bad = j.filter(
-        ~F.col("src_rows").eqNullSafe(F.col("dst_rows"))
-        | ~F.col("src_sum").eqNullSafe(F.col("dst_sum"))
-    ).orderBy("bucket").limit(max_report_buckets + 1).collect()
-    totals = j.agg(
-        F.count("*").alias("buckets"),
-        F.sum(F.coalesce(F.col("src_rows"), F.lit(0))).alias("src_rows"),
-        F.sum(F.coalesce(F.col("dst_rows"), F.lit(0))).alias("dst_rows"),
-    ).collect()[0]
+    # ONE action: the joined summary is ≤ n_buckets rows, so collect it
+    # whole and derive mismatches + totals driver-side — two separate
+    # Spark actions would scan and checksum both tables twice
+    rows = j.collect()
+    bad = sorted(
+        (r for r in rows
+         if r["src_rows"] != r["dst_rows"] or r["src_sum"] != r["dst_sum"]),
+        key=lambda r: r["bucket"])
     source.refresh()
     return {
         "position": pos,
         "source_head": source.version,
         "lag_versions": source.version - pos,
         "where": where,
-        "buckets": totals["buckets"],
-        "source_rows": totals["src_rows"],
-        "target_rows": totals["dst_rows"],
+        "buckets": len(rows),
+        "source_rows": sum(r["src_rows"] or 0 for r in rows),
+        "target_rows": sum(r["dst_rows"] or 0 for r in rows),
         "match": not bad,
         "mismatch_truncated": len(bad) > max_report_buckets,
         "mismatched_buckets": [
@@ -701,7 +752,7 @@ def repair_replica(
         return {"verified": pre, "repaired_buckets": [],
                 "reverified": pre}
     bad = sorted(mb["bucket"] for mb in pre["mismatched_buckets"])
-    consumer = ChangelogConsumer(source, checkpoint)
+    consumer = ChangelogConsumer(source, checkpoint, create=False)
     where, _columns, _pinned = _load_hop_config(
         consumer.fs, checkpoint, None, None)
     pos = pre["position"]
@@ -783,8 +834,17 @@ def replicate_many(
             _validate_where(spark, source, where)
         target = hop.target
         if isinstance(target, str):
+            # same first-batch schema rule as single-hop replicate: a
+            # backfilling hop added to the fan-out must not be born
+            # ahead of the batches it is about to apply
+            source.refresh()
+            first_v = source.version
+            if hop.bootstrap == "changelog" and max_versions is not None:
+                first_v = min(first_v,
+                              consumer.position + int(max_versions))
             target = ensure_replica(spark, source, target,
-                                    columns=columns)
+                                    columns=columns,
+                                    at_version=max(first_v, 1))
         if not pinned:
             _pin_hop_config(consumer.fs, hop.checkpoint, where, columns)
         st = {"hop": hop, "consumer": consumer, "target": target,

@@ -808,3 +808,67 @@ def test_repair_replica_extra_key_and_filtered(spark, source, paths):
     assert not res["verified"]["match"] and res["reverified"]["match"]
     st = {r["url"] for r in replica.read().collect()}
     assert st == {"a", "c"}
+
+
+def test_backfilling_replica_born_at_first_batch_schema(
+        spark, source, paths):
+    """A NEW replica backfilling history with bounded polls is created
+    at its FIRST batch's schema, not the source head — otherwise the
+    first poll would destructively downgrade it (drop later-added
+    columns under a fresh id, or attempt a narrowing 'widen' and
+    crash), wrecking the id alignment every later follow depends on."""
+    _, dst, ckpt = paths
+    source.merge_batch(mk_events(spark, [(1, "insert", "a", 100, "a1")]))
+    source.add_column("hits", "int")
+    ev = mk_events(spark, [(2, "insert", "b", 100, "b1")]) \
+        .withColumn("hits", F.lit(5).cast("int"))
+    source.merge_batch(ev)
+    source.widen_column("hits", "bigint")
+    big = spark.createDataFrame(
+        [(3, "insert", "c", ts(100), b"<p>c1</p>", "c1", "en", 2 ** 40)],
+        "seq long, op string, url string, warc_ts timestamp, "
+        "html binary, text string, lang string, hits long")
+    source.merge_batch(big)
+    hits_id = next(f["id"] for f in source.current_fields()
+                   if f["name"] == "hits")
+    # backfill one version at a time from scratch: the replica is born
+    # at v1's schema (no hits), follows add->widen in source order
+    out = replicate(spark, source, dst, ckpt, max_versions=1)
+    replica = LakeTable(spark, dst)
+    assert len(out["batches"]) >= 3
+    assert dict(replica.read().dtypes)["hits"] == "bigint"
+    # the id alignment survived: hits has the SOURCE's field id
+    assert next(f["id"] for f in replica.current_fields()
+                if f["name"] == "hits") == hits_id
+    st = {r["url"]: r["hits"] for r in replica.read().collect()}
+    assert st == {"a": None, "b": 5, "c": 2 ** 40}
+    # and a later source-side rename still follows by that id
+    source.rename_column("hits", "clicks")
+    replicate(spark, source, replica, ckpt)
+    assert "clicks" in replica.read().columns
+
+
+def test_rename_chain_follows_without_collision(spark, source, paths):
+    """A rename chain consumed in one window (b->c then a->b) must not
+    wedge the hop on a name collision: renames park on temp names
+    first, so any permutation lands."""
+    _, dst, ckpt = paths
+    source.merge_batch(mk_events(spark, [(1, "insert", "k", 100, "v")]))
+    replicate(spark, source, dst, ckpt)
+    # consumed lagging: two renames forming a chain, then a swap-back
+    source.rename_column("text", "text_old")
+    source.rename_column("lang", "text")
+    source.rename_column("text_old", "lang")      # full swap
+    ev = mk_events(spark, [(2, "update", "k", 200, "v2")])
+    source.merge_batch(ev.select(
+        "seq", "op", "url", "warc_ts", "html",
+        F.col("text").alias("lang"), F.col("lang").alias("text")))
+    replicate(spark, source, LakeTable(spark, dst), ckpt)
+    replica = LakeTable(spark, dst)
+    src_rows = {(r["url"], r["text"], r["lang"])
+                for r in source.read().select("url", "text", "lang")
+                .collect()}
+    dst_rows = {(r["url"], r["text"], r["lang"])
+                for r in replica.read().select("url", "text", "lang")
+                .collect()}
+    assert src_rows == dst_rows

@@ -1198,9 +1198,11 @@ def test_changes_cli_verify_autocorrect(spark, tmpdir_path, capsys,
         "seq long, op string, url string, warc_ts timestamp, "
         "html binary, text string, lang string")
     replica.merge_batch(ev)
-    out = _run(spark, capsys, [
-        "changes", "--table", src, "--replicate-to", dst,
-        "--checkpoint", ckpt, "--verify"])
+    # a failed verification exits rc 3 (distinct from config errors),
+    # so &&-gated pipelines cannot promote a diverged replica
+    assert main(["changes", "--table", src, "--replicate-to", dst,
+                 "--checkpoint", ckpt, "--verify"], spark=spark) == 3
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert not out["match"]
     out = _run(spark, capsys, [
         "changes", "--table", src, "--replicate-to", dst,
