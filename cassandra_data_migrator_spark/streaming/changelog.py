@@ -669,6 +669,14 @@ def verify_replica(
                 df.schema, [key, ts, *data_cols])).alias("checksum"))
 
     snap = source.read_version(pos, include_internal=True)
+    missing = [c for c in (key, ts, *data_cols)
+               if c not in snap.columns]
+    if missing:
+        raise ValueError(
+            f"replica columns {missing} do not exist in the source at "
+            f"position v{pos}: the replica's schema is ahead of (or "
+            f"foreign to) the verified snapshot — catch the hop up, or "
+            f"re-create the replica via ensure_replica")
     if where is not None:
         # filter BEFORE projecting — the predicate may use columns the
         # projection drops, same rule as the hop and the snapshot seed
