@@ -379,6 +379,25 @@ def _q_cdc_replay_final_state(spark, sf_dir):
     return _final_state_df(table)
 
 
+def _q_mor_cdc_replay(spark, sf_dir):
+    """Merge-on-read CDC replay: the same change stream applied in
+    THREE delta-append epochs to a merge_mode='mor' table (no bucket
+    rewrites — lake/table.py merge_batch mor branch), read back through
+    the read-time LWW resolution with the deltas still unfolded. The
+    oracle is the identical LWW SQL as cdc_replay_final_state: MoR is a
+    write-strategy choice, never a semantics choice."""
+    table = LakeTable.create(
+        spark, _tmpdir("mor_replay"), _STATE_SCHEMA,
+        EngineConfig(n_buckets=16, key_col="user_id", ts_col="ts",
+                     merge_mode="mor"))
+    ev = _change_events(spark, sf_dir)
+    for i in range(3):
+        table.merge_batch(ev.filter(F.col("seq") % 3 == i),
+                          stream_id="q_mor", epoch_id=i)
+    assert table.delta_file_counts(), "expected unfolded MoR deltas"
+    return _final_state_df(table)
+
+
 def _q_streaming_cdc_replay(spark, sf_dir):
     """Structured-Streaming CDC tail: chunked event log → readStream →
     foreachBatch merge with epoch fencing + checkpoint (SURVEY §2.9);
@@ -2460,6 +2479,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "custom_writetime_ttl": _q_custom_writetime_ttl,
         "explode_cdc_replay": _q_explode_cdc_replay,
         "cdc_replay_final_state": _q_cdc_replay_final_state,
+        "mor_cdc_replay": _q_mor_cdc_replay,
         "streaming_cdc_replay": _q_streaming_cdc_replay,
         "streaming_checkpoint_resume": _q_streaming_checkpoint_resume,
         "time_travel_read": _q_time_travel_read,
@@ -2566,6 +2586,7 @@ def oracle_sql() -> dict[str, str]:
         "custom_writetime_ttl": _CUSTOM_WRITETIME_ORACLE,
         "explode_cdc_replay": _EXPLODE_CDC_ORACLE,
         "cdc_replay_final_state": _FINAL_STATE_ORACLE,
+        "mor_cdc_replay": _FINAL_STATE_ORACLE,
         "streaming_cdc_replay": _FINAL_STATE_ORACLE,
         "streaming_checkpoint_resume": _FINAL_STATE_ORACLE,
         "time_travel_read": _TIME_TRAVEL_ORACLE,

@@ -44,6 +44,21 @@ class EngineConfig:
     # bucket; transform-stage salting still levels the row work, and
     # the within-bucket merge window keys on the full surrogate.
     bucket_prefix_sep: str | None = None
+    # How merge_batch persists a change batch:
+    #   "cow" — copy-on-write: touched buckets are read, LWW-merged and
+    #           rewritten whole. Read-optimal (a bucket is one plain
+    #           parquet file list); write cost O(bucket bytes) per epoch.
+    #   "mor" — merge-on-read: only the batch's per-key LWW winners are
+    #           appended as DELTA files; reads resolve base ∪ deltas
+    #           with the same LWW order; `compact()` folds deltas back
+    #           into base files. Write cost O(batch bytes) per epoch —
+    #           at 100 TB with small epochs this removes the dominant
+    #           write amplification of CoW (rewriting multi-GB buckets
+    #           to change a few rows), at the price of a read-side
+    #           window until the next compaction.
+    # (Iceberg v2 calls the same trade-off copy-on-write vs
+    # merge-on-read; Hudi: COW vs MOR table types.)
+    merge_mode: str = "cow"
 
     # --- skew handling (north_rule: salted repartition) ------------------
     salt_buckets: int = 4             # sub-splits for hot keys inside a bucket

@@ -91,6 +91,9 @@ _CONFIG_KEYS: dict[str, tuple[str, Any]] = {
     "spark.cdm.feature.guardrail.colSizeInKB": ("guardrail_kb", int),
     "spark.cdm.transform.missing.key.ts.replace.value":
         ("null_ts_default", _ms),
+    # engine-native lake knob (no reference analog — Cassandra rewrites
+    # in place; the lake choice is Iceberg CoW vs MoR)
+    "spark.cdm.lake.mergeMode": ("merge_mode", str),
 }
 
 # spark.cdm keys that drive job behavior, not EngineConfig
@@ -248,6 +251,8 @@ def _open_or_create(spark, args, cfg, schema=None):
 def _cfg(args) -> tuple[EngineConfig, dict[str, Any], list[str]]:
     base = EngineConfig(key_col=args.key_col, ts_col=args.ts_col,
                         seq_col=args.seq_col)
+    if getattr(args, "merge_mode", None):
+        base = replace(base, merge_mode=args.merge_mode)
     props = parse_properties(args.conf, args.properties_file)
     return apply_properties(base, props)
 
@@ -1101,6 +1106,11 @@ def cmd_describe(args, spark) -> dict[str, Any]:
         "files_max_per_bucket": max(per_bucket, default=0),
         "fragmented_buckets": sum(1 for n in per_bucket if n >= 2),
         "external_buckets": len(ext),
+        "merge_mode": table.merge_mode,
+        # MoR read-amplification gauge: buckets still carrying unfolded
+        # delta files (maintain --compact folds them)
+        "delta_buckets": len(table.delta_file_counts()),
+        "delta_files_total": sum(table.delta_file_counts().values()),
         "epoch_fence": m.get("epoch_fence", {}),
         "counter_watermarks": m.get("counter_watermarks", {}),
         "ever_tombstones": bool(m.get("ever_tombstones")),
@@ -1632,6 +1642,12 @@ def _add_common(p: argparse.ArgumentParser) -> None:
                    choices=("parquet", "json"),
                    help="event-log encoding (json = JSON-lines tail, "
                         "binary columns as base64)")
+    p.add_argument("--merge-mode", default=None, choices=("cow", "mor"),
+                   help="table write strategy when CREATING the target: "
+                        "cow (copy-on-write, read-optimal) or mor "
+                        "(merge-on-read delta appends, write-optimal — "
+                        "fold deltas with `maintain --compact`); an "
+                        "existing table keeps its own mode")
     p.add_argument("--master", default="local[*]")
     p.add_argument("--shuffle-partitions", type=int, default=32)
 

@@ -74,6 +74,9 @@ _CK = "_ck"             # long  — row checksum, precomputed at write time so
                         #         the lineage pass reads 3 thin columns
                         #         instead of re-scanning payloads
 _PB = "_pb"             # partition-dir duplicate of _bucket (not read back)
+_DV = "_dv"             # int — delta commit version during MoR resolution
+                        #       (read-time literal from the manifest entry's
+                        #       "dv"; base files read as 0; never stored)
 INTERNAL_COLS = (_BUCKET, _DELETED, _SEQ)
 
 
@@ -139,6 +142,14 @@ def watermark_tail_predicate(seq_col: str, wm: int) -> F.Column:
     return F.col(seq_col).cast("long") > F.lit(int(wm))
 
 
+def _name_by_field_id(own_fields: list[dict], own_name: str,
+                      out_fields: list[dict]) -> str:
+    """Translate a column name from one schema-version's field list to
+    another's through the stable field id (rename-safe)."""
+    fid = next(f["id"] for f in own_fields if f["name"] == own_name)
+    return next(f["name"] for f in out_fields if f["id"] == fid)
+
+
 def _internal_struct_fields() -> list[T.StructField]:
     return [
         T.StructField(_BUCKET, T.IntegerType(), False),
@@ -186,6 +197,10 @@ class LakeTable:
         ignored for the registry and derived from the fields.
         """
         config = config or EngineConfig()
+        if config.merge_mode not in ("cow", "mor"):
+            raise ValueError(
+                f"merge_mode must be 'cow' or 'mor', got "
+                f"{config.merge_mode!r}")
         if field_registry is not None:
             schema = _fields_to_schema(field_registry[0])
         if config.key_col not in schema.fieldNames():
@@ -213,6 +228,7 @@ class LakeTable:
                 "ts_col": config.ts_col,
                 "expires_col": config.expires_col,
                 "bucket_prefix_sep": config.bucket_prefix_sep,
+                "merge_mode": config.merge_mode,
             },
             "schema_version": 1,
             "schemas": {"1": fields},
@@ -282,6 +298,24 @@ class LakeTable:
         if sep:
             c = F.substring_index(c.cast("string"), sep, 1)
         return bucket_expr(c, self.n_buckets)
+
+    @property
+    def merge_mode(self) -> str:
+        """Table-default merge mode ("cow" | "mor"); legacy manifests
+        without the key are CoW. A per-call ``merge_batch(mode=...)``
+        overrides it."""
+        return self.manifest["config"].get("merge_mode") or "cow"
+
+    def delta_file_counts(self) -> dict[int, int]:
+        """Per-bucket count of unfolded MoR delta files in the current
+        snapshot (empty for pure-CoW tables) — the read-amplification
+        gauge an operator watches to schedule ``compact()``."""
+        out: dict[int, int] = {}
+        for b, entries in self.manifest["files"].items():
+            n = sum(1 for e in entries if e.get("delta"))
+            if n:
+                out[int(b)] = n
+        return out
 
     @property
     def version(self) -> int:
@@ -376,30 +410,63 @@ class LakeTable:
         """Read any committed manifest. ``current``/``schemas`` override
         the field list the files are reconciled to (used by
         ``changes_between`` to align an old snapshot onto the newer
-        snapshot's schema by column id)."""
+        snapshot's schema by column id).
+
+        Merge-on-read resolution: when the selected buckets carry DELTA
+        file entries (``merge_batch(mode="mor")`` commits), the base and
+        delta rows of each key are resolved to ONE stored winner here —
+        the same LWW order the CoW merge uses (ts desc, seq
+        desc-nulls-last), with the delta's commit version (``dv``, base
+        files = 0) as the tie-break so an exact duplicate replayed in a
+        later delta loses to the earlier stored row, exactly like the
+        CoW window's stored-row-wins-on-tie. Pure-CoW snapshots skip the
+        resolution entirely (no window node in the plan)."""
         if schemas is None:
             schemas = manifest["schemas"]
         if current is None:
             current = schemas[str(manifest["schema_version"])]
-        file_groups: dict[int, list[str]] = {}
+        # group by (schema_version, delta-commit-version): each group is
+        # one parquet scan; dv is attached as a literal column, so delta
+        # files need no physical schema difference from base files
+        file_groups: dict[tuple[int, int], list[str]] = {}
         sel = None if buckets is None else {int(b) for b in buckets}
         for b, entries in manifest["files"].items():
             if sel is not None and int(b) not in sel:
                 continue
             for e in entries:
-                file_groups.setdefault(e["schema_version"], []).append(
+                gk = (e["schema_version"], int(e.get("dv", 0)))
+                file_groups.setdefault(gk, []).append(
                     _resolve_entry(self.path, e["path"])
                 )
+        has_deltas = any(dv != 0 for _, dv in file_groups)
         out: DataFrame | None = None
-        for sv, paths in sorted(file_groups.items()):
+        for (sv, dv), paths in sorted(file_groups.items()):
             df = self._read_files_as_current(paths, sv, current,
                                              schemas=schemas)
+            if has_deltas:
+                df = df.withColumn(_DV, F.lit(dv))
             out = df if out is None else out.unionByName(df)
         if out is None:
             out = self.spark.createDataFrame(
                 [], T.StructType(list(_fields_to_schema(current).fields)
                                  + _internal_struct_fields())
             )
+        if has_deltas:
+            # LWW-resolve base ∪ deltas to one stored row per key. The
+            # key/ts columns are located by FIELD ID in the output field
+            # list (``current`` may carry renamed-forward names when
+            # changes_between reconciles an old snapshot).
+            own = schemas[str(manifest["schema_version"])]
+            cfg = manifest["config"]
+            key_out = _name_by_field_id(own, cfg["key_col"], current)
+            ts_out = _name_by_field_id(own, cfg["ts_col"], current)
+            w = Window.partitionBy(_BUCKET, key_out).orderBy(
+                F.col(ts_out).desc(),
+                F.col(_SEQ).desc_nulls_last(),
+                F.col(_DV).asc(),
+            )
+            out = (out.withColumn("_rn", F.row_number().over(w))
+                      .filter(F.col("_rn") == 1).drop("_rn", _DV))
         if not include_deleted:
             out = out.filter(~F.col(_DELETED))
         expires_col = manifest["config"].get("expires_col")
@@ -626,8 +693,26 @@ class LakeTable:
         probed: tuple[list[int], dict[int, dict]] | None = None,
         prereduce_max_events: int = 32_000_000,
         prereduced: DataFrame | None = None,
+        mode: str | None = None,
     ) -> MergeResult:
-        """Copy-on-write LWW MERGE of a change batch into the table.
+        """LWW MERGE of a change batch into the table.
+
+        ``mode`` (default: the table's ``merge_mode`` config):
+
+        - ``"cow"`` — copy-on-write: read + rewrite every touched
+          bucket whole (the shape documented below).
+        - ``"mor"`` — merge-on-read: append ONLY the batch's per-key
+          LWW winners as delta files; the read path resolves base ∪
+          deltas with the identical LWW order (see ``_read_snapshot``)
+          and ``compact()`` folds deltas into base. Same final state,
+          write cost O(batch) instead of O(touched buckets) — the 100-TB
+          shape for high-frequency small epochs. ``finalize`` then runs
+          on batch winners only (cheaper; stored rows keep their already
+          -finalized values). Two semantics need stored-row context at
+          write time and silently use the CoW path even in MoR mode:
+          ``force_overwrite`` (autocorrect must beat equal-version
+          stored rows, which the delta tie-break would preserve) and
+          ``unset_nulls`` (null columns inherit stored values).
 
         ``finalize``: optional ``DataFrame -> DataFrame`` applied to the
         merged WINNERS just before the write. This is where expensive
@@ -658,6 +743,9 @@ class LakeTable:
         window; reads + rewrites only touched buckets; bucket pruning
         via the manifest file list.
         """
+        mode = mode or self.merge_mode
+        if mode not in ("cow", "mor"):
+            raise ValueError(f"mode must be 'cow' or 'mor', got {mode!r}")
         epoch_key = f"{stream_id}/{epoch_id}" if stream_id is not None else None
         if stream_id is not None:
             fence = self.manifest["epoch_fence"].get(stream_id)
@@ -756,6 +844,28 @@ class LakeTable:
             if total_events <= _PREREDUCE_FORCE_BROADCAST_MAX_EVENTS:
                 win = F.broadcast(win)
             src = src.join(win, cond, "inner").drop("_k", "_w")
+
+        if mode == "mor" and not force_overwrite and not unset_nulls:
+            # merge-on-read: never touch stored rows. One shuffle
+            # clusters the (pre-reduced) batch by bucket; a window picks
+            # exactly one winner per key (prereduction can leave exact
+            # (key, ts, seq) duplicates — replay copies — which must
+            # collapse so a delta commit holds at most one row per key,
+            # the invariant read-time resolution and changes_between
+            # rely on); the bucketed write below then splits per-bucket
+            # files with no further shuffle.
+            n_part = max(len(touched),
+                         self.spark.sparkContext.defaultParallelism)
+            clustered = src.repartition(n_part, F.col(_BUCKET))
+            w = Window.partitionBy(_BUCKET, self.key_col).orderBy(
+                F.col(self.ts_col).desc(), F.col(_SEQ).desc_nulls_last())
+            winners = (clustered.withColumn("_rn", F.row_number().over(w))
+                                .filter(F.col("_rn") == 1).drop("_rn"))
+            if finalize is not None:
+                winners = finalize(winners)
+            return self._write_and_commit(
+                winners, offsets, touched, data_cols, epoch_key,
+                stream_id, epoch_id, delta=True)
 
         target = self.read(buckets=touched, include_deleted=True,
                            include_internal=True)
@@ -864,6 +974,7 @@ class LakeTable:
         stream_id: str | None,
         epoch_id: int | None,
         counter_watermark: tuple[str, int] | None = None,
+        delta: bool = False,
     ) -> MergeResult:
         """Shared tail of every merge flavor: bucketed write (no extra
         shuffle — ``merged`` is already clustered by ``_bucket``),
@@ -871,7 +982,14 @@ class LakeTable:
         epoch fence advanced (and, for watermarked counter merges, the
         per-stream seq high-watermark recorded in the SAME atomic
         commit — the watermark can never run ahead of or behind the
-        data it fences)."""
+        data it fences).
+
+        ``delta=True`` (merge-on-read commit): the new files are
+        APPENDED to each touched bucket's entry list, flagged
+        ``{"delta": true, "dv": <this commit's version>}``, instead of
+        replacing it; the lineage/checksum rows then cover the DELTA
+        rows this commit wrote (not the bucket's resolved state — the
+        recomputing :meth:`checksums` is the state-level check)."""
         rel, absdir = self._new_data_dir()
         # already clustered by _bucket: the partitionBy(_PB) write
         # splits per-bucket dirs with no extra shuffle, and each
@@ -914,6 +1032,7 @@ class LakeTable:
                 "max_seq": off.get("max_seq"),
                 "events": off.get("events"),
                 "epoch_key": epoch_key, "version": self.version + 1,
+                **({"delta": True} if delta else {}),
             })
         counters = {
             "events": int(sum(l.get("events") or 0 for l in lineage_rows)),
@@ -926,10 +1045,15 @@ class LakeTable:
         m["parent"] = self.version
         m["epoch_key"] = epoch_key
         for b in touched:
-            m["files"][str(b)] = [
-                {"path": p, "schema_version": self.schema_version}
+            new_entries = [
+                {"path": p, "schema_version": self.schema_version,
+                 **({"delta": True, "dv": m["version"]} if delta else {})}
                 for p in files.get(b, [])
             ]
+            if delta:
+                m["files"].setdefault(str(b), []).extend(new_entries)
+            else:
+                m["files"][str(b)] = new_entries
         if stream_id is not None and epoch_id is not None:
             m["epoch_fence"][stream_id] = max(
                 epoch_id, m["epoch_fence"].get(stream_id, -1)
@@ -1003,6 +1127,13 @@ class LakeTable:
         bucket, then a (bucket, key) aggregation that reuses the
         clustering.
         """
+        if self.merge_mode == "mor":
+            # counters are read-before-write (stored + Σdelta); a delta
+            # append cannot express that and read-time LWW resolution
+            # would pick one row instead of summing. CoW-only, loudly.
+            raise ValueError(
+                "counter merges are read-before-write and CoW-only; "
+                "create counter tables with merge_mode='cow'")
         wm: int | None = None
         if watermark:
             if stream_id is None:
@@ -1316,7 +1447,14 @@ class LakeTable:
 
         Every epoch's CoW write adds files only for *touched* buckets,
         but a long-lived table accumulates buckets whose file list grew
-        via partial rewrites plus old-schema stragglers. Compaction
+        via partial rewrites plus old-schema stragglers — and, on
+        merge-on-read tables, per-epoch DELTA files. Compaction FOLDS
+        deltas: the read below LWW-resolves base ∪ deltas, so the
+        rewritten bucket is one plain base file again (delta-carrying
+        buckets always qualify for selection regardless of file count).
+        This is the MoR maintenance loop: merges stay O(batch), reads
+        pay a bounded resolution window, compact amortizes it away.
+        Compaction
         reads the selected buckets (tombstones included — they carry
         delete semantics for late events and MUST survive), rewrites
         them clustered one-file-per-bucket under the CURRENT schema, and
@@ -1334,6 +1472,7 @@ class LakeTable:
                 if len(entries) >= min_files
                 or any(e["schema_version"] != self.schema_version
                        for e in entries)
+                or any(e.get("delta") for e in entries)
             ]
         buckets = sorted(set(int(b) for b in buckets))
         if not buckets:
@@ -1393,8 +1532,7 @@ class LakeTable:
         fs.makedirs(os.path.join(path, "_manifests"))
         fs.makedirs(os.path.join(path, "data"))
         files = {
-            b: [{"path": _resolve_entry(self.path, e["path"]),
-                 "schema_version": e["schema_version"]}
+            b: [{**e, "path": _resolve_entry(self.path, e["path"])}
                 for e in entries]
             for b, entries in m["files"].items()
         }

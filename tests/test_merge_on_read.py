@@ -1,0 +1,440 @@
+"""Merge-on-read (MoR) mode: delta-append merges, read-time LWW
+resolution, compaction folding, and CoW-equivalence.
+
+The reference migrator always rewrites the target row in place
+(Cassandra upsert, cql/statement/TargetUpsertStatement.java); the lake
+analog of that is copy-on-write. MoR is the other lake write strategy
+(Iceberg v2 merge-on-read / Hudi MOR): append only the batch winners,
+resolve at read. Every test here asserts the SAME observable state the
+CoW suite (test_lake.py) pins, through the delta path.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import os
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from cassandra_data_migrator_spark.config import EngineConfig
+from cassandra_data_migrator_spark.lake import LakeTable
+
+UTC = dt.timezone.utc
+
+WEB_SCHEMA = T.StructType([
+    T.StructField("url", T.StringType(), False),
+    T.StructField("warc_ts", T.TimestampType(), False),
+    T.StructField("html", T.BinaryType(), True),
+    T.StructField("text", T.StringType(), True),
+    T.StructField("lang", T.StringType(), True),
+])
+
+
+def ts(s: int) -> dt.datetime:
+    return dt.datetime(2024, 1, 1, tzinfo=UTC) + dt.timedelta(seconds=s)
+
+
+def nts(s: int) -> dt.datetime:
+    """ts(s) as collect() returns it (session tz = UTC, tz-naive)."""
+    return ts(s).replace(tzinfo=None)
+
+
+def mk_events(spark, rows):
+    """rows: (seq, op, url, ts_s, text?)"""
+    data = [
+        (seq, op, url, ts(t),
+         (f"<p>{body}</p>".encode() if body is not None else None),
+         body, "en" if body is not None else None)
+        for (seq, op, url, t, body) in rows
+    ]
+    schema = T.StructType([
+        T.StructField("seq", T.LongType(), False),
+        T.StructField("op", T.StringType(), False),
+        T.StructField("url", T.StringType(), True),
+        T.StructField("warc_ts", T.TimestampType(), True),
+        T.StructField("html", T.BinaryType(), True),
+        T.StructField("text", T.StringType(), True),
+        T.StructField("lang", T.StringType(), True),
+    ])
+    return spark.createDataFrame(data, schema)
+
+
+def mk_table(spark, tmpdir_path, name, mode="mor", n_buckets=8):
+    return LakeTable.create(
+        spark, os.path.join(tmpdir_path, name), WEB_SCHEMA,
+        EngineConfig(n_buckets=n_buckets, merge_mode=mode),
+    )
+
+
+def final_state(table):
+    return {r["url"]: (r["warc_ts"], r["text"])
+            for r in table.read().collect()}
+
+
+def checksum_map(table):
+    return {r["bucket"]: (r["row_count"], r["checksum"])
+            for r in table.checksums().collect()}
+
+
+# epochs exercising every LWW edge: in-batch dups, cross-epoch late
+# updates, deletes, re-inserts, same-ts seq ties, partial-null rows
+EPOCHS = [
+    [(1, "insert", "https://a/1", 100, "v1"),
+     (2, "insert", "https://b/2", 100, "w1"),
+     (3, "update", "https://a/1", 150, "v1.5"),   # in-batch newer
+     (4, "insert", "https://c/3", 100, "x1")],
+    [(5, "delete", "https://b/2", 300, None),
+     (6, "update", "https://a/1", 120, "late"),   # late: loses to 150
+     (7, "update", "https://c/3", 100, "x2")],    # same ts, higher seq
+    [(8, "update", "https://b/2", 200, "older-than-delete"),  # stays dead
+     (9, "insert", "https://b/2", 400, "reborn"),
+     (10, "insert", "https://d/4", 500, "d1")],
+]
+
+
+def apply_epochs(table, spark, stream="s", **kw):
+    for i, rows in enumerate(EPOCHS):
+        table.merge_batch(mk_events(spark, rows), stream_id=stream,
+                          epoch_id=i, **kw)
+
+
+def test_mor_final_state_matches_cow(spark, tmpdir_path):
+    cow = mk_table(spark, tmpdir_path, "cow", mode="cow")
+    mor = mk_table(spark, tmpdir_path, "mor", mode="mor")
+    apply_epochs(cow, spark)
+    apply_epochs(mor, spark)
+    assert final_state(mor) == final_state(cow)
+    assert checksum_map(mor) == checksum_map(cow)
+    # and the MoR table really did take the delta path
+    assert mor.delta_file_counts()
+
+
+def test_mor_lww_edges_exact_values(spark, tmpdir_path):
+    t = mk_table(spark, tmpdir_path, "t")
+    apply_epochs(t, spark)
+    st = final_state(t)
+    assert st["https://a/1"] == (nts(150), "v1.5")
+    assert st["https://b/2"] == (nts(400), "reborn")
+    assert st["https://c/3"] == (nts(100), "x2")
+    assert st["https://d/4"] == (nts(500), "d1")
+
+
+def test_mor_writes_are_appends_not_rewrites(spark, tmpdir_path):
+    """The write-amplification claim itself: a second merge must not
+    replace the first commit's file entries, and each delta commit's
+    lineage covers only ITS batch rows."""
+    t = mk_table(spark, tmpdir_path, "t", n_buckets=2)
+    t.merge_batch(mk_events(spark, [
+        (i, "insert", f"https://u/{i}", 100, f"v{i}") for i in range(20)
+    ]), stream_id="s", epoch_id=0)
+    base_entries = {b: [e["path"] for e in es]
+                    for b, es in t.manifest["files"].items()}
+    r = t.merge_batch(mk_events(spark, [
+        (100, "update", "https://u/0", 200, "new"),
+    ]), stream_id="s", epoch_id=1)
+    for b, paths in base_entries.items():
+        kept = [e["path"] for e in t.manifest["files"][b]]
+        assert kept[:len(paths)] == paths  # prior entries untouched
+    # exactly one delta row written, in one bucket
+    assert sum(ln["rows_with_tombstones"] for ln in r.lineage) == 1
+    assert all(ln.get("delta") for ln in r.lineage)
+    assert sum(t.delta_file_counts().values()) >= 1
+
+
+def test_mor_exact_duplicate_replay_is_idempotent(spark, tmpdir_path):
+    """A byte-identical batch re-merged under a NEW epoch id (so the
+    fence does not suppress it) adds a delta whose rows all tie with
+    stored winners — and lose the dv tie-break, leaving state and
+    checksums unchanged (the CoW stored-row-wins-on-tie invariant)."""
+    t = mk_table(spark, tmpdir_path, "t")
+    ev = mk_events(spark, [(1, "insert", "u", 100, "v1"),
+                           (2, "insert", "w", 100, "w1")])
+    t.merge_batch(ev, stream_id="s", epoch_id=0)
+    cs1 = checksum_map(t)
+    t.merge_batch(ev, stream_id="s", epoch_id=1)
+    assert checksum_map(t) == cs1
+    assert final_state(t)["u"][1] == "v1"
+
+
+def test_mor_epoch_fence(spark, tmpdir_path):
+    t = mk_table(spark, tmpdir_path, "t")
+    ev0 = mk_events(spark, [(1, "insert", "u", 100, "v1")])
+    ev1 = mk_events(spark, [(2, "update", "u", 200, "v2")])
+    t.merge_batch(ev0, stream_id="s", epoch_id=0)
+    t.merge_batch(ev1, stream_id="s", epoch_id=1)
+    r = t.merge_batch(ev0, stream_id="s", epoch_id=0)
+    assert r.skipped
+    assert final_state(t)["u"][1] == "v2"
+
+
+def test_mor_compact_folds_deltas(spark, tmpdir_path):
+    t = mk_table(spark, tmpdir_path, "t")
+    apply_epochs(t, spark)
+    pre_version = t.version
+    pre_state = final_state(t)
+    pre_cs = checksum_map(t)
+    assert t.delta_file_counts()
+    res = t.compact()
+    assert res is not None
+    assert t.delta_file_counts() == {}          # all deltas folded
+    assert final_state(t) == pre_state
+    assert checksum_map(t) == pre_cs
+    # time travel to the pre-compaction snapshot still resolves deltas
+    tt = {r["url"]: (r["warc_ts"], r["text"])
+          for r in t.read_version(pre_version).collect()}
+    assert tt == pre_state
+    # a compacted (pure-base) read plans without the resolution window
+    plan = t.read()._jdf.queryExecution().toString()
+    assert "Window" not in plan
+
+
+def test_pure_cow_read_plans_without_window(spark, tmpdir_path):
+    t = mk_table(spark, tmpdir_path, "t", mode="cow")
+    apply_epochs(t, spark)
+    plan = t.read()._jdf.queryExecution().toString()
+    assert "Window" not in plan
+
+
+def test_mor_read_bucket_pruning(spark, tmpdir_path):
+    """Resolution must not break manifest bucket pruning: a pruned read
+    scans only the selected buckets' base+delta files."""
+    t = mk_table(spark, tmpdir_path, "t", n_buckets=8)
+    apply_epochs(t, spark)
+    some_bucket = int(next(iter(t.delta_file_counts())))
+    df = t.read(buckets=[some_bucket], include_internal=True)
+    got = df.select("_bucket").distinct().collect()
+    assert {r["_bucket"] for r in got} <= {some_bucket}
+    # every scanned file belongs to the selected bucket's entry list
+    allowed = {os.path.join(t.path, e["path"])
+               for e in t.manifest["files"][str(some_bucket)]}
+    scanned = {f.replace("file://", "").replace("file:", "")
+               for f in df.inputFiles()}
+    assert scanned and scanned <= allowed
+
+
+def test_mor_changes_between_matches_cow(spark, tmpdir_path):
+    cow = mk_table(spark, tmpdir_path, "cow", mode="cow")
+    mor = mk_table(spark, tmpdir_path, "mor", mode="mor")
+    apply_epochs(cow, spark)
+    apply_epochs(mor, spark)
+
+    def changes(t):
+        rows = t.changes_between(1, t.version).collect()
+        return sorted((r["url"], r["_change_type"], r["warc_ts"])
+                      for r in rows)
+
+    assert changes(mor) == changes(cow)
+
+
+def test_mor_force_overwrite_falls_back_to_cow(spark, tmpdir_path):
+    """Autocorrect re-upserts carry the ORIGIN's (ts, seq); under MoR
+    tie-break the stored mismatched row would win, so force_overwrite
+    must take the CoW path and replace the stored row outright."""
+    t = mk_table(spark, tmpdir_path, "t")
+    t.merge_batch(mk_events(spark, [(1, "insert", "u", 100, "wrong")]))
+    fix = mk_events(spark, [(1, "insert", "u", 100, "right")])
+    t.merge_batch(fix, force_overwrite=True)
+    assert final_state(t)["u"][1] == "right"
+    # and the touched bucket's deltas were folded by the CoW rewrite
+    b = next(iter({r["_bucket"] for r in t.read(
+        include_internal=True).select("_bucket").collect()}))
+    assert not any(e.get("delta")
+                   for e in t.manifest["files"][str(b)])
+
+
+def test_mor_unset_nulls_falls_back_to_cow(spark, tmpdir_path):
+    t = mk_table(spark, tmpdir_path, "t")
+    t.merge_batch(mk_events(spark, [(1, "insert", "u", 100, "v1")]),
+                  unset_nulls=True)
+    # newer update with null text: UNSET keeps the old value
+    ev = mk_events(spark, [(2, "update", "u", 200, None)])
+    t.merge_batch(ev, unset_nulls=True)
+    st = final_state(t)
+    assert st["u"] == (nts(200), "v1")
+
+
+def test_mixed_cow_merge_folds_touched_buckets(spark, tmpdir_path):
+    """An explicit mode='cow' merge on a MoR table folds the touched
+    buckets' deltas (its rewrite REPLACES their file lists) while
+    leaving other buckets' deltas in place."""
+    t = mk_table(spark, tmpdir_path, "t", n_buckets=8)
+    apply_epochs(t, spark)
+    pre = final_state(t)
+    r = t.merge_batch(
+        mk_events(spark, [(99, "update", "https://a/1", 999, "cowed")]),
+        mode="cow")
+    for b in r.touched_buckets:
+        assert not any(e.get("delta")
+                       for e in t.manifest["files"][str(b)])
+    pre["https://a/1"] = (nts(999), "cowed")
+    assert final_state(t) == pre
+
+
+def test_mor_schema_evolution_over_deltas(spark, tmpdir_path):
+    """Column add + key rename after delta commits: id-based
+    reconciliation must feed the resolution window renamed-forward."""
+    t = mk_table(spark, tmpdir_path, "t")
+    apply_epochs(t, spark)
+    t.add_column("score", "double")
+    t.rename_column("url", "page_url")
+    st = {r["page_url"]: (r["warc_ts"], r["text"], r["score"])
+          for r in t.read().collect()}
+    assert st["https://a/1"] == (nts(150), "v1.5", None)
+    # merges keep working post-rename (events carry the new key name)
+    ev = spark.createDataFrame(
+        [(200, "update", "https://a/1", ts(1000),
+          None, "renamed", "en", 0.5)],
+        T.StructType([
+            T.StructField("seq", T.LongType()),
+            T.StructField("op", T.StringType()),
+            T.StructField("page_url", T.StringType()),
+            T.StructField("warc_ts", T.TimestampType()),
+            T.StructField("html", T.BinaryType()),
+            T.StructField("text", T.StringType()),
+            T.StructField("lang", T.StringType()),
+            T.StructField("score", T.DoubleType()),
+        ]))
+    t.merge_batch(ev)
+    st = {r["page_url"]: (r["text"], r["score"])
+          for r in t.read().collect()}
+    assert st["https://a/1"] == ("renamed", 0.5)
+
+
+def test_mor_expire_versions_keeps_referenced_deltas(spark, tmpdir_path):
+    t = mk_table(spark, tmpdir_path, "t")
+    apply_epochs(t, spark)
+    pre = final_state(t)
+    t.expire_versions(keep_last=1)
+    assert final_state(t) == pre
+
+
+def test_mor_clone_preserves_delta_entries(spark, tmpdir_path):
+    t = mk_table(spark, tmpdir_path, "t")
+    apply_epochs(t, spark)
+    c = t.clone_to(os.path.join(tmpdir_path, "clone"))
+    assert final_state(c) == final_state(t)
+    assert c.delta_file_counts() == t.delta_file_counts()
+
+
+def test_counter_merge_refuses_mor_table(spark, tmpdir_path):
+    schema = T.StructType([
+        T.StructField("url", T.StringType(), False),
+        T.StructField("warc_ts", T.TimestampType(), False),
+        T.StructField("hits", T.LongType(), True),
+    ])
+    t = LakeTable.create(
+        spark, os.path.join(tmpdir_path, "ctr"), schema,
+        EngineConfig(n_buckets=4, merge_mode="mor"))
+    ev = spark.createDataFrame(
+        [(1, "update", "u", ts(1), 5)],
+        "seq long, op string, url string, warc_ts timestamp, hits long")
+    with pytest.raises(ValueError, match="CoW-only"):
+        t.merge_counter_batch(ev)
+
+
+def test_create_rejects_unknown_merge_mode(spark, tmpdir_path):
+    with pytest.raises(ValueError, match="merge_mode"):
+        LakeTable.create(spark, os.path.join(tmpdir_path, "bad"),
+                         WEB_SCHEMA, EngineConfig(merge_mode="nope"))
+
+
+def test_merge_batch_rejects_unknown_mode(spark, tmpdir_path):
+    t = mk_table(spark, tmpdir_path, "t", mode="cow")
+    with pytest.raises(ValueError, match="mode"):
+        t.merge_batch(mk_events(spark, [(1, "insert", "u", 1, "x")]),
+                      mode="hybrid")
+
+
+def test_mor_streaming_replay_equals_cow_batch(spark, tmpdir_path):
+    """The full streaming engine path (readStream → foreachBatch merge
+    with fences/lineage) over an MoR table: per-epoch delta appends,
+    final resolved state equal to a one-shot CoW batch replay — the
+    production shape (each micro-batch writes O(batch), the whole tail
+    never rewrites the table)."""
+    from cassandra_data_migrator_spark.sources import (
+        gen_change_events,
+        read_event_log,
+        write_event_log,
+    )
+    from cassandra_data_migrator_spark.streaming import CdcPipeline
+
+    log = os.path.join(tmpdir_path, "log")
+    events = gen_change_events(spark, n_urls=120, n_events=500, seed=11)
+    write_event_log(events, log, n_chunks=5)
+
+    cow = LakeTable.create(
+        spark, os.path.join(tmpdir_path, "cowb"), WEB_SCHEMA,
+        EngineConfig(n_buckets=8))
+    CdcPipeline(spark, cow, stream_id="b").run_batch(
+        read_event_log(spark, log))
+
+    mor = LakeTable.create(
+        spark, os.path.join(tmpdir_path, "mors"), WEB_SCHEMA,
+        EngineConfig(n_buckets=8, merge_mode="mor"))
+    p = CdcPipeline(spark, mor, stream_id="s")
+    q = p.run_stream(log, os.path.join(tmpdir_path, "ckpt"),
+                     max_files_per_trigger=1)
+    q.awaitTermination(300)
+
+    def snap(t):
+        return {r["url"]: (r["warc_ts"], r["text"], r["lang"])
+                for r in t.read().collect()}
+
+    assert snap(mor) == snap(cow)
+    assert mor.delta_file_counts()  # the epochs really were deltas
+    # maintenance loop: fold, state unchanged, gauge back to zero
+    mor.compact()
+    assert mor.delta_file_counts() == {}
+    assert snap(mor) == snap(cow)
+
+
+def test_migrate_cli_merge_mode_mor(spark, tmpdir_path, capsys):
+    """`migrate --merge-mode mor` (or the spark.cdm.lake.mergeMode
+    property) creates the target as merge-on-read; `describe` surfaces
+    the mode and the delta gauge; `maintain --compact` folds."""
+    import json as _json
+
+    from cassandra_data_migrator_spark.jobs import main
+    from cassandra_data_migrator_spark.sources import (
+        gen_change_events,
+        write_event_log,
+    )
+
+    def run(argv):
+        assert main(argv, spark=spark) == 0
+        return _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+
+    log = os.path.join(tmpdir_path, "log")
+    write_event_log(gen_change_events(spark, n_urls=60, n_events=300,
+                                      seed=3), log, n_chunks=3)
+    table = os.path.join(tmpdir_path, "t")
+    run(["migrate", "--log", log, "--table", table,
+         "--merge-mode", "mor"])
+    # the GROWN log (same deterministic stream, 100 more events):
+    # replaying it applies the shared 300 idempotently (ties lose to
+    # stored rows via the dv tie-break) plus the new tail, as deltas
+    log2 = os.path.join(tmpdir_path, "log2")
+    write_event_log(gen_change_events(spark, n_urls=60, n_events=400,
+                                      seed=3), log2, n_chunks=1)
+    run(["migrate", "--log", log2, "--table", table])
+
+    d = run(["describe", "--table", table])
+    assert d["merge_mode"] == "mor"
+    assert d["delta_files_total"] >= 1
+    # validate the full origin log against the resolved MoR read
+    v = run(["validate", "--log", log2, "--table", table])
+    assert v["mismatch"] == 0 and v["missing"] == 0
+    assert v["extra_target"] == 0
+
+    run(["maintain", "--table", table, "--compact"])
+    d2 = run(["describe", "--table", table])
+    assert d2["delta_files_total"] == 0 and d2["merge_mode"] == "mor"
+
+    # property-surface spelling creates MoR too
+    t2 = os.path.join(tmpdir_path, "t2")
+    run(["migrate", "--log", log, "--table", t2,
+         "--conf", "spark.cdm.lake.mergeMode=mor"])
+    d3 = run(["describe", "--table", t2])
+    assert d3["merge_mode"] == "mor"
