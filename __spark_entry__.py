@@ -398,6 +398,33 @@ def _q_mor_cdc_replay(spark, sf_dir):
     return _final_state_df(table)
 
 
+def _q_debezium_replay(spark, sf_dir):
+    """Debezium-envelope ingestion: the change stream exported as
+    industry-standard CDC envelopes (before/after images, op c/u/d,
+    seq from source.lsn — sources/debezium.py), written as a JSON-lines
+    log, decoded by the pure-codegen envelope projection and replayed
+    through the same LWW merge. The oracle is the identical final-state
+    SQL: the wire format must be semantics-free."""
+    from cassandra_data_migrator_spark.sources import (
+        read_debezium_log,
+        write_event_log,
+    )
+
+    ev = _change_events(spark, sf_dir)
+    log = _tmpdir("dbz_log")
+    write_event_log(ev, log, n_chunks=4, fmt="debezium")
+    event_schema = T.StructType(
+        [T.StructField("seq", T.LongType(), True),
+         T.StructField("op", T.StringType(), True)]
+        + list(_STATE_SCHEMA.fields))
+    decoded = read_debezium_log(spark, log, event_schema, ts_col="ts")
+    table = LakeTable.create(
+        spark, _tmpdir("dbz_tbl"), _STATE_SCHEMA,
+        EngineConfig(n_buckets=16, key_col="user_id", ts_col="ts"))
+    table.merge_batch(decoded, stream_id="q_dbz", epoch_id=0)
+    return _final_state_df(table)
+
+
 def _q_streaming_cdc_replay(spark, sf_dir):
     """Structured-Streaming CDC tail: chunked event log → readStream →
     foreachBatch merge with epoch fencing + checkpoint (SURVEY §2.9);
@@ -2480,6 +2507,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "explode_cdc_replay": _q_explode_cdc_replay,
         "cdc_replay_final_state": _q_cdc_replay_final_state,
         "mor_cdc_replay": _q_mor_cdc_replay,
+        "debezium_replay": _q_debezium_replay,
         "streaming_cdc_replay": _q_streaming_cdc_replay,
         "streaming_checkpoint_resume": _q_streaming_checkpoint_resume,
         "time_travel_read": _q_time_travel_read,
@@ -2587,6 +2615,7 @@ def oracle_sql() -> dict[str, str]:
         "explode_cdc_replay": _EXPLODE_CDC_ORACLE,
         "cdc_replay_final_state": _FINAL_STATE_ORACLE,
         "mor_cdc_replay": _FINAL_STATE_ORACLE,
+        "debezium_replay": _FINAL_STATE_ORACLE,
         "streaming_cdc_replay": _FINAL_STATE_ORACLE,
         "streaming_checkpoint_resume": _FINAL_STATE_ORACLE,
         "time_travel_read": _TIME_TRAVEL_ORACLE,

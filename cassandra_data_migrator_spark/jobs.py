@@ -353,9 +353,10 @@ def _require_event_schema(ev_schema, log_format: str) -> None:
     """Schema inference + JSON logs don't mix (inference would mistype
     base64 binary columns); fail cleanly up front instead of a raw
     ValueError mid-read — shared by migrate and validate."""
-    if ev_schema is None and log_format == "json":
-        print("error: --log-format json cannot infer the event schema "
-              "— pass an explicit --event-schema DDL", file=sys.stderr)
+    if ev_schema is None and log_format in ("json", "debezium"):
+        print(f"error: --log-format {log_format} cannot infer the event "
+              "schema — pass an explicit --event-schema DDL",
+              file=sys.stderr)
         raise SystemExit(2)
 
 
@@ -576,7 +577,7 @@ def cmd_migrate(args, spark) -> dict[str, Any]:
             schema=None if ev_schema is None else (
                 ev_schema if isinstance(ev_schema, T.StructType)
                 else EVENT_SCHEMA),
-            fmt=args.log_format)
+            fmt=args.log_format, ts_col=cfg.ts_col)
         if transform is not None:
             sample = transform(sample)
         drop = {"op", cfg.seq_col}
@@ -659,7 +660,7 @@ def cmd_migrate(args, spark) -> dict[str, Any]:
     events = read_event_log(
         spark, args.log,
         schema=(EVENT_SCHEMA if ev_schema == "default" else ev_schema),
-        fmt=args.log_format)
+        fmt=args.log_format, ts_col=cfg.ts_col)
 
     if args.counter:
         # counter-table migration (reference S5: UPDATE SET c = c + ?,
@@ -843,7 +844,7 @@ def cmd_validate(args, spark) -> dict[str, Any]:
     ev = read_event_log(
         spark, args.log,
         schema=(EVENT_SCHEMA if ev_schema == "default" else ev_schema),
-        fmt=args.log_format)
+        fmt=args.log_format, ts_col=cfg.ts_col)
     ev, keep, valid_keys = split_predicates(ev, cfg)
     ev = ev.filter(keep & valid_keys)
     if getattr(args, "canonicalize_urls", False):
@@ -1639,9 +1640,11 @@ def _add_common(p: argparse.ArgumentParser) -> None:
                    metavar="spark.cdm.K=V")
     p.add_argument("--properties-file", default=None)
     p.add_argument("--log-format", default="parquet",
-                   choices=("parquet", "json"),
+                   choices=("parquet", "json", "debezium"),
                    help="event-log encoding (json = JSON-lines tail, "
-                        "binary columns as base64)")
+                        "binary columns as base64; debezium = "
+                        "Debezium-envelope JSON lines — before/after "
+                        "images, op c/u/d/r, seq from source.lsn/pos)")
     p.add_argument("--merge-mode", default=None, choices=("cow", "mor"),
                    help="table write strategy when CREATING the target: "
                         "cow (copy-on-write, read-optimal) or mor "

@@ -7,3 +7,8 @@ from cassandra_data_migrator_spark.sources.event_log import (  # noqa: F401
     read_event_stream,
     write_event_log,
 )
+from cassandra_data_migrator_spark.sources.debezium import (  # noqa: F401
+    events_to_envelopes,
+    read_debezium_log,
+    read_debezium_stream,
+)

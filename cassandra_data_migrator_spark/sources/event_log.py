@@ -44,16 +44,26 @@ def write_event_log(events: DataFrame, path: str, n_chunks: int = 8,
     order and a checkpoint-resumed stream processes only the new
     segments.
 
-    ``fmt``: ``parquet`` (default) or ``json`` — real CDC tails are
-    often JSON-lines (Debezium/Maxwell-style); Spark maps ``binary``
-    columns to base64 in JSON, round-tripping the html payload intact.
+    ``fmt``: ``parquet`` (default), ``json`` (flat JSON-lines; Spark
+    maps ``binary`` columns to base64, round-tripping the html payload
+    intact), or ``debezium`` (full Debezium envelopes, one per line —
+    before/after images, op c/u/d, seq as source.lsn; the export shape
+    a foreign CDC consumer ingests, ``sources/debezium.py``).
     """
     before = set(os.listdir(path)) if append and os.path.isdir(path) else set()
     mode = "append" if append else "overwrite"
-    writer = (events.repartitionByRange(n_chunks, F.col(seq_col))
-              .write.mode(mode))
-    writer.parquet(path) if fmt == "parquet" else writer.json(path)
-    ext = f".{fmt}"
+    chunked = events.repartitionByRange(n_chunks, F.col(seq_col))
+    if fmt == "debezium":
+        from cassandra_data_migrator_spark.sources.debezium import (
+            events_to_envelopes,
+        )
+        events_to_envelopes(chunked, seq_col=seq_col) \
+            .write.mode(mode).text(path)
+        ext = ".txt"
+    else:
+        writer = chunked.write.mode(mode)
+        writer.parquet(path) if fmt == "parquet" else writer.json(path)
+        ext = f".{fmt}"
     files = sorted(
         fn for fn in os.listdir(path)
         if fn.startswith("part-") and fn.endswith(ext)
@@ -71,12 +81,27 @@ def write_event_log(events: DataFrame, path: str, n_chunks: int = 8,
 
 def read_event_log(spark: SparkSession, path: str,
                    schema: T.StructType | None = EVENT_SCHEMA,
-                   fmt: str = "parquet") -> DataFrame:
+                   fmt: str = "parquet",
+                   ts_col: str | None = None) -> DataFrame:
     """Batch read of the whole log. ``schema=None`` infers from the
     parquet footers — the path feature-driven migrations take, where the
     origin shape is the scenario's own (e.g. a map column to explode),
     not the web-event schema. JSON logs require a schema (inference
-    would read every file twice and guess binary columns wrong)."""
+    would read every file twice and guess binary columns wrong).
+
+    ``fmt="debezium"``: the log is Debezium-envelope JSON lines
+    (``sources/debezium.py``); ``schema`` is the ENGINE event schema
+    the envelopes lower onto, and ``ts_col`` names the event-time
+    column that gets the transaction-clock fallback."""
+    if fmt == "debezium":
+        from cassandra_data_migrator_spark.sources.debezium import (
+            read_debezium_log,
+        )
+        if schema is None:
+            raise ValueError(
+                "Debezium logs need the target event schema — "
+                "pass --event-schema DDL")
+        return read_debezium_log(spark, path, schema, ts_col=ts_col)
     if fmt == "json":
         if schema is None:
             raise ValueError(
@@ -92,7 +117,15 @@ def read_event_log(spark: SparkSession, path: str,
 def read_event_stream(spark: SparkSession, path: str,
                       max_files_per_trigger: int = 2,
                       schema: T.StructType | None = None,
-                      fmt: str = "parquet") -> DataFrame:
+                      fmt: str = "parquet",
+                      ts_col: str | None = None) -> DataFrame:
+    if fmt == "debezium":
+        from cassandra_data_migrator_spark.sources.debezium import (
+            read_debezium_stream,
+        )
+        return read_debezium_stream(
+            spark, path, schema or EVENT_SCHEMA,
+            max_files_per_trigger=max_files_per_trigger, ts_col=ts_col)
     reader = (
         spark.readStream.schema(schema or EVENT_SCHEMA)
         .option("maxFilesPerTrigger", max_files_per_trigger)

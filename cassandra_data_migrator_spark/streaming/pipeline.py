@@ -454,7 +454,8 @@ class CdcPipeline:
         mft = max_files_per_trigger or self.config.max_files_per_trigger
         stream = read_event_stream(self.spark, log_path, mft,
                                    schema=self.event_schema,
-                                   fmt=log_format)
+                                   fmt=log_format,
+                                   ts_col=self.config.ts_col)
         writer = (
             stream.writeStream
             .foreachBatch(lambda df, eid: self.apply_batch(df, eid))
