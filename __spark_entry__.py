@@ -398,6 +398,41 @@ def _q_mor_cdc_replay(spark, sf_dir):
     return _final_state_df(table)
 
 
+def _q_ts_window_read(spark, sf_dir):
+    """Time-scoped read over the replayed table: rows whose LIVE
+    winner's event time lies in a window, served through the manifest
+    ts_min/ts_max file stats (files that cannot intersect the window
+    are skipped before the scan is planned — lake/table.py read
+    ts_between; exact filter-after-read semantics by contract)."""
+    import datetime as dt
+
+    table = LakeTable.create(
+        spark, _tmpdir("tswin"), _STATE_SCHEMA,
+        EngineConfig(n_buckets=16, key_col="user_id", ts_col="ts"))
+    table.merge_batch(_change_events(spark, sf_dir),
+                      stream_id="q_tsw", epoch_id=0)
+    win = (dt.datetime(2024, 1, 25), dt.datetime(2024, 1, 30))
+    return table.read(ts_between=win).select(
+        F.col("user_id"),
+        _ts_us("ts").alias("ts_us"),
+        F.col("event_type").alias("last_type"),
+        _cents("value").alias("value_cents"),
+    )
+
+
+_TS_WINDOW_ORACLE = """
+WITH ranked AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events)
+SELECT user_id, epoch_us(ts) AS ts_us, event_type AS last_type,
+       CAST(round(value*100) AS BIGINT) AS value_cents
+FROM ranked WHERE rn = 1 AND event_type <> 'error'
+  AND ts >= TIMESTAMP '2024-01-25 00:00:00'
+  AND ts <= TIMESTAMP '2024-01-30 00:00:00'
+"""
+
+
 def _q_debezium_replay(spark, sf_dir):
     """Debezium-envelope ingestion: the change stream exported as
     industry-standard CDC envelopes (before/after images, op c/u/d,
@@ -2508,6 +2543,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_replay_final_state": _q_cdc_replay_final_state,
         "mor_cdc_replay": _q_mor_cdc_replay,
         "debezium_replay": _q_debezium_replay,
+        "ts_window_read": _q_ts_window_read,
         "streaming_cdc_replay": _q_streaming_cdc_replay,
         "streaming_checkpoint_resume": _q_streaming_checkpoint_resume,
         "time_travel_read": _q_time_travel_read,
@@ -2616,6 +2652,7 @@ def oracle_sql() -> dict[str, str]:
         "cdc_replay_final_state": _FINAL_STATE_ORACLE,
         "mor_cdc_replay": _FINAL_STATE_ORACLE,
         "debezium_replay": _FINAL_STATE_ORACLE,
+        "ts_window_read": _TS_WINDOW_ORACLE,
         "streaming_cdc_replay": _FINAL_STATE_ORACLE,
         "streaming_checkpoint_resume": _FINAL_STATE_ORACLE,
         "time_travel_read": _TIME_TRAVEL_ORACLE,

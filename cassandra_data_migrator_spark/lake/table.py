@@ -142,6 +142,22 @@ def watermark_tail_predicate(seq_col: str, wm: int) -> F.Column:
     return F.col(seq_col).cast("long") > F.lit(int(wm))
 
 
+def _ts_bound_micros(v: Any) -> int | None:
+    """A ts_between bound as epoch micros for manifest-stats compare
+    (ints pass through; naive datetimes are read as UTC — the pinned
+    session timezone, matching how the stats were computed)."""
+    import datetime as _dt
+
+    if v is None:
+        return None
+    if isinstance(v, int):
+        return v
+    if v.tzinfo is None:
+        v = v.replace(tzinfo=_dt.timezone.utc)
+    epoch = _dt.datetime(1970, 1, 1, tzinfo=_dt.timezone.utc)
+    return (v - epoch) // _dt.timedelta(microseconds=1)
+
+
 def _name_by_field_id(own_fields: list[dict], own_name: str,
                       out_fields: list[dict]) -> str:
     """Translate a column name from one schema-version's field list to
@@ -339,6 +355,7 @@ class LakeTable:
         include_deleted: bool = False,
         include_internal: bool = False,
         as_of: Any | None = None,
+        ts_between: tuple[Any, Any] | None = None,
     ) -> DataFrame:
         """Current snapshot as a DataFrame; prunes to ``buckets`` if given.
 
@@ -354,10 +371,23 @@ class LakeTable:
         (write side: :func:`operators.transforms.ttl_expiry`). Null
         expiry means the row never expires. The predicate is a plain
         Catalyst comparison, so it pushes down to the parquet scan.
+
+        ``ts_between=(lo, hi)`` (datetimes; either side None for an
+        open bound): keep rows whose event time lies in [lo, hi] — and,
+        before any scan is planned, SKIP whole files whose manifest
+        ``ts_min``/``ts_max`` stats (stamped at write time) cannot
+        intersect the window: the time-scoped incremental-reader path
+        over a huge table reads only the recent commits' files. File
+        skipping is disabled per-bucket while the bucket carries
+        unfolded MoR deltas (dropping a delta file could change which
+        row WINS resolution, not just which rows match); the row-level
+        predicate still applies after resolution, so results are always
+        exactly filter-after-read.
         """
         return self._read_snapshot(
             self.manifest, buckets=buckets, include_deleted=include_deleted,
-            include_internal=include_internal, as_of=as_of)
+            include_internal=include_internal, as_of=as_of,
+            ts_between=ts_between)
 
     def manifest_at(self, version: int) -> dict:
         """The committed manifest of ``version``; raises ``LookupError``
@@ -406,6 +436,7 @@ class LakeTable:
         as_of: Any | None = None,
         current: list[dict] | None = None,
         schemas: dict | None = None,
+        ts_between: tuple[Any, Any] | None = None,
     ) -> DataFrame:
         """Read any committed manifest. ``current``/``schemas`` override
         the field list the files are reconciled to (used by
@@ -430,10 +461,24 @@ class LakeTable:
         # files need no physical schema difference from base files
         file_groups: dict[tuple[int, int], list[str]] = {}
         sel = None if buckets is None else {int(b) for b in buckets}
+        lo_us = hi_us = None
+        if ts_between is not None:
+            lo_us = _ts_bound_micros(ts_between[0])
+            hi_us = _ts_bound_micros(ts_between[1])
         for b, entries in manifest["files"].items():
             if sel is not None and int(b) not in sel:
                 continue
+            # manifest-stats file skipping: only for buckets with no
+            # unfolded deltas (a skipped delta could change the LWW
+            # WINNER, not just the match set); entries without stats
+            # are conservatively kept
+            skippable = (ts_between is not None
+                         and not any(e.get("delta") for e in entries))
             for e in entries:
+                if skippable and "ts_min" in e and (
+                        (lo_us is not None and e["ts_max"] < lo_us)
+                        or (hi_us is not None and e["ts_min"] > hi_us)):
+                    continue
                 gk = (e["schema_version"], int(e.get("dv", 0)))
                 file_groups.setdefault(gk, []).append(
                     _resolve_entry(self.path, e["path"])
@@ -467,6 +512,16 @@ class LakeTable:
             )
             out = (out.withColumn("_rn", F.row_number().over(w))
                       .filter(F.col("_rn") == 1).drop("_rn", _DV))
+        if ts_between is not None:
+            own = schemas[str(manifest["schema_version"])]
+            ts_out = _name_by_field_id(own, manifest["config"]["ts_col"],
+                                       current)
+            ttype = _fields_to_schema(current)[ts_out].dataType
+            lo, hi = ts_between
+            if lo is not None:
+                out = out.filter(F.col(ts_out) >= F.lit(lo).cast(ttype))
+            if hi is not None:
+                out = out.filter(F.col(ts_out) <= F.lit(hi).cast(ttype))
         if not include_deleted:
             out = out.filter(~F.col(_DELETED))
         expires_col = manifest["config"].get("expires_col")
@@ -1014,15 +1069,32 @@ class LakeTable:
         # the per-epoch lineage cost is O(rows) over 13 bytes/row, not
         # a full re-read.
         written = self.spark.read.parquet(absdir)
-        lineage_df = (
-            written.groupBy(F.col(_BUCKET)).agg(
-                F.sum(F.when(~F.col(_DELETED), 1).otherwise(0)).alias("live_rows"),
-                F.count("*").alias("rows_with_tombstones"),
-                F.bit_xor(F.col(_CK)).alias("checksum"),
-            ))
+        aggs = [
+            F.sum(F.when(~F.col(_DELETED), 1).otherwise(0)).alias("live_rows"),
+            F.count("*").alias("rows_with_tombstones"),
+            F.bit_xor(F.col(_CK)).alias("checksum"),
+        ]
+        # per-bucket event-time range of THIS commit's files, as epoch
+        # micros (session tz is pinned UTC; NTZ reinterprets losslessly)
+        # — stamped on the manifest file entries so time-scoped reads
+        # can skip whole files (Iceberg column-stats pruning). Widens
+        # the lineage scan from 3 to 4 thin columns; still no payloads.
+        ts_type = next((f["type"] for f in self.current_fields()
+                        if f["name"] == self.ts_col), "")
+        with_ts_stats = ts_type in ("timestamp", "timestamp_ntz")
+        if with_ts_stats:
+            tsm = F.unix_micros(F.col(self.ts_col).cast("timestamp"))
+            aggs += [F.min(tsm).alias("_ts_min"),
+                     F.max(tsm).alias("_ts_max")]
+        lineage_df = written.groupBy(F.col(_BUCKET)).agg(*aggs)
+        ts_stats: dict[int, tuple[int, int]] = {}
         lineage_rows = []
         for r in lineage_df.collect():
             d = r.asDict()
+            if with_ts_stats:
+                lo, hi = d.pop("_ts_min"), d.pop("_ts_max")
+                if lo is not None and hi is not None:
+                    ts_stats[d[_BUCKET]] = (int(lo), int(hi))
             if d.get("checksum") is not None:
                 d["checksum"] = int(d["checksum"])
             off = offsets.get(d[_BUCKET], {})
@@ -1045,9 +1117,12 @@ class LakeTable:
         m["parent"] = self.version
         m["epoch_key"] = epoch_key
         for b in touched:
+            stats = ts_stats.get(b)
             new_entries = [
                 {"path": p, "schema_version": self.schema_version,
-                 **({"delta": True, "dv": m["version"]} if delta else {})}
+                 **({"delta": True, "dv": m["version"]} if delta else {}),
+                 **({"ts_min": stats[0], "ts_max": stats[1]}
+                    if stats is not None else {})}
                 for p in files.get(b, [])
             ]
             if delta:
