@@ -39,6 +39,8 @@ if _REPO not in sys.path:
 
 HEADLINE = [
     "cdc_replay_final_state",    # flagship: engine batch CDC replay
+    "mor_cdc_replay",            # merge-on-read: 3 delta epochs + read
+    "debezium_replay",           # envelope decode → same LWW replay
     "streaming_cdc_replay",      # structured-streaming replay, 3 epochs
     "validation_diff",           # full-outer diff classifier
     "autocorrect_replay",        # break-then-fix MERGE

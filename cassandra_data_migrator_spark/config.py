@@ -59,6 +59,14 @@ class EngineConfig:
     # (Iceberg v2 calls the same trade-off copy-on-write vs
     # merge-on-read; Hudi: COW vs MOR table types.)
     merge_mode: str = "cow"
+    # Inline MoR maintenance for long-lived tails: after a merge,
+    # buckets holding >= this many unfolded delta files are compacted
+    # in place (0 = never — run `maintain --compact` out of band).
+    # Bounds the read-side resolution depth without an external
+    # maintenance scheduler; the cost model is Hudi's inline
+    # compaction. Checked against the manifest only (no data I/O) and
+    # compaction rewrites just the over-threshold buckets.
+    mor_compact_min_deltas: int = 0
 
     # --- skew handling (north_rule: salted repartition) ------------------
     salt_buckets: int = 4             # sub-splits for hot keys inside a bucket

@@ -91,9 +91,10 @@ _CONFIG_KEYS: dict[str, tuple[str, Any]] = {
     "spark.cdm.feature.guardrail.colSizeInKB": ("guardrail_kb", int),
     "spark.cdm.transform.missing.key.ts.replace.value":
         ("null_ts_default", _ms),
-    # engine-native lake knob (no reference analog — Cassandra rewrites
-    # in place; the lake choice is Iceberg CoW vs MoR)
+    # engine-native lake knobs (no reference analog — Cassandra
+    # rewrites in place; the lake choice is Iceberg CoW vs MoR)
     "spark.cdm.lake.mergeMode": ("merge_mode", str),
+    "spark.cdm.lake.autoCompactDeltas": ("mor_compact_min_deltas", int),
 }
 
 # spark.cdm keys that drive job behavior, not EngineConfig
@@ -253,6 +254,9 @@ def _cfg(args) -> tuple[EngineConfig, dict[str, Any], list[str]]:
                         seq_col=args.seq_col)
     if getattr(args, "merge_mode", None):
         base = replace(base, merge_mode=args.merge_mode)
+    if getattr(args, "auto_compact_deltas", None):
+        base = replace(base,
+                       mor_compact_min_deltas=args.auto_compact_deltas)
     props = parse_properties(args.conf, args.properties_file)
     return apply_properties(base, props)
 
@@ -1651,6 +1655,12 @@ def _add_common(p: argparse.ArgumentParser) -> None:
                         "(merge-on-read delta appends, write-optimal — "
                         "fold deltas with `maintain --compact`); an "
                         "existing table keeps its own mode")
+    p.add_argument("--auto-compact-deltas", type=int, default=None,
+                   metavar="N",
+                   help="inline MoR maintenance: after each epoch, "
+                        "compact buckets holding >= N unfolded delta "
+                        "files (default off; the out-of-band "
+                        "alternative is `maintain --compact`)")
     p.add_argument("--master", default="local[*]")
     p.add_argument("--shuffle-partitions", type=int, default=32)
 

@@ -393,7 +393,31 @@ class CdcPipeline:
                 perkey.unpersist()
         if not result.skipped:
             self._record(result, epoch_id, n_skip, n_quar)
+            self._maybe_compact_deltas()
         return result
+
+    def _maybe_compact_deltas(self) -> None:
+        """Inline MoR maintenance (``EngineConfig.mor_compact_min_
+        deltas``): fold buckets whose unfolded-delta depth reached the
+        threshold, right after the epoch that pushed them there. The
+        check is manifest-only; the fold rewrites exactly the hot
+        buckets (row state unchanged — compaction is a no-op on LWW
+        state by contract), under the same conflict-retry loop as the
+        merge so a racing maintainer loses cleanly."""
+        thresh = self.config.mor_compact_min_deltas
+        if not thresh:
+            return
+        hot = [b for b, n in self.table.delta_file_counts().items()
+               if n >= thresh]
+        if not hot:
+            return
+
+        def _reload() -> None:
+            self.conflict_retries += 1
+            self.table._load_latest()
+
+        retry_on_conflict(
+            lambda: self.table.compact(buckets=hot), _reload, attempts=4)
 
     def _record(self, result: MergeResult, epoch_id: int,
                 n_skip: int, n_quar: int) -> None:

@@ -438,3 +438,73 @@ def test_migrate_cli_merge_mode_mor(spark, tmpdir_path, capsys):
          "--conf", "spark.cdm.lake.mergeMode=mor"])
     d3 = run(["describe", "--table", t2])
     assert d3["merge_mode"] == "mor"
+
+
+def test_inline_auto_compaction_bounds_delta_depth(spark, tmpdir_path):
+    """mor_compact_min_deltas: a long streaming tail folds hot buckets
+    inline, so the per-bucket resolution depth stays bounded while the
+    final state still equals the CoW batch replay."""
+    from cassandra_data_migrator_spark.sources import (
+        gen_change_events,
+        read_event_log,
+        write_event_log,
+    )
+    from cassandra_data_migrator_spark.streaming import CdcPipeline
+
+    log = os.path.join(tmpdir_path, "log")
+    events = gen_change_events(spark, n_urls=100, n_events=600, seed=19)
+    write_event_log(events, log, n_chunks=6)
+
+    cow = LakeTable.create(
+        spark, os.path.join(tmpdir_path, "cow"), WEB_SCHEMA,
+        EngineConfig(n_buckets=4))
+    CdcPipeline(spark, cow, stream_id="b").run_batch(
+        read_event_log(spark, log))
+
+    mor = LakeTable.create(
+        spark, os.path.join(tmpdir_path, "mor"), WEB_SCHEMA,
+        EngineConfig(n_buckets=4, merge_mode="mor"))
+    cfg = EngineConfig(n_buckets=4, merge_mode="mor",
+                       mor_compact_min_deltas=2)
+    p = CdcPipeline(spark, mor, cfg, stream_id="s")
+    q = p.run_stream(log, os.path.join(tmpdir_path, "ckpt"),
+                     max_files_per_trigger=1)
+    q.awaitTermination(300)
+
+    # 6 epochs over 4 buckets with threshold 2: without inline folding
+    # every bucket would hold ~6 deltas; with it, depth stays < 2
+    counts = mor.delta_file_counts()
+    assert all(n < 2 for n in counts.values()), counts
+
+    def snap(t):
+        return {r["url"]: (r["warc_ts"], r["text"], r["lang"])
+                for r in t.read().collect()}
+
+    assert snap(mor) == snap(cow) and snap(cow)
+    # the epoch fence survived the interleaved compaction commits
+    assert mor.manifest["epoch_fence"]["s"] >= 5
+
+
+def test_migrate_cli_auto_compact_deltas(spark, tmpdir_path, capsys):
+    import json as _json
+
+    from cassandra_data_migrator_spark.jobs import main
+    from cassandra_data_migrator_spark.sources import (
+        gen_change_events,
+        write_event_log,
+    )
+
+    def run(argv):
+        assert main(argv, spark=spark) == 0
+        return _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+
+    log = os.path.join(tmpdir_path, "log")
+    write_event_log(gen_change_events(spark, n_urls=50, n_events=300,
+                                      seed=3), log, n_chunks=4)
+    table = os.path.join(tmpdir_path, "t")
+    run(["migrate", "--log", log, "--table", table, "--streaming",
+         "--checkpoint", os.path.join(tmpdir_path, "ckpt"),
+         "--merge-mode", "mor", "--auto-compact-deltas", "1"])
+    d = run(["describe", "--table", table])
+    assert d["merge_mode"] == "mor"
+    assert d["delta_files_total"] == 0  # every epoch folded inline
