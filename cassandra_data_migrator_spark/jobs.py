@@ -1567,7 +1567,8 @@ def cmd_changes(args, spark) -> dict[str, Any]:
                     args.checkpoint, stream_id=args.stream_id,
                     max_versions=args.max_versions,
                     where=args.where, columns=cols,
-                    bootstrap=args.bootstrap))
+                    bootstrap=args.bootstrap,
+                    merge_mode=args.replica_merge_mode))
             except ValueError as e:
                 # pinned-rule conflict / bad projection: config error
                 raise SystemExit(f"error: {e}") from e
@@ -1935,6 +1936,12 @@ def build_parser() -> argparse.ArgumentParser:
                          "current state and tails from there "
                          "(O(live rows), survives expired history, "
                          "re-seeds if retention overtakes the cursor)")
+    ch.add_argument("--replica-merge-mode", default=None,
+                    choices=("cow", "mor"),
+                    help="write strategy when CREATING the replica "
+                         "(default: inherit the source's; a replica "
+                         "applies many small fenced epochs — the "
+                         "merge-on-read sweet spot)")
     ch.add_argument("--verify", action="store_true",
                     help="cross-hop validation: prove the replica "
                          "equals the source (filtered/projected per "

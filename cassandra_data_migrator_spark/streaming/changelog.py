@@ -292,6 +292,7 @@ def ensure_replica(
     columns: list[str] | None = None,
     fs: Any | None = None,
     at_version: int | None = None,
+    merge_mode: str | None = None,
 ) -> LakeTable:
     """Open the replica at ``target_path``, creating it with the
     source's schema and layout config when absent. Bucket count/key/ts
@@ -306,6 +307,13 @@ def ensure_replica(
     destructively downgrade (drop later-added columns, narrow widened
     ones). Defaults to the source's current version (correct for
     snapshot bootstrap, which seeds at head).
+
+    ``merge_mode`` sets the replica's write strategy at CREATION time
+    ("cow"/"mor"; default: inherit the source's). A replica applies a
+    long sequence of small fenced epochs — exactly the workload where
+    merge-on-read removes CoW's per-epoch bucket rewrites; run
+    ``maintain --compact`` (or ``mor_compact_min_deltas``) on the
+    replica to fold. An EXISTING replica keeps its own mode.
 
     ``columns`` keeps only the named data columns (the key, ts, and
     expires columns are always kept) — a PROJECTED replica, e.g. the
@@ -339,7 +347,11 @@ def ensure_replica(
         EngineConfig(
             n_buckets=cfg["n_buckets"], key_col=cfg["key_col"],
             ts_col=cfg["ts_col"], expires_col=cfg.get("expires_col"),
-            bucket_prefix_sep=cfg.get("bucket_prefix_sep")),
+            bucket_prefix_sep=cfg.get("bucket_prefix_sep"),
+            # a replica applies many SMALL fenced delta epochs — the
+            # merge-on-read sweet spot; default: inherit the source's
+            # own write strategy, override per hop via merge_mode
+            merge_mode=(merge_mode or cfg.get("merge_mode") or "cow")),
         fs=fs,
         field_registry=(fields, m["next_field_id"]))
 
@@ -479,6 +491,7 @@ def replicate(
     where: str | None = None,
     columns: list[str] | None = None,
     bootstrap: str = "changelog",
+    merge_mode: str | None = None,
 ) -> dict[str, Any]:
     """Catch the replica up to the source's current version.
 
@@ -543,7 +556,8 @@ def replicate(
             first_v = min(first_v,
                           consumer.position + int(max_versions))
         target = ensure_replica(spark, source, target, columns=columns,
-                                at_version=max(first_v, 1))
+                                at_version=max(first_v, 1),
+                                merge_mode=merge_mode)
     if not pinned:
         # pin only after the values validated (replica exists, predicate
         # analyzes): a typo'd first call must not poison the checkpoint

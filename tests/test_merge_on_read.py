@@ -508,3 +508,41 @@ def test_migrate_cli_auto_compact_deltas(spark, tmpdir_path, capsys):
     d = run(["describe", "--table", table])
     assert d["merge_mode"] == "mor"
     assert d["delta_files_total"] == 0  # every epoch folded inline
+
+
+def test_mor_replica_hop_verifies(spark, tmpdir_path):
+    """Cascaded replication into a merge-on-read replica: each polled
+    delta lands as a delta epoch, verify_replica's per-bucket checksum
+    compare (resolution-aware reads) proves replica == source, and
+    compaction on the replica changes nothing."""
+    from cassandra_data_migrator_spark.streaming.changelog import (
+        replicate,
+        verify_replica,
+    )
+
+    src = mk_table(spark, tmpdir_path, "src", mode="cow")
+    apply_epochs(src, spark)
+
+    dst = os.path.join(tmpdir_path, "replica")
+    ckpt = os.path.join(tmpdir_path, "hop_ckpt")
+    replicate(spark, src, dst, ckpt, merge_mode="mor")
+    replica = LakeTable(spark, dst)
+    assert replica.merge_mode == "mor"
+    assert replica.delta_file_counts()  # the hop really wrote deltas
+
+    rep = verify_replica(spark, src, replica, ckpt)
+    assert rep["match"], rep
+
+    # grow the source; the next poll applies only the new delta epochs
+    src.merge_batch(mk_events(spark, [
+        (50, "update", "https://a/1", 900, "grown"),
+        (51, "delete", "https://d/4", 950, None),
+    ]))
+    replicate(spark, src, dst, ckpt)
+    replica.refresh()
+    assert verify_replica(spark, src, replica, ckpt)["match"]
+    assert final_state(replica) == final_state(src)
+
+    replica.compact()
+    assert replica.delta_file_counts() == {}
+    assert verify_replica(spark, src, replica, ckpt)["match"]
