@@ -546,3 +546,48 @@ def test_mor_replica_hop_verifies(spark, tmpdir_path):
     replica.compact()
     assert replica.delta_file_counts() == {}
     assert verify_replica(spark, src, replica, ckpt)["match"]
+
+
+def test_tracked_run_resume_on_mor_table(spark, tmpdir_path):
+    """Resumable tracked batch replay (reference TrackRun) over an MoR
+    table: each bucket-group merge lands as a delta epoch; kill-mid-run
+    resume converges to the single-shot CoW result."""
+    from datetime import datetime, timedelta
+
+    from cassandra_data_migrator_spark.streaming.trackrun import (
+        BatchRunTracker,
+    )
+
+    schema = T.StructType([
+        T.StructField("url", T.StringType(), False),
+        T.StructField("warc_ts", T.TimestampNTZType(), True),
+        T.StructField("v", T.LongType(), True),
+    ])
+    base = datetime(2024, 1, 1)
+    ev = spark.createDataFrame(
+        [(f"u{i % 60}", base + timedelta(minutes=i), i,
+          "delete" if i % 37 == 0 else "update", i) for i in range(300)],
+        "url string, warc_ts timestamp_ntz, v long, op string, seq long")
+    cfg_cow = EngineConfig(n_buckets=16, key_col="url", ts_col="warc_ts")
+    ref = LakeTable.create(spark, f"{tmpdir_path}/ref", schema, cfg_cow)
+    ref.merge_batch(ev)
+
+    cfg = EngineConfig(n_buckets=16, key_col="url", ts_col="warc_ts",
+                       merge_mode="mor")
+    t = LakeTable.create(spark, f"{tmpdir_path}/t", schema, cfg)
+    tracker = BatchRunTracker(spark, t, n_groups=6)
+    tracker.run(ev, "run1", groups=[0, 1])             # "crash"
+    t2 = LakeTable(spark, t.path)
+    tracker2 = BatchRunTracker(spark, t2, n_groups=6)
+    tracker2.resume(ev, "run1")
+    assert tracker2.pending_groups("run1") == []
+    assert t2.delta_file_counts()
+
+    def st(table):
+        return {r["url"]: (r["warc_ts"], r["v"])
+                for r in table.read().collect()}
+
+    assert st(t2) == st(ref)
+    # fold and compare once more
+    t2.compact()
+    assert st(t2) == st(ref)
