@@ -581,7 +581,8 @@ def cmd_migrate(args, spark) -> dict[str, Any]:
             schema=None if ev_schema is None else (
                 ev_schema if isinstance(ev_schema, T.StructType)
                 else EVENT_SCHEMA),
-            fmt=args.log_format, ts_col=cfg.ts_col)
+            fmt=args.log_format, ts_col=cfg.ts_col,
+            seq_col=cfg.seq_col)
         if transform is not None:
             sample = transform(sample)
         drop = {"op", cfg.seq_col}
@@ -664,7 +665,8 @@ def cmd_migrate(args, spark) -> dict[str, Any]:
     events = read_event_log(
         spark, args.log,
         schema=(EVENT_SCHEMA if ev_schema == "default" else ev_schema),
-        fmt=args.log_format, ts_col=cfg.ts_col)
+        fmt=args.log_format, ts_col=cfg.ts_col,
+        seq_col=cfg.seq_col)
 
     if args.counter:
         # counter-table migration (reference S5: UPDATE SET c = c + ?,
@@ -848,7 +850,8 @@ def cmd_validate(args, spark) -> dict[str, Any]:
     ev = read_event_log(
         spark, args.log,
         schema=(EVENT_SCHEMA if ev_schema == "default" else ev_schema),
-        fmt=args.log_format, ts_col=cfg.ts_col)
+        fmt=args.log_format, ts_col=cfg.ts_col,
+        seq_col=cfg.seq_col)
     ev, keep, valid_keys = split_predicates(ev, cfg)
     ev = ev.filter(keep & valid_keys)
     if getattr(args, "canonicalize_urls", False):
@@ -1114,8 +1117,8 @@ def cmd_describe(args, spark) -> dict[str, Any]:
         "merge_mode": table.merge_mode,
         # MoR read-amplification gauge: buckets still carrying unfolded
         # delta files (maintain --compact folds them)
-        "delta_buckets": len(table.delta_file_counts()),
-        "delta_files_total": sum(table.delta_file_counts().values()),
+        "delta_buckets": len(dc := table.delta_file_counts()),
+        "delta_files_total": sum(dc.values()),
         "epoch_fence": m.get("epoch_fence", {}),
         "counter_watermarks": m.get("counter_watermarks", {}),
         "ever_tombstones": bool(m.get("ever_tombstones")),

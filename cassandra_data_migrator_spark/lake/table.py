@@ -158,6 +158,20 @@ def _ts_bound_micros(v: Any) -> int | None:
     return (v - epoch) // _dt.timedelta(microseconds=1)
 
 
+def _ts_bound_datetime(v: Any) -> Any:
+    """The same bound as a (naive-UTC) datetime for the Catalyst row
+    filter. Int bounds are EPOCH MICROS (matching _ts_bound_micros) —
+    converting here keeps the file-skip compare and the row predicate
+    on the same unit; a raw ``lit(int).cast(timestamp)`` would read
+    the value as SECONDS and silently filter everything out."""
+    import datetime as _dt
+
+    if v is None or not isinstance(v, int):
+        return v
+    return (_dt.datetime(1970, 1, 1)
+            + _dt.timedelta(microseconds=v))
+
+
 def _name_by_field_id(own_fields: list[dict], own_name: str,
                       out_fields: list[dict]) -> str:
     """Translate a column name from one schema-version's field list to
@@ -458,8 +472,13 @@ class LakeTable:
             current = schemas[str(manifest["schema_version"])]
         # group by (schema_version, delta-commit-version): each group is
         # one parquet scan; dv is attached as a literal column, so delta
-        # files need no physical schema difference from base files
-        file_groups: dict[tuple[int, int], list[str]] = {}
+        # files need no physical schema difference from base files.
+        # Buckets WITHOUT unfolded deltas go in separate plain groups —
+        # the resolution window below runs over the delta-carrying
+        # buckets' rows ONLY, so one hot bucket's deltas never drag the
+        # whole table through a shuffle+sort.
+        plain_groups: dict[int, list[str]] = {}
+        delta_groups: dict[tuple[int, int], list[str]] = {}
         sel = None if buckets is None else {int(b) for b in buckets}
         lo_us = hi_us = None
         if ts_between is not None:
@@ -468,39 +487,41 @@ class LakeTable:
         for b, entries in manifest["files"].items():
             if sel is not None and int(b) not in sel:
                 continue
+            bucket_has_delta = any(e.get("delta") for e in entries)
             # manifest-stats file skipping: only for buckets with no
             # unfolded deltas (a skipped delta could change the LWW
             # WINNER, not just the match set); entries without stats
             # are conservatively kept
-            skippable = (ts_between is not None
-                         and not any(e.get("delta") for e in entries))
+            skippable = ts_between is not None and not bucket_has_delta
             for e in entries:
                 if skippable and "ts_min" in e and (
                         (lo_us is not None and e["ts_max"] < lo_us)
                         or (hi_us is not None and e["ts_min"] > hi_us)):
                     continue
-                gk = (e["schema_version"], int(e.get("dv", 0)))
-                file_groups.setdefault(gk, []).append(
-                    _resolve_entry(self.path, e["path"])
-                )
-        has_deltas = any(dv != 0 for _, dv in file_groups)
+                path = _resolve_entry(self.path, e["path"])
+                if bucket_has_delta:
+                    gk = (e["schema_version"], int(e.get("dv", 0)))
+                    delta_groups.setdefault(gk, []).append(path)
+                else:
+                    plain_groups.setdefault(
+                        e["schema_version"], []).append(path)
         out: DataFrame | None = None
-        for (sv, dv), paths in sorted(file_groups.items()):
+        for sv, paths in sorted(plain_groups.items()):
             df = self._read_files_as_current(paths, sv, current,
                                              schemas=schemas)
-            if has_deltas:
-                df = df.withColumn(_DV, F.lit(dv))
             out = df if out is None else out.unionByName(df)
-        if out is None:
-            out = self.spark.createDataFrame(
-                [], T.StructType(list(_fields_to_schema(current).fields)
-                                 + _internal_struct_fields())
-            )
-        if has_deltas:
-            # LWW-resolve base ∪ deltas to one stored row per key. The
-            # key/ts columns are located by FIELD ID in the output field
-            # list (``current`` may carry renamed-forward names when
-            # changes_between reconciles an old snapshot).
+        if delta_groups:
+            # LWW-resolve base ∪ deltas of the delta-carrying buckets
+            # to one stored row per key. The key/ts columns are located
+            # by FIELD ID in the output field list (``current`` may
+            # carry renamed-forward names when changes_between
+            # reconciles an old snapshot).
+            dpart: DataFrame | None = None
+            for (sv, dv), paths in sorted(delta_groups.items()):
+                df = self._read_files_as_current(
+                    paths, sv, current, schemas=schemas) \
+                    .withColumn(_DV, F.lit(dv))
+                dpart = df if dpart is None else dpart.unionByName(df)
             own = schemas[str(manifest["schema_version"])]
             cfg = manifest["config"]
             key_out = _name_by_field_id(own, cfg["key_col"], current)
@@ -510,14 +531,21 @@ class LakeTable:
                 F.col(_SEQ).desc_nulls_last(),
                 F.col(_DV).asc(),
             )
-            out = (out.withColumn("_rn", F.row_number().over(w))
-                      .filter(F.col("_rn") == 1).drop("_rn", _DV))
+            dpart = (dpart.withColumn("_rn", F.row_number().over(w))
+                          .filter(F.col("_rn") == 1).drop("_rn", _DV))
+            out = dpart if out is None else out.unionByName(dpart)
+        if out is None:
+            out = self.spark.createDataFrame(
+                [], T.StructType(list(_fields_to_schema(current).fields)
+                                 + _internal_struct_fields())
+            )
         if ts_between is not None:
             own = schemas[str(manifest["schema_version"])]
             ts_out = _name_by_field_id(own, manifest["config"]["ts_col"],
                                        current)
             ttype = _fields_to_schema(current)[ts_out].dataType
-            lo, hi = ts_between
+            lo = _ts_bound_datetime(ts_between[0])
+            hi = _ts_bound_datetime(ts_between[1])
             if lo is not None:
                 out = out.filter(F.col(ts_out) >= F.lit(lo).cast(ttype))
             if hi is not None:
@@ -1612,7 +1640,15 @@ class LakeTable:
             for b, entries in m["files"].items()
         }
         new = {
-            "version": 1,
+            # the clone's history starts AT the source's version, not 1:
+            # inherited MoR delta entries keep their source ``dv``
+            # values, and the read-time tie-break (_DV asc = older
+            # commit wins) is only correct if every NEW clone commit
+            # gets a dv strictly greater than every inherited one.
+            # Restarting at 1 would let a replayed duplicate in the
+            # clone's first merges BEAT (or collide with) an inherited
+            # stored row of the same (ts, seq).
+            "version": m["version"],
             "parent": None,
             "cloned_from": {"table": self.path, "version": m["version"]},
             "config": json.loads(json.dumps(m["config"])),

@@ -177,14 +177,21 @@ def events_to_envelopes(
     """The inverse (test/export helper): engine events → one envelope
     JSON string per row (column ``value``). Inserts/updates carry the
     row as ``after`` (op c/u), deletes carry it as ``before`` (op d)
-    with null ``after`` — the shape a Debezium source connector emits."""
+    with null ``after`` — the shape a Debezium source connector emits.
+
+    ``ts_ms`` (a Column): the envelope's transaction clock. Default
+    NULL — this export has no real transaction clock, and inventing
+    one (e.g. from seq) would make the reader's event-time fallback
+    stamp null-ts rows with a fake ~1970 time instead of preserving
+    the null, so a debezium round-trip would merge rows the other
+    formats quarantine. seq still rides source.lsn."""
     data_cols = [c for c in events.columns if c not in (seq_col, op_col)]
     image = F.struct(*[F.col(c) for c in data_cols])
     is_del = F.col(op_col) == "delete"
     op = F.when(is_del, F.lit("d")) \
          .when(F.col(op_col) == "insert", F.lit("c")) \
          .otherwise(F.lit("u"))
-    tms = ts_ms if ts_ms is not None else F.col(seq_col).cast("long")
+    tms = ts_ms if ts_ms is not None else F.lit(None).cast("long")
     payload = F.struct(
         F.when(is_del, image).alias("before"),
         F.when(~is_del, image).alias("after"),

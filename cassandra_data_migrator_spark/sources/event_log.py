@@ -82,7 +82,9 @@ def write_event_log(events: DataFrame, path: str, n_chunks: int = 8,
 def read_event_log(spark: SparkSession, path: str,
                    schema: T.StructType | None = EVENT_SCHEMA,
                    fmt: str = "parquet",
-                   ts_col: str | None = None) -> DataFrame:
+                   ts_col: str | None = None,
+                   seq_col: str = "seq",
+                   op_col: str = "op") -> DataFrame:
     """Batch read of the whole log. ``schema=None`` infers from the
     parquet footers — the path feature-driven migrations take, where the
     origin shape is the scenario's own (e.g. a map column to explode),
@@ -101,7 +103,8 @@ def read_event_log(spark: SparkSession, path: str,
             raise ValueError(
                 "Debezium logs need the target event schema — "
                 "pass --event-schema DDL")
-        return read_debezium_log(spark, path, schema, ts_col=ts_col)
+        return read_debezium_log(spark, path, schema, ts_col=ts_col,
+                                 seq_col=seq_col, op_col=op_col)
     if fmt == "json":
         if schema is None:
             raise ValueError(
@@ -118,14 +121,17 @@ def read_event_stream(spark: SparkSession, path: str,
                       max_files_per_trigger: int = 2,
                       schema: T.StructType | None = None,
                       fmt: str = "parquet",
-                      ts_col: str | None = None) -> DataFrame:
+                      ts_col: str | None = None,
+                      seq_col: str = "seq",
+                      op_col: str = "op") -> DataFrame:
     if fmt == "debezium":
         from cassandra_data_migrator_spark.sources.debezium import (
             read_debezium_stream,
         )
         return read_debezium_stream(
             spark, path, schema or EVENT_SCHEMA,
-            max_files_per_trigger=max_files_per_trigger, ts_col=ts_col)
+            max_files_per_trigger=max_files_per_trigger, ts_col=ts_col,
+            seq_col=seq_col, op_col=op_col)
     reader = (
         spark.readStream.schema(schema or EVENT_SCHEMA)
         .option("maxFilesPerTrigger", max_files_per_trigger)

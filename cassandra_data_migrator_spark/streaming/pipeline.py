@@ -479,7 +479,8 @@ class CdcPipeline:
         stream = read_event_stream(self.spark, log_path, mft,
                                    schema=self.event_schema,
                                    fmt=log_format,
-                                   ts_col=self.config.ts_col)
+                                   ts_col=self.config.ts_col,
+                                   seq_col=self.config.seq_col)
         writer = (
             stream.writeStream
             .foreachBatch(lambda df, eid: self.apply_batch(df, eid))

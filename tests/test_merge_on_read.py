@@ -591,3 +591,100 @@ def test_tracked_run_resume_on_mor_table(spark, tmpdir_path):
     # fold and compare once more
     t2.compact()
     assert st(t2) == st(ref)
+
+
+def test_review_fixes_r5_session(spark, tmpdir_path):
+    """Regression pins for the session's review findings.
+
+    (a) clone-of-MoR dv ordering: the clone's commit versions start at
+        the source's version, so an exact duplicate replayed into the
+        clone still loses to the inherited stored row;
+    (b) resolution window is scoped to delta-carrying buckets — a read
+        of pure-CoW buckets plans WITHOUT a Window node even while
+        other buckets hold deltas.
+    """
+    t = mk_table(spark, tmpdir_path, "t", n_buckets=8)
+    apply_epochs(t, spark)
+    t.compact()
+    # one more delta epoch so exactly its buckets carry deltas
+    ev = mk_events(spark, [(40, "update", "https://a/1", 600, "newest")])
+    t.merge_batch(ev, stream_id="s", epoch_id=9)
+    delta_buckets = set(t.delta_file_counts())
+    pure = [b for b in range(8)
+            if b not in delta_buckets and str(b) in t.manifest["files"]]
+    assert pure
+    plan = t.read(buckets=pure)._jdf.queryExecution().toString()
+    assert "Window" not in plan          # (b): no global window
+    full_plan = t.read()._jdf.queryExecution().toString()
+    assert "Window" in full_plan         # deltas still resolve
+
+    # (a) clone dv ordering
+    c = t.clone_to(os.path.join(tmpdir_path, "clone"))
+    assert c.version >= t.version
+    pre = final_state(c)
+    dup = mk_events(spark, [(40, "update", "https://a/1", 600, "DUP")])
+    c.merge_batch(dup)                   # same (ts, seq), new payload
+    st = final_state(c)
+    assert st["https://a/1"][1] == "newest", \
+        "inherited stored row must win the (ts, seq) tie in a clone"
+    assert {k: v for k, v in st.items()} == pre
+
+
+def test_ts_between_int_bounds_are_micros(spark, tmpdir_path):
+    """Int ts_between bounds are epoch MICROS for BOTH the file-skip
+    compare and the row predicate (a raw cast would read seconds)."""
+    t = mk_table(spark, tmpdir_path, "t", mode="cow")
+    t.merge_batch(mk_events(spark, [(1, "insert", "a", 100, "x"),
+                                    (2, "insert", "b", 90_000, "y")]))
+    epoch = dt.datetime(1970, 1, 1, tzinfo=UTC)
+    us = lambda s: (ts(s) - epoch) // dt.timedelta(microseconds=1)  # noqa: E731
+    got = [r["url"] for r in
+           t.read(ts_between=(us(0), us(1000))).collect()]
+    assert got == ["a"]
+    got = [r["url"] for r in
+           t.read(ts_between=(us(80_000), None)).collect()]
+    assert got == ["b"]
+
+
+def test_debezium_roundtrip_preserves_null_ts(spark):
+    """Null event-time rows survive an envelope round-trip as null
+    (no fake 1970 transaction clock invented by the export)."""
+    from cassandra_data_migrator_spark.sources import events_to_envelopes
+    from cassandra_data_migrator_spark.sources.debezium import (
+        debezium_projection,
+    )
+    from cassandra_data_migrator_spark.sources.event_log import (
+        EVENT_SCHEMA,
+    )
+
+    events = spark.createDataFrame(
+        [(7, "update", "u", None, None, None, None)],
+        "seq long, op string, url string, warc_ts timestamp, "
+        "html binary, text string, lang string")
+    env = events_to_envelopes(events.drop("text"))
+    back = debezium_projection(env, EVENT_SCHEMA, ts_col="warc_ts")
+    row = back.collect()[0]
+    assert row["warc_ts"] is None and row["seq"] == 7
+
+
+def test_debezium_custom_seq_col_via_reader(spark, tmpdir_path):
+    """read_event_log(fmt='debezium') forwards a custom seq column
+    name: the seq still comes from source.lsn, not a (nonexistent)
+    image field."""
+    from cassandra_data_migrator_spark.sources import read_event_log
+
+    events = spark.createDataFrame(
+        [(5, "insert", "u", ts(1), "x")],
+        "myseq long, op string, url string, warc_ts timestamp, "
+        "text string")
+    from cassandra_data_migrator_spark.sources import write_event_log
+    log = os.path.join(tmpdir_path, "dbz")
+    write_event_log(events, log, n_chunks=1, seq_col="myseq",
+                    fmt="debezium")
+    schema = T.StructType.fromDDL(
+        "myseq long, op string, url string, warc_ts timestamp, "
+        "text string")
+    ev = read_event_log(spark, log, schema, fmt="debezium",
+                        ts_col="warc_ts", seq_col="myseq")
+    row = ev.collect()[0]
+    assert row["myseq"] == 5 and row["op"] == "insert"
