@@ -1901,10 +1901,11 @@ def build_parser() -> argparse.ArgumentParser:
                     help="--as-events: segment count of the written "
                          "log")
     ch.add_argument("--log-format", default="parquet",
-                    choices=("parquet", "json"),
-                    help="--as-events: segment format (json = "
-                         "Debezium-style JSON lines, binary columns "
-                         "base64)")
+                    choices=("parquet", "json", "debezium"),
+                    help="--as-events: segment format (json = flat "
+                         "JSON lines, binary columns base64; debezium "
+                         "= full Debezium envelopes a foreign CDC "
+                         "consumer ingests)")
     ch.add_argument("--replicate-to", default=None,
                     help="replication mode: target lake table path "
                          "(created from the source schema when absent)")

@@ -226,3 +226,42 @@ def test_envelope_export_shape(spark):
     assert "after" not in by_op["d"] or by_op["d"]["after"] is None
     assert by_op["c"]["after"]["url"] == "v"
     assert by_op["d"]["source"]["lsn"] == 5
+
+
+def test_changes_as_events_debezium_export_roundtrip(
+        spark, tmpdir_path, capsys):
+    """`changes --as-events --log-format debezium` exports a table's
+    changelog as envelope lines that a plain `migrate --log-format
+    debezium` ingests into an equal replica — the foreign-consumer
+    hand-off path."""
+    from cassandra_data_migrator_spark.jobs import main
+    from cassandra_data_migrator_spark.lake import LakeTable
+
+    def run(argv):
+        assert main(argv, spark=spark) == 0
+        return json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+
+    events = gen_change_events(spark, n_urls=40, n_events=200, seed=37)
+    log = os.path.join(tmpdir_path, "log")
+    write_event_log(events, log, n_chunks=2)
+    src = os.path.join(tmpdir_path, "src")
+    run(["migrate", "--log", log, "--table", src])
+
+    exp = os.path.join(tmpdir_path, "dbz_export")
+    out = run(["changes", "--table", src, "--from-version", "1",
+               "--as-events", "--output", exp,
+               "--log-format", "debezium"])
+    assert out["format"] == "debezium" and out["segments"] >= 1
+
+    dst = os.path.join(tmpdir_path, "dst")
+    ddl = ("seq long, op string, url string, warc_ts timestamp, "
+           "html binary, text string, lang string")
+    run(["migrate", "--log", exp, "--table", dst,
+         "--log-format", "debezium", "--event-schema", ddl])
+
+    def snap(p):
+        t = LakeTable(spark, p)
+        return {r["url"]: (r["warc_ts"], r["html"], r["lang"])
+                for r in t.read().collect()}
+
+    assert snap(dst) == snap(src) and snap(src)
