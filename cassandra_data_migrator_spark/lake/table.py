@@ -745,12 +745,20 @@ class LakeTable:
             .repartition(self.n_buckets, F.col(_BUCKET))
             .write.partitionBy(_PB).parquet(absdir))
         files = self._list_written_files(rel, absdir)
+        # stamp the same ts_min/ts_max entry stats a merge commit gets:
+        # bootstrap/seed files are the ones an incremental reader most
+        # wants to skip later (one thin 2-column scan of the new files)
+        ts_stats = self._collect_ts_stats(absdir)
         m = json.loads(json.dumps(self.manifest))
         m["version"] = self.version + 1
         m["parent"] = self.version
         m["epoch_key"] = None
         new_entries = {
-            str(b): [{"path": p, "schema_version": self.schema_version} for p in ps]
+            str(b): [{"path": p, "schema_version": self.schema_version,
+                      **({"ts_min": ts_stats[b][0],
+                          "ts_max": ts_stats[b][1]}
+                         if b in ts_stats else {})}
+                     for p in ps]
             for b, ps in files.items()
         }
         if sel is None:
@@ -1031,6 +1039,25 @@ class LakeTable:
         return MergeResult(epoch_key=epoch_key, skipped=False,
                            version=m["version"])
 
+    def _ts_stats_enabled(self) -> bool:
+        ts_type = next((f["type"] for f in self.current_fields()
+                        if f["name"] == self.ts_col), "")
+        return ts_type in ("timestamp", "timestamp_ntz")
+
+    def _collect_ts_stats(self, absdir: str) -> dict[int, tuple[int, int]]:
+        """Per-bucket (min, max) event time of a freshly written data
+        dir, as epoch micros — one column-pruned scan of (bucket, ts).
+        Empty when the ts column is not a timestamp type."""
+        if not self._ts_stats_enabled():
+            return {}
+        tsm = F.unix_micros(F.col(self.ts_col).cast("timestamp"))
+        rows = (self.spark.read.parquet(absdir)
+                .groupBy(F.col(_BUCKET))
+                .agg(F.min(tsm).alias("_lo"), F.max(tsm).alias("_hi"))
+                .collect())
+        return {r[_BUCKET]: (int(r["_lo"]), int(r["_hi"]))
+                for r in rows if r["_lo"] is not None}
+
     def _probe_source(
         self, src: DataFrame
     ) -> tuple[list[int], dict[int, dict]]:
@@ -1107,9 +1134,7 @@ class LakeTable:
         # — stamped on the manifest file entries so time-scoped reads
         # can skip whole files (Iceberg column-stats pruning). Widens
         # the lineage scan from 3 to 4 thin columns; still no payloads.
-        ts_type = next((f["type"] for f in self.current_fields()
-                        if f["name"] == self.ts_col), "")
-        with_ts_stats = ts_type in ("timestamp", "timestamp_ntz")
+        with_ts_stats = self._ts_stats_enabled()
         if with_ts_stats:
             tsm = F.unix_micros(F.col(self.ts_col).cast("timestamp"))
             aggs += [F.min(tsm).alias("_ts_min"),

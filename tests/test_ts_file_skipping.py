@@ -130,3 +130,23 @@ def test_legacy_entries_without_stats_are_kept(spark, tmpdir_path):
             e.pop("ts_max", None)
     got = t.read(ts_between=(ts(0), ts(1000))).collect()
     assert [r["url"] for r in got] == ["a"]
+
+
+def test_overwrite_seed_gets_stats_and_skips(spark, tmpdir_path):
+    """Bootstrap seeds (overwrite) stamp the same entry stats as merge
+    commits, so a time-scoped read over a freshly seeded table skips
+    non-intersecting bucket files."""
+    t = mk(spark, tmpdir_path, "t")
+    seed = spark.createDataFrame(
+        [(f"old/{i}", ts(100 + i), "o") for i in range(10)]
+        + [(f"new/{i}", ts(50_000 + i), "n") for i in range(10)],
+        "url string, warc_ts timestamp, text string")
+    t.overwrite(seed)
+    entries = [e for es in t.manifest["files"].values() for e in es]
+    assert entries and all("ts_min" in e for e in entries)
+    scoped = t.read(ts_between=(ts(40_000), None))
+    assert scoped.count() == 10
+    all_files = {os.path.join(t.path, e["path"]) for e in entries}
+    scanned = {f.replace("file://", "").replace("file:", "")
+               for f in scoped.inputFiles()}
+    assert len(scanned) < len(all_files)
