@@ -747,8 +747,10 @@ class LakeTable:
         files = self._list_written_files(rel, absdir)
         # stamp the same ts_min/ts_max entry stats a merge commit gets:
         # bootstrap/seed files are the ones an incremental reader most
-        # wants to skip later (one thin 2-column scan of the new files)
-        ts_stats = self._collect_ts_stats(absdir)
+        # wants to skip later (one thin 2-column scan of the new
+        # files). A zero-row overwrite (bucket-scoped repair clearing
+        # its scope) writes NO files — nothing to scan or stamp.
+        ts_stats = self._collect_ts_stats(absdir) if files else {}
         m = json.loads(json.dumps(self.manifest))
         m["version"] = self.version + 1
         m["parent"] = self.version
